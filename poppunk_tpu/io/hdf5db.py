@@ -1,0 +1,310 @@
+"""HDF5 sketch database.
+
+Schema (compatible with the reference, written in PopPUNK/web.py:14-61 and
+read in PopPUNK/sketchlib.py:125-142):
+
+    /sketches                     group; attrs: sketch_version, codon_phased
+    /sketches/<sample>            group per sample; attrs: kmers (int array),
+                                  sketchsize64, bbits, length, missing_bases,
+                                  base_freq, reads (optional)
+    /sketches/<sample>/<k>        uint64[sketchsize64*bbits] dataset,
+                                  attr kmer-size
+    /random                       random-match marker group (our model is
+                                  computed per pair from lengths/base_freq;
+                                  see sketch/random_match.py). attrs:
+                                  use_rc, model ("pair-bernoulli-v1")
+
+Functions mirror the reference sketchlib wrapper surface
+(PopPUNK/sketchlib.py): createDatabaseDir, getSketchSize,
+getKmersFromReferenceDatabase, readDBParams, getSeqsInDb, joinDBs,
+removeFromDB, constructDatabase, addRandom.
+"""
+
+import os
+import sys
+
+import h5py
+import numpy as np
+
+from .. import SKETCH_VERSION
+from ..sketch.minhash import Sketch, SketchParams, sketch_sequence
+from ..sketch.reader import read_sequence_input
+from ..utils import db_h5_path, read_rfile
+
+RANDOM_MODEL = "pair-bernoulli-v1"
+
+
+def create_database_dir(out_prefix, kmers=None):
+    """Create DB dir; drop a stale DB whose k-mer range mismatches
+    (PopPUNK/sketchlib.py:72-106)."""
+    if os.path.isdir(out_prefix):
+        db_file = db_h5_path(out_prefix)
+        if kmers is not None and os.path.isfile(db_file):
+            try:
+                with h5py.File(db_file, "r") as db:
+                    for sample in db["sketches"]:
+                        prev = np.asarray(db["sketches"][sample].attrs["kmers"])
+                        if not set(prev).issuperset(set(int(k) for k in kmers)):
+                            sys.stderr.write(f"Removing old database {db_file}\n")
+                            os.remove(db_file)
+                        break
+            except OSError:
+                os.remove(db_file)
+    else:
+        os.makedirs(out_prefix, exist_ok=True)
+
+
+def write_sketches(db_prefix, sketches, codon_phased=False, overwrite=False):
+    """Write/append sketches to ``<prefix>/<basename>.h5``."""
+    os.makedirs(db_prefix, exist_ok=True)
+    path = db_h5_path(db_prefix)
+    if overwrite and os.path.isfile(path):
+        os.remove(path)
+    with h5py.File(path, "a") as db:
+        grp = db.require_group("sketches")
+        grp.attrs["sketch_version"] = SKETCH_VERSION
+        grp.attrs["codon_phased"] = codon_phased
+        for sk in sketches:
+            if sk.name in grp:
+                del grp[sk.name]
+            s = grp.create_group(sk.name)
+            s.attrs["kmers"] = np.array(sorted(sk.usigs.keys()), dtype=np.int32)
+            s.attrs["sketchsize64"] = sk.sketchsize64
+            s.attrs["bbits"] = sk.bbits
+            s.attrs["length"] = sk.length
+            s.attrs["missing_bases"] = sk.missing_bases
+            s.attrs["base_freq"] = np.asarray(sk.base_freq, dtype=np.float64)
+            s.attrs["densified"] = sk.densified
+            s.attrs["reads"] = sk.reads
+            for k, usigs in sk.usigs.items():
+                d = s.create_dataset(str(int(k)), data=usigs.astype(np.uint64))
+                d.attrs["kmer-size"] = int(k)
+    return path
+
+
+def read_sketches(db_prefix, names=None, full_path=None):
+    """Load sketches (all, or the named subset, in the given order)."""
+    path = full_path or db_h5_path(db_prefix)
+    out = []
+    with h5py.File(path, "r") as db:
+        grp = db["sketches"]
+        if names is None:
+            names = sorted(grp.keys())
+        for name in names:
+            s = grp[name]
+            kmers = [int(k) for k in np.asarray(s.attrs["kmers"])]
+            usigs = {k: np.asarray(s[str(k)], dtype=np.uint64) for k in kmers}
+            out.append(
+                Sketch(
+                    name=name,
+                    usigs=usigs,
+                    sketchsize64=int(s.attrs["sketchsize64"]),
+                    bbits=int(s.attrs["bbits"]),
+                    length=int(s.attrs["length"]),
+                    missing_bases=int(s.attrs["missing_bases"]),
+                    base_freq=np.asarray(s.attrs["base_freq"], dtype=np.float64),
+                    densified=bool(s.attrs.get("densified", False)),
+                    reads=bool(s.attrs.get("reads", False)),
+                )
+            )
+    return out
+
+
+def get_sketch_size(db_prefix):
+    """(sketchsize64, codon_phased); exits on inconsistency
+    (PopPUNK/sketchlib.py:109-142)."""
+    with h5py.File(db_h5_path(db_prefix), "r") as db:
+        codon_phased = bool(db["sketches"].attrs.get("codon_phased", False))
+        prev = 0
+        for sample in db["sketches"]:
+            size = int(db["sketches"][sample].attrs["sketchsize64"])
+            if prev == 0:
+                prev = size
+            elif size != prev:
+                raise RuntimeError(f"Inconsistent sketch sizes in database for {sample}")
+    return prev, codon_phased
+
+
+def get_db_kmers(db_prefix):
+    """Sorted k-mer lengths in DB (PopPUNK/sketchlib.py:144-168)."""
+    with h5py.File(db_h5_path(db_prefix), "r") as db:
+        prev = None
+        for sample in db["sketches"]:
+            kmers = np.sort(np.asarray(db["sketches"][sample].attrs["kmers"]))
+            if prev is None:
+                prev = kmers
+            elif not np.array_equal(kmers, prev):
+                raise RuntimeError("Inconsistent k-mer lengths in database")
+    if prev is None:
+        raise RuntimeError(f"No sketches found in {db_prefix}")
+    return prev.astype(int)
+
+
+def read_db_params(db_prefix):
+    """(kmers, sketchsize64, codon_phased) (PopPUNK/sketchlib.py:170-195)."""
+    kmers = get_db_kmers(db_prefix)
+    size, codon_phased = get_sketch_size(db_prefix)
+    return kmers, size, codon_phased
+
+
+def get_seqs_in_db(db_file):
+    """Sample names in a DB h5 file (PopPUNK/sketchlib.py:198-214)."""
+    with h5py.File(db_file, "r") as db:
+        return list(db["sketches"].keys())
+
+
+def join_dbs(db1, db2, output, update_random=None, full_names=False):
+    """Join two sketch DBs (PopPUNK/sketchlib.py:216-293).
+
+    Writes to ``.tmp.h5`` then renames, as the reference does.
+    """
+    if not full_names:
+        join_prefix = os.path.join(output, os.path.basename(output))
+        db1_name = db_h5_path(db1)
+        db2_name = db_h5_path(db2)
+    else:
+        db1_name, db2_name, join_prefix = db1, db2, output
+
+    os.makedirs(os.path.dirname(join_prefix) or ".", exist_ok=True)
+    with h5py.File(db1_name, "r") as h1, h5py.File(db2_name, "r") as h2, h5py.File(
+        join_prefix + ".tmp.h5", "w"
+    ) as hj:
+        v1 = h1["sketches"].attrs.get("sketch_version")
+        v2 = h2["sketches"].attrs.get("sketch_version")
+        if v1 is not None and v2 is not None and v1 != v2:
+            raise RuntimeError(
+                f"Cannot join sketch databases with different sketch versions: {v1} vs {v2}"
+            )
+        h1.copy("sketches", hj)
+        join_grp = hj["sketches"]
+        for dataset in h2["sketches"]:
+            join_grp.copy(h2["sketches"][dataset], dataset)
+        if update_random is not None:
+            strand_preserved = bool(update_random.get("strand_preserved", False)) \
+                if isinstance(update_random, dict) else False
+            _write_random_group(hj, use_rc=not strand_preserved)
+        elif "random" in h1:
+            h1.copy("random", hj)
+    os.rename(join_prefix + ".tmp.h5", join_prefix + ".h5")
+
+
+def remove_from_db(db_name, out_name, remove_seqs, full_names=False):
+    """Copy a DB excluding the named samples (PopPUNK/sketchlib.py:296-346).
+
+    Writes ``<out>/<basename>.tmp.h5`` (caller renames), as the reference.
+    """
+    remove_seqs = set(remove_seqs)
+    if not full_names:
+        db_file = db_h5_path(db_name)
+        out_file = os.path.join(out_name, os.path.basename(out_name) + ".tmp.h5")
+    else:
+        db_file, out_file = db_name, out_name
+
+    with h5py.File(db_file, "r") as h_in, h5py.File(out_file, "w") as h_out:
+        if "random" in h_in:
+            h_in.copy("random", h_out)
+        out_grp = h_out.create_group("sketches")
+        for attr, val in h_in["sketches"].attrs.items():
+            out_grp.attrs.create(attr, val)
+        removed = []
+        for dataset in h_in["sketches"]:
+            if dataset not in remove_seqs:
+                out_grp.copy(h_in["sketches"][dataset], dataset)
+            else:
+                removed.append(dataset)
+    missed = remove_seqs.difference(removed)
+    if missed:
+        sys.stderr.write("WARNING: Did not find samples to remove:\n\t" + "\t".join(missed) + "\n")
+    return out_file
+
+
+def _write_random_group(db, use_rc=True):
+    if "random" in db:
+        del db["random"]
+    grp = db.create_group("random")
+    grp.attrs["model"] = RANDOM_MODEL
+    grp.attrs["use_rc"] = use_rc
+
+
+def add_random(db_prefix, sequence_names=None, klist=None, strand_preserved=False,
+               overwrite=False, threads=1):
+    """Mark the DB as random-corrected.
+
+    The reference computes and stores a clustered random-match table here
+    (PopPUNK/sketchlib.py:437-473); our correction is computed exactly per
+    pair at query time from stored lengths/base frequencies, so this only
+    records the marker (and the strand convention).
+    """
+    if sequence_names is not None and len(sequence_names) <= 2:
+        sys.stderr.write("Cannot add random match chances with this few genomes\n")
+        return
+    with h5py.File(db_h5_path(db_prefix), "r+") as db:
+        if "random" in db and not overwrite:
+            sys.stderr.write("Using existing random match chances in DB\n")
+            return
+        _write_random_group(db, use_rc=not strand_preserved)
+
+
+def has_random(db_prefix):
+    with h5py.File(db_h5_path(db_prefix), "r") as db:
+        return "random" in db
+
+
+def _sketch_one(args):
+    name, files, params = args
+    codes, length, missing, is_reads = read_sequence_input(files)
+    return sketch_sequence(name, codes, params, length=length,
+                           missing_bases=missing, reads=is_reads)
+
+
+def construct_database(assembly_list, klist, sketch_size64, o_prefix, threads=1,
+                       overwrite=False, strand_preserved=False, min_count=0,
+                       use_exact=False, calc_random=True, codon_phased=False,
+                       names=None, sequences=None):
+    """Sketch all input samples into a new DB
+    (PopPUNK/sketchlib.py:348-434).
+
+    ``assembly_list`` is an rfile path; alternatively pass names/sequences
+    directly. Returns the sorted sample names.
+    """
+    if names is None:
+        names, sequences = read_rfile(assembly_list)
+
+    params = SketchParams(
+        klist=tuple(int(k) for k in klist),
+        sketchsize64=int(sketch_size64),
+        use_rc=not strand_preserved,
+        codon_phased=codon_phased,
+        min_count=min_count,
+        exact_counter=use_exact,
+    )
+
+    db_file = db_h5_path(o_prefix)
+    if os.path.isfile(db_file) and overwrite:
+        sys.stderr.write("Overwriting db: " + db_file + "\n")
+        os.remove(db_file)
+
+    jobs = [(n, f, params) for n, f in zip(names, sequences)]
+    if threads > 1 and len(jobs) > 1:
+        from multiprocessing import get_context
+
+        with get_context("fork").Pool(processes=min(threads, len(jobs))) as pool:
+            sketches = pool.map(_sketch_one, jobs)
+    else:
+        sketches = [_sketch_one(j) for j in jobs]
+
+    write_sketches(o_prefix, sketches, codon_phased=codon_phased)
+    if calc_random:
+        add_random(o_prefix, names, klist, strand_preserved, overwrite=True, threads=threads)
+    return names
+
+
+def get_database_statistics(prefix):
+    """(genome_lengths, ambiguous_bases) per sample
+    (PopPUNK/sketchlib.py:672-688)."""
+    lengths, ambiguous = [], []
+    with h5py.File(db_h5_path(prefix), "r") as db:
+        for sample in db["sketches"]:
+            lengths.append(int(db["sketches"][sample].attrs["length"]))
+            ambiguous.append(int(db["sketches"][sample].attrs["missing_bases"]))
+    return lengths, ambiguous
