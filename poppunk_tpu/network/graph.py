@@ -1,0 +1,213 @@
+"""Array-native undirected graph.
+
+The reference builds graph-tool (C++/Boost) or cugraph objects
+(PopPUNK/network.py:734-864); here a graph is just arrays — n_vertices plus
+an edge list (and optional weights) — which the scipy host algorithms and
+the JAX device kernels both consume directly.
+
+Native storage format: ``.graph.npz`` (numpy archive with n_vertices,
+edges, weights). GraphML export/import is provided for interop with the
+reference's ``--cytoscape``/graphml outputs.
+"""
+
+import os
+import xml.etree.ElementTree as ET
+import xml.sax.saxutils
+
+import numpy as np
+import scipy.sparse
+
+
+class Graph:
+    def __init__(self, n_vertices, edges=None, weights=None):
+        self.n_vertices = int(n_vertices)
+        if edges is None:
+            edges = np.zeros((0, 2), dtype=np.int64)
+        edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        self.edges = edges
+        self.weights = None if weights is None else np.asarray(weights, dtype=np.float64)
+        if self.weights is not None and self.weights.shape[0] != edges.shape[0]:
+            raise ValueError("weights length != edge count")
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_edge_list(cls, n_vertices, edge_list, weights=None):
+        edges = np.asarray(list(edge_list), dtype=np.int64).reshape(-1, 2)
+        return cls(n_vertices, edges, weights)
+
+    def add_edges(self, edges, weights=None):
+        """Return a new Graph with the edges appended."""
+        edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        new_edges = np.concatenate([self.edges, edges])
+        if self.weights is not None or weights is not None:
+            old_w = self.weights if self.weights is not None else np.zeros(len(self.edges))
+            add_w = (
+                np.asarray(weights, dtype=np.float64)
+                if weights is not None
+                else np.zeros(len(edges))
+            )
+            new_w = np.concatenate([old_w, add_w])
+        else:
+            new_w = None
+        return Graph(self.n_vertices, new_edges, new_w)
+
+    def copy(self):
+        return Graph(
+            self.n_vertices,
+            self.edges.copy(),
+            None if self.weights is None else self.weights.copy(),
+        )
+
+    # -- views -------------------------------------------------------------
+    @property
+    def n_edges(self):
+        return self.edges.shape[0]
+
+    def adjacency(self, weights=False, nodes=None):
+        """Symmetric CSR adjacency. With ``nodes``, restrict to that vertex
+        subset (keeping original indexing)."""
+        e = self.edges
+        if nodes is not None:
+            mask = np.zeros(self.n_vertices, dtype=bool)
+            mask[nodes] = True
+            keep = mask[e[:, 0]] & mask[e[:, 1]]
+            e = e[keep]
+            w = self.weights[keep] if (weights and self.weights is not None) else None
+        else:
+            w = self.weights if weights else None
+        data = w if w is not None else np.ones(e.shape[0], dtype=np.float64)
+        mat = scipy.sparse.coo_matrix(
+            (np.concatenate([data, data]),
+             (np.concatenate([e[:, 0], e[:, 1]]), np.concatenate([e[:, 1], e[:, 0]]))),
+            shape=(self.n_vertices, self.n_vertices),
+        )
+        if w is None:
+            # boolean structure: collapse duplicates
+            mat.data[:] = 1.0
+            mat = mat.tocsr()
+            mat.data[:] = 1.0
+            return mat
+        return mat.tocsr()
+
+    def degrees(self, nodes=None):
+        e = self.edges
+        if nodes is not None:
+            mask = np.zeros(self.n_vertices, dtype=bool)
+            mask[nodes] = True
+            e = e[mask[e[:, 0]] & mask[e[:, 1]]]
+        deg = np.bincount(e[:, 0], minlength=self.n_vertices) + np.bincount(
+            e[:, 1], minlength=self.n_vertices
+        )
+        return deg
+
+    def subgraph(self, vertices, relabel=True):
+        """Induced subgraph on ``vertices``.
+
+        relabel=True renumbers vertices 0..len-1 in the order given (the
+        reference's gt.Graph(GraphView, prune=True) behaviour); returns
+        (graph, old_vertex_ids).
+        """
+        vertices = np.asarray(vertices, dtype=np.int64)
+        mask = np.zeros(self.n_vertices, dtype=bool)
+        mask[vertices] = True
+        keep = mask[self.edges[:, 0]] & mask[self.edges[:, 1]]
+        e = self.edges[keep]
+        w = self.weights[keep] if self.weights is not None else None
+        if not relabel:
+            return Graph(self.n_vertices, e, w), np.arange(self.n_vertices)
+        lookup = np.full(self.n_vertices, -1, dtype=np.int64)
+        lookup[vertices] = np.arange(vertices.shape[0])
+        return Graph(vertices.shape[0], lookup[e], w), vertices
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path):
+        """Native .graph.npz format."""
+        payload = {"n_vertices": np.int64(self.n_vertices), "edges": self.edges}
+        if self.weights is not None:
+            payload["weights"] = self.weights
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def load(cls, path):
+        with np.load(path) as data:
+            return cls(
+                int(data["n_vertices"]),
+                data["edges"],
+                data["weights"] if "weights" in data else None,
+            )
+
+    def save_graphml(self, path, vertex_labels=None):
+        """GraphML export (interop with the reference's graphml outputs)."""
+        esc = xml.sax.saxutils.escape
+        with open(path, "w") as f:
+            f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+            f.write(
+                '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
+            )
+            f.write('  <key id="d0" for="node" attr.name="id" attr.type="string"/>\n')
+            if self.weights is not None:
+                f.write('  <key id="d1" for="edge" attr.name="weight" attr.type="double"/>\n')
+            f.write('  <graph id="G" edgedefault="undirected">\n')
+            for v in range(self.n_vertices):
+                label = vertex_labels[v] if vertex_labels is not None else str(v)
+                f.write(f'    <node id="n{v}"><data key="d0">{esc(label)}</data></node>\n')
+            for idx, (s, t) in enumerate(self.edges):
+                if self.weights is not None:
+                    f.write(
+                        f'    <edge source="n{s}" target="n{t}">'
+                        f'<data key="d1">{self.weights[idx]}</data></edge>\n'
+                    )
+                else:
+                    f.write(f'    <edge source="n{s}" target="n{t}"/>\n')
+            f.write("  </graph>\n</graphml>\n")
+
+    @classmethod
+    def load_graphml(cls, path):
+        ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+        tree = ET.parse(path)
+        root = tree.getroot()
+        graph = root.find("g:graph", ns)
+        node_ids = {}
+        labels = []
+        for node in graph.findall("g:node", ns):
+            node_ids[node.get("id")] = len(node_ids)
+            data = node.find("g:data", ns)
+            labels.append(data.text if data is not None else node.get("id"))
+        edges = []
+        weights = []
+        has_w = False
+        for edge in graph.findall("g:edge", ns):
+            edges.append((node_ids[edge.get("source")], node_ids[edge.get("target")]))
+            data = edge.find("g:data", ns)
+            if data is not None:
+                has_w = True
+                weights.append(float(data.text))
+            else:
+                weights.append(0.0)
+        g = cls(len(node_ids), np.array(edges, dtype=np.int64).reshape(-1, 2),
+                np.array(weights) if has_w else None)
+        g.vertex_labels = labels
+        return g
+
+
+GRAPH_SUFFIX = ".graph.npz"
+
+
+def save_network(G, prefix=None, suffix=None, use_graphml=False, vertex_labels=None):
+    """Save with the reference's naming convention
+    (PopPUNK/network.py:1855-1884): ``<prefix>/<basename><suffix>``."""
+    file_name = os.path.join(prefix, os.path.basename(prefix))
+    if suffix is not None:
+        file_name += suffix
+    os.makedirs(prefix, exist_ok=True)
+    if use_graphml:
+        G.save_graphml(file_name + ".graphml", vertex_labels)
+        return file_name + ".graphml"
+    G.save(file_name + GRAPH_SUFFIX)
+    return file_name + GRAPH_SUFFIX
+
+
+def load_network_file(fn):
+    if fn.endswith(".graphml"):
+        return Graph.load_graphml(fn)
+    return Graph.load(fn)

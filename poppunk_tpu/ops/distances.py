@@ -1,0 +1,217 @@
+"""Device-side sketch distance computation.
+
+This is the performance core of the framework — the TPU-native replacement
+for pp-sketchlib's all-vs-all / query-vs-ref distance engine (invoked by the
+reference at PopPUNK/sketchlib.py:528-537). Pipeline, fully fused under one
+jit per query chunk:
+
+    packed bit-plane sketches (uint32)
+      -> bin match counts        (XNOR, AND over planes, popcount)   [kernel]
+      -> b-bit collision + random-match corrected Jaccard per k      [VPU]
+      -> constrained log-linear fit across k                         [VPU]
+      -> (core, accessory) per pair
+
+Two kernel implementations with identical semantics:
+  * ``match_counts_xla`` — pure jnp, runs on CPU/TPU, the reference/oracle;
+  * Pallas TPU kernel in ops/pallas_jaccard.py for the hot path.
+
+Device layout: ``planes[n, K, P, Wp]`` uint32, where K = len(klist),
+P = bbits, Wp = 2*sketchsize64 zero-padded up to a multiple of 128 lanes.
+Zero padding in both operands XNORs to all-ones through every plane, adding
+a constant (pad words * 32) to each raw count, which is subtracted.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmer_fit import _fit_math
+
+_LANES = 128
+
+
+def plane_geometry(sketchsize64, bbits):
+    w32 = 2 * sketchsize64
+    wp = ((w32 + _LANES - 1) // _LANES) * _LANES
+    pad_bits = (wp - w32) * 32
+    return w32, wp, pad_bits
+
+
+def pack_planes(sketches, klist=None):
+    """Pack Sketch objects into the device plane tensor.
+
+    Returns (planes uint32[n, K, P, Wp], lengths int32[n], freqs f32[n, 4]).
+
+    HDF5 usigs are uint64[sketchsize64 * bbits] in interleaved plane-minor
+    layout (word w, plane p at index w*bbits + p); on device we use
+    plane-major [P, W] with each uint64 split into (low32, high32).
+    """
+    ss64 = sketches[0].sketchsize64
+    bbits = sketches[0].bbits
+    if klist is None:
+        klist = sorted(sketches[0].usigs.keys())
+    w32, wp, _ = plane_geometry(ss64, bbits)
+    n = len(sketches)
+    planes = np.zeros((n, len(klist), bbits, wp), dtype=np.uint32)
+    lengths = np.zeros(n, dtype=np.int32)
+    freqs = np.zeros((n, 4), dtype=np.float32)
+    for i, sk in enumerate(sketches):
+        if sk.sketchsize64 != ss64 or sk.bbits != bbits:
+            raise ValueError("Inconsistent sketch geometry")
+        lengths[i] = sk.length
+        freqs[i] = sk.base_freq
+        for ki, k in enumerate(klist):
+            u = sk.usigs[int(k)].reshape(ss64, bbits).T  # [P, ss64] uint64
+            lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            hi = (u >> np.uint64(32)).astype(np.uint32)
+            interleaved = np.empty((bbits, w32), dtype=np.uint32)
+            interleaved[:, 0::2] = lo
+            interleaved[:, 1::2] = hi
+            planes[i, ki, :, :w32] = interleaved
+    return planes, lengths, freqs
+
+
+def match_counts_xla(planes_q, planes_r, pad_bits):
+    """Bin match counts, pure jnp. [nq,K,P,Wp] x [nr,K,P,Wp] -> i32[nq,nr,K].
+
+    Processes query rows one at a time under vmap to bound the intermediate
+    to [nr, K, P, Wp].
+    """
+    pq = planes_q.astype(jnp.uint32)
+    pr = planes_r.astype(jnp.uint32)
+
+    def one_q(q_planes):  # [K, P, Wp]
+        agree = ~(q_planes[None] ^ pr)  # [nr, K, P, Wp]
+        allp = jax.lax.reduce(
+            agree,
+            jnp.uint32(0xFFFFFFFF),
+            jax.lax.bitwise_and,
+            dimensions=(2,),
+        )  # [nr, K, Wp]
+        counts = jax.lax.population_count(allp).astype(jnp.int32)
+        return counts.sum(axis=-1) - (pad_bits)  # [nr, K]
+
+    return jax.lax.map(one_q, pq)  # [nq, nr, K]
+
+
+def _random_jaccard_jnp(k, len_q, len_r, freq_q, freq_r, use_rc=True):
+    """Expected random Jaccard, jnp twin of sketch/random_match.py."""
+    m_f = freq_q @ freq_r.T  # [nq, nr]
+    p = m_f ** k
+    if use_rc:
+        m_rc = freq_q @ freq_r[:, ::-1].T  # ACGT reversed = complement perm
+        p = p + m_rc ** k
+    n1 = jnp.maximum(len_q.astype(jnp.float32) - k + 1, 1.0)[:, None]
+    n2 = jnp.maximum(len_r.astype(jnp.float32) - k + 1, 1.0)[None, :]
+    inter = n1 * n2 * p
+    union = n1 + n2 - inter
+    r = jnp.where(union <= 0, 1.0, inter / jnp.maximum(union, 1e-30))
+    return jnp.clip(r, 0.0, 1.0 - 1e-6)
+
+
+def corrected_jaccards(matches, klist, len_q, len_r, freq_q, freq_r,
+                       sketchsize64, bbits, random_correct=True, use_rc=True):
+    """matches i32[nq,nr,K] -> corrected Jaccard f32[nq,nr,K]."""
+    nbins = sketchsize64 * 64
+    expected = 2.0 ** (-bbits)
+    obs = matches.astype(jnp.float32) / nbins
+    j = jnp.clip((obs - expected) / (1.0 - expected), 0.0, 1.0)
+    if random_correct:
+        rs = []
+        for ki, k in enumerate(klist):
+            r = _random_jaccard_jnp(float(k), len_q, len_r, freq_q, freq_r, use_rc)
+            rs.append(r)
+        r = jnp.stack(rs, axis=-1)
+        j = jnp.clip((j - r) / (1.0 - r), 0.0, 1.0)
+    return j
+
+
+def core_accessory(jaccards, klist):
+    """Fit the k-mer curve for every pair: [..., K] -> f32[..., 2]."""
+    core, acc = _fit_math(jnp, jaccards.astype(jnp.float32), jnp.asarray(klist, jnp.float32))
+    return jnp.stack([core, acc], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("klist", "sketchsize64", "bbits", "pad_bits",
+                                   "random_correct", "use_rc", "jaccard",
+                                   "use_pallas"))
+def _dist_chunk(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
+                sketchsize64, bbits, pad_bits, random_correct, use_rc,
+                jaccard, use_pallas):
+    if use_pallas:
+        from .pallas_jaccard import match_counts_pallas
+
+        matches = match_counts_pallas(planes_q, planes_r, pad_bits)
+    else:
+        matches = match_counts_xla(planes_q, planes_r, pad_bits)
+    j = corrected_jaccards(matches, klist, len_q, len_r, freq_q, freq_r,
+                           sketchsize64, bbits, random_correct, use_rc)
+    if jaccard:
+        return j
+    return core_accessory(j, klist)
+
+
+def _auto_use_pallas():
+    return jax.default_backend() == "tpu"
+
+
+def pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
+                   sketchsize64, bbits, random_correct=True, use_rc=True,
+                   jaccard=False, use_pallas=None, chunk=512):
+    """Dense [nq, nr] distance block, chunked over queries on the host.
+
+    Returns f32[nq, nr, 2] (core, accessory) or [nq, nr, K] Jaccards.
+    """
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas()
+    _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+    nq = planes_q.shape[0]
+    out = []
+    planes_r = jnp.asarray(planes_r)
+    len_r = jnp.asarray(len_r)
+    freq_r = jnp.asarray(freq_r)
+    for start in range(0, nq, chunk):
+        sl = slice(start, min(start + chunk, nq))
+        out.append(
+            _dist_chunk(
+                jnp.asarray(planes_q[sl]), planes_r,
+                jnp.asarray(len_q[sl]), len_r,
+                jnp.asarray(freq_q[sl]), freq_r,
+                tuple(int(k) for k in klist), int(sketchsize64), int(bbits),
+                int(pad_bits), bool(random_correct), bool(use_rc),
+                bool(jaccard), bool(use_pallas),
+            )
+        )
+    return np.concatenate([np.asarray(o) for o in out], axis=0)
+
+
+def query_db(sketches_r, sketches_q, klist, random_correct=True, use_rc=True,
+             jaccard=False, self_mode=False, use_pallas=None):
+    """Long-form distances, reference row conventions.
+
+    self_mode: condensed i<j rows over sketches_r (sketches_q ignored),
+    matching PopPUNK/utils.py:199-226. Otherwise row = q * n_ref + r
+    (PopPUNK/assign.py:690).
+
+    Returns float32[n_rows, 2] of (core, accessory) — or [n_rows, K]
+    Jaccards with jaccard=True.
+    """
+    from ..pairs import all_pairs
+
+    ss64 = sketches_r[0].sketchsize64
+    bbits = sketches_r[0].bbits
+    planes_r, len_r, freq_r = pack_planes(sketches_r, klist)
+    if self_mode:
+        planes_q, len_q, freq_q = planes_r, len_r, freq_r
+    else:
+        planes_q, len_q, freq_q = pack_planes(sketches_q, klist)
+
+    block = pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r,
+                           klist, ss64, bbits, random_correct, use_rc,
+                           jaccard, use_pallas)
+    if self_mode:
+        i, j = all_pairs(len(sketches_r))
+        return block[i, j]
+    return block.reshape(-1, block.shape[-1])

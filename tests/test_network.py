@@ -1,0 +1,230 @@
+"""Network layer tests: components, summary stats vs networkx oracles,
+cluster naming semantics, cliques, MST."""
+
+import numpy as np
+import pytest
+
+from poppunk_tpu.network.graph import Graph, save_network, load_network_file
+from poppunk_tpu.network.components import (
+    connected_components,
+    connected_components_device,
+    components_from_edges,
+)
+from poppunk_tpu.network.summary import (
+    network_summary,
+    transitivity_from_adjacency,
+    brandes_betweenness,
+)
+from poppunk_tpu.network.clusters import print_clusters
+from poppunk_tpu.network.cliques import extract_references
+from poppunk_tpu.network.mst import minimum_spanning_tree
+
+RNG = np.random.default_rng(99)
+
+
+def random_graph(n=60, p=0.08, weights=False, rng=RNG):
+    i, j = np.triu_indices(n, 1)
+    mask = rng.random(i.shape[0]) < p
+    edges = np.stack([i[mask], j[mask]], axis=1)
+    w = rng.random(mask.sum()) if weights else None
+    return Graph(n, edges, w)
+
+
+class TestComponents:
+    def test_simple(self):
+        G = Graph(6, [(0, 1), (1, 2), (3, 4)])
+        labels, sizes = connected_components(G)
+        assert len(sizes) == 3
+        assert labels[0] == labels[1] == labels[2]
+        assert labels[3] == labels[4]
+        assert labels[5] not in (labels[0], labels[3])
+
+    def test_vs_networkx(self):
+        nx = pytest.importorskip("networkx")
+        G = random_graph()
+        labels, sizes = connected_components(G)
+        g = nx.Graph()
+        g.add_nodes_from(range(G.n_vertices))
+        g.add_edges_from(map(tuple, G.edges.tolist()))
+        assert len(sizes) == nx.number_connected_components(g)
+
+    def test_device_label_prop(self):
+        import jax.numpy as jnp
+
+        G = random_graph()
+        labels, sizes = connected_components(G)
+        src = jnp.asarray(G.edges[:, 0].astype(np.int32))
+        dst = jnp.asarray(G.edges[:, 1].astype(np.int32))
+        mask = jnp.ones(G.n_edges, dtype=bool)
+        dev = np.asarray(
+            connected_components_device(G.n_vertices, src, dst, mask)
+        )
+        # same partition (label values differ)
+        for comp in range(len(sizes)):
+            members = np.flatnonzero(labels == comp)
+            assert len(set(dev[members].tolist())) == 1
+        assert len(np.unique(dev)) == len(sizes)
+
+
+class TestSummary:
+    def test_transitivity_vs_networkx(self):
+        nx = pytest.importorskip("networkx")
+        for _ in range(5):
+            G = random_graph(40, 0.15)
+            g = nx.Graph()
+            g.add_nodes_from(range(G.n_vertices))
+            g.add_edges_from(map(tuple, G.edges.tolist()))
+            want = nx.transitivity(g)
+            got = transitivity_from_adjacency(G.adjacency())
+            assert abs(got - want) < 1e-9
+
+    def test_betweenness_vs_networkx(self):
+        nx = pytest.importorskip("networkx")
+        G = random_graph(30, 0.12)
+        g = nx.Graph()
+        g.add_nodes_from(range(G.n_vertices))
+        g.add_edges_from(map(tuple, G.edges.tolist()))
+        want = nx.betweenness_centrality(g, normalized=True)
+        A = G.adjacency()
+        bc = brandes_betweenness(A, np.arange(G.n_vertices))
+        n = G.n_vertices
+        got = bc / ((n - 1) * (n - 2))
+        for v in range(n):
+            assert abs(got[v] - want[v]) < 1e-9, v
+
+    def test_summary_shape(self):
+        G = random_graph(50, 0.1)
+        metrics, scores = network_summary(G)
+        assert len(metrics) == 5 and len(scores) == 3
+        assert 0 <= metrics[1] <= 1
+        assert scores[0] == pytest.approx(metrics[2] * (1 - metrics[1]))
+
+
+class TestPrintClusters:
+    def names(self, n):
+        return [f"s{i}" for i in range(n)]
+
+    def test_basic_numbering(self, tmp_path):
+        # two components: sizes 3 and 2 -> clusters 1 and 2 by size
+        G = Graph(5, [(0, 1), (1, 2), (3, 4)])
+        clustering, merged = print_clusters(
+            G, self.names(5), out_prefix=str(tmp_path / "t")
+        )
+        assert clustering["s0"] == clustering["s1"] == clustering["s2"] == 1
+        assert clustering["s3"] == clustering["s4"] == 2
+        assert merged == []
+        csv = (tmp_path / "t_clusters.csv").read_text().splitlines()
+        assert csv[0] == "Taxon,Cluster"
+        assert len(csv) == 6
+
+    def test_old_names_kept(self, tmp_path):
+        G = Graph(5, [(0, 1), (1, 2), (3, 4)])
+        print_clusters(G, self.names(5), out_prefix=str(tmp_path / "old"))
+        # add a query joining the smaller cluster: names must be stable
+        G2 = Graph(6, [(0, 1), (1, 2), (3, 4), (4, 5)])
+        clustering, merged = print_clusters(
+            G2,
+            self.names(5) + ["q0"],
+            out_prefix=str(tmp_path / "new"),
+            old_cluster_file=str(tmp_path / "old_clusters.csv"),
+        )
+        assert clustering["s0"] == "1"
+        assert clustering["s3"] == clustering["q0"] == "2"
+        assert merged == []
+
+    def test_merge_detected(self, tmp_path):
+        G = Graph(5, [(0, 1), (1, 2), (3, 4)])
+        print_clusters(G, self.names(5), out_prefix=str(tmp_path / "old"))
+        # query connects both old clusters -> merge "1_2" (order by first
+        # old cluster found), query reported
+        G2 = Graph(6, [(0, 1), (1, 2), (3, 4), (2, 5), (3, 5)])
+        clustering, merged = print_clusters(
+            G2,
+            self.names(5) + ["q0"],
+            out_prefix=str(tmp_path / "new"),
+            old_cluster_file=str(tmp_path / "old_clusters.csv"),
+        )
+        assert set(clustering["q0"].split("_")) == {"1", "2"}
+        # the reference appends query_only once per joined old cluster, so
+        # duplicates are expected (network.py:1600-1603)
+        assert set(merged) == {"q0"}
+
+    def test_novel_cluster_gets_new_id(self, tmp_path):
+        G = Graph(5, [(0, 1), (1, 2), (3, 4)])
+        print_clusters(G, self.names(5), out_prefix=str(tmp_path / "old"))
+        G2 = Graph(7, [(0, 1), (1, 2), (3, 4), (5, 6)])
+        clustering, _ = print_clusters(
+            G2,
+            self.names(5) + ["q0", "q1"],
+            out_prefix=str(tmp_path / "new"),
+            old_cluster_file=str(tmp_path / "old_clusters.csv"),
+        )
+        assert clustering["q0"] == clustering["q1"] == "3"
+
+
+class TestCliques:
+    def test_extract_references_covers_components(self, tmp_path):
+        G = random_graph(50, 0.1)
+        names = [f"s{i}" for i in range(50)]
+        ref_idx, ref_names, ref_file, G_ref = extract_references(
+            G, names, str(tmp_path / "db")
+        )
+        labels, sizes = connected_components(G)
+        # every component keeps at least one reference
+        for comp in range(len(sizes)):
+            members = set(np.flatnonzero(labels == comp).tolist())
+            assert members & ref_idx, comp
+        # reference subgraph has the same number of reference components
+        # as components containing references (not split)
+        ref_sorted = sorted(ref_idx)
+        ref_labels, ref_sizes = connected_components(G_ref)
+        full_comps = {labels[v] for v in ref_idx}
+        assert len(ref_sizes) == len(full_comps)
+
+    def test_triangle_reduces(self, tmp_path):
+        # a triangle + pendant: clique pruning keeps 1 from the triangle
+        G = Graph(4, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        ref_idx, _, _, _ = extract_references(
+            G, [f"s{i}" for i in range(4)], str(tmp_path / "db")
+        )
+        assert len(ref_idx) < 4
+
+
+class TestMST:
+    def test_spanning(self):
+        G = random_graph(40, 0.2, weights=True)
+        labels, sizes = connected_components(G)
+        mst = minimum_spanning_tree(G)
+        # connects everything the original connects (plus seed links)
+        mlabels, msizes = connected_components(mst)
+        assert len(msizes) <= len(sizes)
+        # a spanning forest of each component: E >= V - #comp
+        assert mst.n_edges >= G.n_vertices - len(msizes)
+
+    def test_weighted_path(self):
+        G = Graph(3, [(0, 1), (1, 2), (0, 2)], weights=[1.0, 1.0, 5.0])
+        mst = minimum_spanning_tree(G)
+        assert mst.n_edges == 2
+        assert set(map(tuple, np.sort(mst.edges, axis=1).tolist())) == {(0, 1), (1, 2)}
+
+
+class TestPersistence:
+    def test_npz_roundtrip(self, tmp_path):
+        G = random_graph(20, 0.2, weights=True)
+        fn = save_network(G, prefix=str(tmp_path / "db"), suffix="_graph")
+        G2 = load_network_file(fn)
+        assert G2.n_vertices == G.n_vertices
+        assert np.array_equal(G2.edges, G.edges)
+        assert np.allclose(G2.weights, G.weights)
+
+    def test_graphml_roundtrip(self, tmp_path):
+        G = random_graph(10, 0.3, weights=True)
+        labels = [f"iso{i}" for i in range(10)]
+        fn = save_network(
+            G, prefix=str(tmp_path / "db"), suffix="_cytoscape", use_graphml=True,
+            vertex_labels=labels,
+        )
+        G2 = load_network_file(fn)
+        assert G2.n_vertices == G.n_vertices
+        assert G2.vertex_labels == labels
+        assert np.array_equal(np.sort(G2.edges, axis=0), np.sort(G.edges, axis=0))
