@@ -1,0 +1,153 @@
+"""Benchmark: pairwise core/accessory distance throughput per chip.
+
+The framework's hot loop (TPU Pallas bin-match kernel + fused Jaccard
+correction + per-pair k-mer curve fit — the pp-sketchlib queryDatabase
+equivalent, reference PopPUNK/sketchlib.py:528-537) timed at production
+sketch geometry (sketch size 9984 -> sketchsize64=156, bbits=14, 6 k-mer
+lengths: the reference's bundled-dataset settings, test/run_test.py:21),
+against an optimised OpenMP+popcount CPU baseline (native/cpu_baseline.cpp,
+the stand-in for pp-sketchlib's CPU path).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+"""
+
+import ctypes
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+KLIST = (13, 16, 19, 22, 25, 28)
+SS64 = 156
+BBITS = 14
+
+
+def _build_baseline():
+    lib = os.path.join(ROOT, "native", "libcpu_baseline.so")
+    src = os.path.join(ROOT, "native", "cpu_baseline.cpp")
+    if not os.path.isfile(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             "-o", lib, src],
+            check=True,
+        )
+    return ctypes.CDLL(lib)
+
+
+def _synth_planes_u64(n, rng):
+    """uint64 planes [n, K, P, W64] (CPU baseline layout)."""
+    return rng.integers(0, 2**63, (n, len(KLIST), BBITS, SS64),
+                        dtype=np.uint64)
+
+
+def _u64_to_u32_planes(planes64, wp):
+    """[n,K,P,W64] u64 -> [n,K,P,Wp] u32 (device layout, interleaved lo/hi)."""
+    n, K, P, W = planes64.shape
+    out = np.zeros((n, K, P, wp), dtype=np.uint32)
+    out[..., 0:2 * W:2] = (planes64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[..., 1:2 * W:2] = (planes64 >> np.uint64(32)).astype(np.uint32)
+    return out
+
+
+def bench_cpu(lib, planes64, nq, nr, threads):
+    out = np.zeros((nq, nr, len(KLIST)), dtype=np.int32)
+    pq = np.ascontiguousarray(planes64[:nq])
+    pr = np.ascontiguousarray(planes64[:nr])
+
+    def run():
+        lib.match_counts_cpu(
+            pq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            pr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(nq), ctypes.c_int64(nr),
+            ctypes.c_int64(len(KLIST)), ctypes.c_int64(BBITS),
+            ctypes.c_int64(SS64),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int(threads),
+        )
+
+    run()  # warm
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return nq * nr / dt
+
+
+def bench_device(nq, nr, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from poppunk_tpu.ops.distances import (
+        core_accessory, corrected_jaccards, match_counts_xla, plane_geometry)
+
+    on_tpu = jax.default_backend() != "cpu"
+    _, wp, pad_bits = plane_geometry(SS64, BBITS)
+    rng = np.random.default_rng(1)
+    if not on_tpu:
+        nq, nr = min(nq, 128), min(nr, 512)
+    planes64 = _synth_planes_u64(max(nq, nr), rng)
+    planes = _u64_to_u32_planes(planes64, wp)
+    lengths = rng.integers(1_800_000, 2_400_000, max(nq, nr)).astype(np.int32)
+    freqs = rng.dirichlet(np.ones(4), max(nq, nr)).astype(np.float32)
+
+    if on_tpu:
+        from poppunk_tpu.ops.pallas_jaccard import match_counts_pallas
+
+    @jax.jit
+    def pipeline(pq, pr, lq, lr, fq, fr):
+        if on_tpu:
+            matches = match_counts_pallas(pq, pr, pad_bits)
+        else:
+            matches = match_counts_xla(pq, pr, pad_bits)
+        j = corrected_jaccards(matches, KLIST, lq, lr, fq, fr, SS64, BBITS,
+                               random_correct=True, use_rc=True)
+        return core_accessory(j, KLIST)
+
+    args = (jnp.asarray(planes[:nq]), jnp.asarray(planes[:nr]),
+            jnp.asarray(lengths[:nq]), jnp.asarray(lengths[:nr]),
+            jnp.asarray(freqs[:nq]), jnp.asarray(freqs[:nr]))
+
+    def sync(x):
+        # block_until_ready does not synchronise on the tunnelled TPU
+        # backend in this sandbox; a scalar fetch does.
+        return np.asarray(x[-1, -1, -1])
+
+    sync(pipeline(*args))  # compile + warm (incl. the sync slice program)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(pipeline(*args))
+    dt = (time.perf_counter() - t0) / iters
+    return nq * nr / dt, planes64, on_tpu
+
+
+def main():
+    threads = os.cpu_count() or 1
+    dev_rate, planes64, on_tpu = bench_device(nq=2048, nr=4096)
+
+    try:
+        lib = _build_baseline()
+        cq, cr = (256, 512) if not on_tpu else (512, 1024)
+        cpu_rate = bench_cpu(lib, planes64, cq, cr, threads)
+    except Exception as e:  # noqa: BLE001 — baseline failure isn't fatal
+        sys.stderr.write(f"cpu baseline failed: {e}\n")
+        cpu_rate = float("nan")
+
+    print(json.dumps({
+        "metric": "pairwise core/accessory dists/sec/chip "
+                  "(sketchsize 9984, bbits 14, 6 k-mer lengths)",
+        "value": round(dev_rate, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(dev_rate / cpu_rate, 2)
+        if cpu_rate == cpu_rate else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

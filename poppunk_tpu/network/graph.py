@@ -211,3 +211,55 @@ def load_network_file(fn):
     if fn.endswith(".graphml"):
         return Graph.load_graphml(fn)
     return Graph.load(fn)
+
+
+def remove_nodes_from_graph(G, reflist, samples_to_keep):
+    """Induced subgraph keeping only the named samples
+    (PopPUNK/network.py:1988-2027)."""
+    keep_set = frozenset(samples_to_keep)
+    vertices = np.array(
+        [i for i, name in enumerate(reflist) if name in keep_set],
+        dtype=np.int64,
+    )
+    G_new, _ = G.subgraph(vertices, relabel=True)
+    return G_new
+
+
+def prune_graph(prefix, reflist, samples_to_keep, output_db_name):
+    """Prune every network artefact found under prefix to the kept samples
+    (PopPUNK/network.py:1948-1986)."""
+    import sys
+
+    network_found = False
+    for graph_name in (
+        "_core.refs_graph", "_core_graph", "_accessory.refs_graph",
+        "_accessory_graph", ".refs_graph", "_graph",
+    ):
+        network_fn = os.path.join(
+            prefix, os.path.basename(prefix) + graph_name + GRAPH_SUFFIX
+        )
+        if os.path.exists(network_fn):
+            network_found = True
+            sys.stderr.write("Loading network from " + network_fn + "\n")
+            G = load_network_file(network_fn)
+            G_new = remove_nodes_from_graph(G, reflist, samples_to_keep)
+            save_network(G_new, prefix=output_db_name, suffix="_graph")
+    if not network_found:
+        sys.stderr.write("No network file found for pruning\n")
+
+
+def remove_non_query_components(G, rlist, qlist):
+    """Keep only components containing at least one query
+    (PopPUNK/network.py:2029-2073). Returns (subgraph, pruned_names);
+    vertex ids are preserved (no relabel), matching the reference's
+    GraphView semantics."""
+    from .components import connected_components
+
+    combined_names = list(rlist) + list(qlist)
+    labels, _ = connected_components(G)
+    components_with_query = set(labels[len(rlist):].tolist())
+    keep_mask = np.isin(labels, list(components_with_query))
+    pruned_names = [combined_names[i] for i in np.where(keep_mask)[0]]
+    keep_vertices = np.where(keep_mask)[0]
+    G_sub, _ = G.subgraph(keep_vertices, relabel=False)
+    return G_sub, pruned_names

@@ -1,0 +1,347 @@
+"""HDBSCAN from scratch (host).
+
+Replaces the external ``hdbscan`` package the reference depends on
+(PopPUNK/dbscan.py:54-60: boruvka balltree, prediction data). Pipeline:
+
+1. core distances: distance to the min_samples-th nearest neighbour
+   (self included, matching sklearn/hdbscan conventions) via cKDTree;
+2. mutual reachability mr(a,b) = max(core_a, core_b, d(a,b));
+3. exact MST of the complete mutual-reachability graph via Prim's algorithm
+   with O(n) memory (distances to the growing tree updated row-by-row —
+   no n x n matrix is materialised);
+4. single-linkage dendrogram (union-find over MST edges sorted ascending);
+5. condensed tree with min_cluster_size, stability, excess-of-mass cluster
+   selection, labels + membership probabilities;
+6. approximate_predict for out-of-sample points (the reference calls
+   hdbscan.approximate_predict for all-pair assignment,
+   PopPUNK/models.py:192).
+
+Validated against sklearn.cluster.HDBSCAN in tests/test_dbscan.py.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+def core_distances(X, min_samples):
+    tree = cKDTree(X)
+    k = min(min_samples, X.shape[0])
+    dists, _ = tree.query(X, k=k)
+    if k == 1:
+        return np.zeros(X.shape[0]), tree
+    return dists[:, -1], tree
+
+
+def mutual_reachability_mst(X, core, n_jobs=1):
+    """Prim's MST over the complete mutual reachability graph.
+
+    Returns edges [(u, v, w)] sorted ascending by w, length n-1.
+    """
+    n = X.shape[0]
+    in_tree = np.zeros(n, dtype=bool)
+    best_dist = np.full(n, np.inf)
+    best_from = np.zeros(n, dtype=np.int64)
+    in_tree[0] = True
+    current = 0
+    edges = np.empty((n - 1, 3))
+    for step in range(n - 1):
+        d = np.sqrt(((X - X[current]) ** 2).sum(axis=1))
+        mr = np.maximum(np.maximum(d, core), core[current])
+        update = mr < best_dist
+        best_dist = np.where(update, mr, best_dist)
+        best_from = np.where(update, current, best_from)
+        masked = np.where(in_tree, np.inf, best_dist)
+        nxt = int(np.argmin(masked))
+        edges[step] = (best_from[nxt], nxt, best_dist[nxt])
+        in_tree[nxt] = True
+        current = nxt
+    order = np.argsort(edges[:, 2], kind="stable")
+    return edges[order]
+
+
+def single_linkage(mst_edges, n):
+    """Union-find dendrogram: returns [(left, right, dist, size)] with
+    cluster ids n..2n-2 (scipy linkage convention)."""
+    parent = np.arange(2 * n - 1, dtype=np.int64)
+    size = np.ones(2 * n - 1, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    merges = np.empty((n - 1, 4))
+    next_id = n
+    for idx, (u, v, w) in enumerate(mst_edges):
+        ru, rv = find(int(u)), find(int(v))
+        merges[idx] = (ru, rv, w, size[ru] + size[rv])
+        parent[ru] = next_id
+        parent[rv] = next_id
+        size[next_id] = size[ru] + size[rv]
+        next_id += 1
+    return merges
+
+
+@dataclass
+class CondensedTree:
+    parent: np.ndarray
+    child: np.ndarray
+    lambda_val: np.ndarray
+    child_size: np.ndarray
+
+
+def condense_tree(merges, n, min_cluster_size):
+    """Condensed tree (hdbscan-style): clusters persist only while both
+    children have >= min_cluster_size points; smaller splits 'fall out' as
+    points at the split's lambda."""
+    root = 2 * n - 2
+    # children arrays for internal nodes
+    left = np.zeros(n - 1, dtype=np.int64)
+    right = np.zeros(n - 1, dtype=np.int64)
+    dist = np.zeros(n - 1)
+    size = np.zeros(2 * n - 1, dtype=np.int64)
+    size[:n] = 1
+    for i in range(n - 1):
+        left[i] = merges[i, 0]
+        right[i] = merges[i, 1]
+        dist[i] = merges[i, 2]
+        size[n + i] = merges[i, 3]
+
+    parents, children, lambdas, sizes = [], [], [], []
+    relabel = {root: n}  # condensed cluster ids start at n
+    next_label = n + 1
+    # iterative DFS: (node, condensed_parent)
+    stack = [(root, n)]
+    while stack:
+        node, cparent = stack.pop()
+        if node < n:
+            # leaf reached directly (only if root is a leaf — degenerate)
+            continue
+        i = node - n
+        l, r = int(left[i]), int(right[i])
+        lam = 1.0 / dist[i] if dist[i] > 0 else np.inf
+        lsz, rsz = int(size[l]), int(size[r])
+
+        if lsz >= min_cluster_size and rsz >= min_cluster_size:
+            # true split: two new condensed clusters
+            for ch, csz in ((l, lsz), (r, rsz)):
+                relabel[ch] = next_label
+                parents.append(cparent)
+                children.append(next_label)
+                lambdas.append(lam)
+                sizes.append(csz)
+                next_label += 1
+                if ch >= n:
+                    stack.append((ch, relabel[ch]))
+                else:
+                    # singleton cluster: immediately a point of itself —
+                    # record the point falling out of the new cluster at inf
+                    parents.append(relabel[ch])
+                    children.append(ch)
+                    lambdas.append(np.inf)
+                    sizes.append(1)
+        else:
+            # cluster continues through the bigger child; smaller child's
+            # points fall out at this lambda
+            for ch, csz in ((l, lsz), (r, rsz)):
+                if csz >= min_cluster_size:
+                    stack.append((ch, cparent))
+                else:
+                    # all points under ch fall out at lam
+                    sub = [ch]
+                    while sub:
+                        x = sub.pop()
+                        if x < n:
+                            parents.append(cparent)
+                            children.append(x)
+                            lambdas.append(lam)
+                            sizes.append(1)
+                        else:
+                            sub.append(int(left[x - n]))
+                            sub.append(int(right[x - n]))
+    return CondensedTree(
+        np.array(parents, dtype=np.int64),
+        np.array(children, dtype=np.int64),
+        np.array(lambdas),
+        np.array(sizes, dtype=np.int64),
+    )
+
+
+def compute_stability(tree, n):
+    """Stability per condensed cluster: sum over members of
+    (lambda_p - lambda_birth)."""
+    births = {}
+    for p, c, lam in zip(tree.parent, tree.child, tree.lambda_val):
+        if c >= n:
+            births[c] = lam
+    births[n] = 0.0
+    stability = {}
+    cap = _finite_max(tree)
+    for p, lam, sz in zip(tree.parent, tree.lambda_val, tree.child_size):
+        birth = births.get(p, 0.0)
+        lam_eff = lam if np.isfinite(lam) else cap  # zero-distance merges
+        stability[p] = stability.get(p, 0.0) + (lam_eff - birth) * sz
+    return stability
+
+
+def _finite_max(tree):
+    finite = tree.lambda_val[np.isfinite(tree.lambda_val)]
+    return finite.max() if finite.size else 1.0
+
+
+def select_clusters_eom(tree, n):
+    """Excess-of-mass selection: a cluster is selected if its stability
+    exceeds the sum of its children's; root never selected."""
+    stability = compute_stability(tree, n)
+    cluster_children = {}
+    for p, c in zip(tree.parent, tree.child):
+        if c >= n:
+            cluster_children.setdefault(p, []).append(c)
+
+    clusters = sorted((c for c in stability if c != n), reverse=True)
+    selected = {}
+    for c in clusters:
+        kids = cluster_children.get(c, [])
+        child_sum = sum(stability.get(k, 0.0) for k in kids)
+        if stability.get(c, 0.0) >= child_sum or not kids:
+            selected[c] = True
+            # deselect all descendants
+            stack = list(kids)
+            while stack:
+                k = stack.pop()
+                selected[k] = False
+                stack.extend(cluster_children.get(k, []))
+        else:
+            selected[c] = False
+            stability[c] = child_sum
+    return [c for c, s in selected.items() if s]
+
+
+def labels_from_selection(tree, n, selected):
+    """Point labels (+ probabilities) from the selected clusters."""
+    selected = set(selected)
+    # map each condensed cluster to its selected ancestor (or none)
+    parent_of = {}
+    for p, c in zip(tree.parent, tree.child):
+        if c >= n:
+            parent_of[c] = p
+
+    def selected_ancestor(c):
+        while c != n:
+            if c in selected:
+                return c
+            c = parent_of.get(c, n)
+        return -1
+
+    # lambda at which each point left, and which cluster it left from
+    labels = np.full(n, -1, dtype=np.int64)
+    probs = np.zeros(n)
+    # max lambda within each selected cluster's subtree (for probability)
+    max_lambda = {c: 0.0 for c in selected}
+    point_parent = {}
+    point_lambda = {}
+    for p, c, lam in zip(tree.parent, tree.child, tree.lambda_val):
+        if c < n:
+            point_parent[c] = p
+            point_lambda[c] = lam
+            anc = selected_ancestor(p)
+            if anc >= 0 and np.isfinite(lam):
+                max_lambda[anc] = max(max_lambda[anc], lam)
+
+    cluster_ids = {c: i for i, c in enumerate(sorted(selected))}
+    for pt in range(n):
+        p = point_parent.get(pt, n)
+        anc = selected_ancestor(p)
+        if anc >= 0:
+            labels[pt] = cluster_ids[anc]
+            ml = max_lambda.get(anc, 0.0)
+            lam = point_lambda.get(pt, 0.0)
+            if ml > 0 and np.isfinite(lam):
+                probs[pt] = min(lam, ml) / ml
+            else:
+                probs[pt] = 1.0
+    return labels, probs
+
+
+class HDBSCAN:
+    """Minimal fit/predict interface used by the DBSCAN model."""
+
+    def __init__(self, min_samples=5, min_cluster_size=5):
+        self.min_samples = min_samples
+        self.min_cluster_size = min_cluster_size
+
+    def fit(self, X):
+        X = np.asarray(X, dtype=np.float64)
+        self._X = X
+        n = X.shape[0]
+        self._core, self._tree = core_distances(X, self.min_samples)
+        mst = mutual_reachability_mst(X, self._core)
+        merges = single_linkage(mst, n)
+        self._condensed = condense_tree(merges, n, self.min_cluster_size)
+        selected = select_clusters_eom(self._condensed, n)
+        self.labels_, self.probabilities_ = labels_from_selection(
+            self._condensed, n, selected
+        )
+        # per-cluster max (finite) point lambda + birth lambda for
+        # prediction thresholds
+        self._cluster_max_lambda = {}
+        self._cluster_birth_lambda = {}
+        self._point_lambda = np.zeros(n)
+        point_lambda = {}
+        cluster_birth = {}
+        for p, c, lam in zip(self._condensed.parent, self._condensed.child,
+                             self._condensed.lambda_val):
+            if c < n:
+                point_lambda[int(c)] = lam
+            else:
+                cluster_birth[int(c)] = lam
+        # birth lambda of each *selected* cluster (walk not needed: the
+        # label's lambda range is [birth, max member lambda])
+        self._selected_birth = {}
+        for pt, lab in enumerate(self.labels_):
+            lam = point_lambda.get(pt, 0.0)
+            self._point_lambda[pt] = lam
+            if lab >= 0 and np.isfinite(lam):
+                self._cluster_max_lambda[lab] = max(
+                    self._cluster_max_lambda.get(lab, 0.0), lam
+                )
+        ids = {cc: i for i, cc in enumerate(sorted(selected))}
+        for c in selected:
+            self._cluster_birth_lambda[ids[c]] = cluster_birth.get(int(c), 0.0)
+        return self
+
+    def approximate_predict(self, Y):
+        """Assign new points to fitted clusters (hdbscan-style): each point
+        joins its nearest fitted neighbour's cluster unless its mutual
+        reachability to that neighbour exceeds the cluster's persistence
+        range (then noise)."""
+        Y = np.asarray(Y, dtype=np.float64)
+        d, idx = self._tree.query(Y, k=min(self.min_samples, self._X.shape[0]))
+        if d.ndim == 1:
+            d = d[:, None]
+            idx = idx[:, None]
+        core_y = d[:, -1]
+        nn = idx[:, 0]
+        nn_dist = d[:, 0]
+        mr = np.maximum(np.maximum(nn_dist, core_y), self._core[nn])
+        labels = self.labels_[nn].copy()
+        probs = np.zeros(Y.shape[0])
+        for i in range(Y.shape[0]):
+            lab = labels[i]
+            if lab < 0:
+                continue
+            max_lam = self._cluster_max_lambda.get(int(lab), 0.0)
+            birth = self._cluster_birth_lambda.get(int(lab), 0.0)
+            lam = 1.0 / mr[i] if mr[i] > 0 else np.inf
+            # a point whose join-lambda is below the cluster's birth would
+            # not have been part of it -> noise
+            if np.isfinite(birth) and lam < birth:
+                labels[i] = -1
+            else:
+                probs[i] = min(lam, max_lam) / max_lam if max_lam > 0 else 1.0
+        return labels, probs

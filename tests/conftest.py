@@ -8,6 +8,8 @@ multi-chip path). Set POPPUNK_TPU_TEST_TPU=1 to run on a real chip instead.
 import os
 
 if not os.environ.get("POPPUNK_TPU_TEST_TPU"):
+    # env vars alone are not enough in this sandbox (a sitecustomize pins
+    # jax_platforms to the TPU plugin); the config update below wins.
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -17,6 +19,16 @@ if not os.environ.get("POPPUNK_TPU_TEST_TPU"):
 
 import numpy as np
 import pytest
+
+import jax
+
+if not os.environ.get("POPPUNK_TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: first-compile of even trivial programs costs
+# tens of seconds on the sandboxed CPU; cache across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from synth_genomes import SyntheticPopulation
 
