@@ -19,17 +19,23 @@ exact semantics (including quirks):
 import numpy as np
 
 
-def get_knn_distances(dist_mat, knn):
-    """(row, col, data): kNN per row of a square matrix, self excluded."""
+def get_knn_distances(dist_mat, knn, exclude_self=None):
+    """(row, col, data): kNN per row. Self (column i of row i) is excluded
+    for square matrices; rectangular matrices (e.g. the query-vs-ref block
+    in --stable assignment, PopPUNK/assign.py:681) have no self column."""
     dist_mat = np.asarray(dist_mat)
-    n = dist_mat.shape[0]
-    knn = min(knn, n - 1)
+    n, m = dist_mat.shape
+    if exclude_self is None:
+        exclude_self = n == m
+    knn = min(knn, m - 1 if exclude_self else m)
     rows = np.repeat(np.arange(n, dtype=np.int64), knn)
     cols = np.empty(n * knn, dtype=np.int64)
     data = np.empty(n * knn, dtype=dist_mat.dtype)
     for i in range(n):
         order = np.argsort(dist_mat[i], kind="stable")
-        order = order[order != i][:knn]
+        if exclude_self:
+            order = order[order != i]
+        order = order[:knn]
         cols[i * knn : (i + 1) * knn] = order
         data[i * knn : (i + 1) * knn] = dist_mat[i][order]
     return rows, cols, data
