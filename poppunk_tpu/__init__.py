@@ -33,3 +33,25 @@ SKETCH_VERSION = "poppunk-tpu-sketch-1"
 # Lineage defaults (reference: PopPUNK/__init__.py:13-15)
 SEARCH_DEPTH_FACTOR = 10
 DEFAULT_LINEAGE_RESOLUTION = 1e-10
+
+
+def configure_jax_cache():
+    """Enable JAX's persistent compilation cache (first TPU compiles cost
+    tens of seconds; repeat CLI invocations should not pay them again).
+    Called by every CLI entry point; honours an explicit
+    JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "poppunk_tpu",
+                     "jax_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimisation, never fatal
+        pass

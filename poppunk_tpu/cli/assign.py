@@ -85,6 +85,9 @@ def get_options(arg_list=None):
 
 
 def main(arg_list=None):
+    from .. import configure_jax_cache
+
+    configure_jax_cache()
     args = get_options(arg_list)
     if args.citation:
         from ..citation import print_citation

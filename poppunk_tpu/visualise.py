@@ -191,9 +191,10 @@ def generate_visualisations(query_db, ref_db, distances, rank_fit, threads,
                 display = display_cluster or list(isolate_clustering)[0]
                 cluster_for_draw = isolate_clustering.get(
                     display, next(iter(isolate_clustering.values())))
+                mst_graph.vertex_labels = list(combined_seq)
                 draw_mst(mst_graph, output,
-                         {n: cluster_for_draw.get(n, "NA")
-                          for n in combined_seq},
+                         {display: {n: cluster_for_draw.get(n, "NA")
+                                    for n in combined_seq}},
                          display, overwrite)
             except Exception as e:
                 sys.stderr.write(f"MST drawing failed: {e}\n")
@@ -232,17 +233,21 @@ def generate_visualisations(query_db, ref_db, distances, rank_fit, threads,
 
     if cytoscape:
         from .plotting import outputs_for_cytoscape
-        from .network.graph import save_network
 
         sys.stderr.write("Writing cytoscape output\n")
         if network_file is not None:
             G = load_network_file(network_file)
-            G.vertex_labels = combined_seq
-            save_network(G, prefix=output, suffix="_cytoscape",
-                         use_graphml=True, vertex_labels=combined_seq)
-        outputs_for_cytoscape(None, mst_graph, combined_seq,
-                              isolate_clustering, output, info_csv,
-                              query_list)
+        elif mst_graph is not None:
+            G = mst_graph
+        else:
+            sys.stderr.write("Cytoscape output requires --network-file or "
+                             "an MST\n")
+            G = None
+        if G is not None:
+            outputs_for_cytoscape(G, mst_graph, combined_seq,
+                                  isolate_clustering, output, info_csv,
+                                  query_list,
+                                  use_partial_query_graph=use_partial_query_graph)
 
     sys.stderr.write("Done\n")
 

@@ -1,0 +1,74 @@
+"""Web glue tests: JSON sketch <-> HDF5 roundtrip (the canonical sketch
+schema fixture, reference test/json_sketch.txt path), graphml subgraph
+JSON, and cluster prevalence summaries."""
+
+import json
+import os
+
+import numpy as np
+
+from poppunk_tpu.web import (graphml_to_json, sketch_to_hdf5,
+                             sketch_to_json, summarise_clusters)
+
+
+def test_sketch_json_hdf5_roundtrip(tmp_path):
+    from poppunk_tpu.sketch.minhash import SketchParams, sketch_sequence
+    from poppunk_tpu.io.hdf5db import read_sketches
+    from poppunk_tpu.ops.distances import query_db
+
+    rng = np.random.default_rng(5)
+    params = SketchParams(klist=(15, 19), sketchsize64=8, bbits=8)
+    sketches = [
+        sketch_sequence(f"s{i}", rng.integers(0, 4, 30000).astype(np.uint8),
+                        params)
+        for i in range(3)
+    ]
+    # serialise to the canonical JSON, rebuild a DB from it
+    doc = {sk.name: json.dumps(sketch_to_json(sk)) for sk in sketches}
+    out = str(tmp_path / "webdb")
+    q_names = sketch_to_hdf5(doc, out)
+    assert sorted(q_names) == ["s0", "s1", "s2"]
+
+    rebuilt = read_sketches(out, q_names)
+    for orig, new in zip(sorted(sketches, key=lambda s: s.name), rebuilt):
+        assert orig.length == new.length
+        for k in orig.usigs:
+            assert np.array_equal(orig.usigs[k], new.usigs[k])
+
+    # distances from the rebuilt DB equal distances from the originals
+    want = query_db(sketches, None, [15, 19], self_mode=True,
+                    use_pallas=False)
+    got = query_db(rebuilt, None, [15, 19], self_mode=True,
+                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_graphml_to_json(tmp_path):
+    from poppunk_tpu.network.graph import Graph, save_network
+
+    G = Graph(6, [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)])
+    labels = [f"iso{i}" for i in range(6)]
+    out = str(tmp_path / "net")
+    save_network(G, prefix=out, suffix="_cytoscape", use_graphml=True,
+                 vertex_labels=labels)
+    doc = graphml_to_json(out)
+    # the component of the LAST vertex: {3,4,5}
+    node_labels = {n["data"]["label"] for n in doc["elements"]["nodes"]}
+    assert node_labels == {"iso3", "iso4", "iso5"}
+    assert len(doc["elements"]["edges"]) == 3
+
+
+def test_summarise_clusters(tmp_path):
+    out = str(tmp_path / "sum")
+    os.makedirs(out)
+    with open(os.path.join(out, "sum_clusters.csv"), "w") as f:
+        f.write("Taxon,Cluster\n")
+        for i in range(6):
+            f.write(f"r{i},1\n")
+        f.write("r6,2\nr7,2\nq0,1\n")
+    (q_names, q_clusters, q_prev, clusters, prevalences, aliases,
+     include) = summarise_clusters(out, "sp", str(tmp_path), ["q0"])
+    assert q_names == ["q0"] and q_clusters == [1]
+    assert q_prev[0] > 70  # 7/9 samples
+    assert os.path.isfile(os.path.join(out, "include1.txt"))
+    assert "q0" in open(os.path.join(out, "include1.txt")).read().split()
