@@ -1,0 +1,189 @@
+// Native sketching core: rolling ntHash + one-permutation b-bit MinHash.
+//
+// The host-side counterpart of pp-sketchlib's C++ sketcher (the reference's
+// external compute core; algorithm lineage per PopPUNK/citation.py:31-43).
+// Semantics are bit-identical to the numpy implementation in
+// poppunk_tpu/sketch/{nthash,minhash}.py — the python test-suite asserts
+// equality — but runs the scalar rolling recurrence at C speed with OpenMP
+// across k-mer lengths.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC -o libsketch_core.so sketch_core.cpp
+// Called from poppunk_tpu/sketch/native.py via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t SEED[5] = {
+    0x3C8BFBB395C60474ULL,  // A
+    0x3193C18562A02B4CULL,  // C
+    0x20323ED082572324ULL,  // G
+    0x295549F54BE24456ULL,  // T
+    0ULL,                   // invalid
+};
+// complement permutation A<->T, C<->G
+constexpr int COMP[5] = {3, 2, 1, 0, 4};
+constexpr uint64_t SIGN_MOD = (1ULL << 61) - 1;
+constexpr uint64_t EMPTY_BIN = 0xFFFFFFFFFFFFFFFFULL;
+constexpr int INVALID_BASE = 4;
+
+inline uint64_t rol64(uint64_t x, int s) {
+  s &= 63;
+  return s ? (x << s) | (x >> (64 - s)) : x;
+}
+inline uint64_t ror64(uint64_t x, int s) {
+  s &= 63;
+  return s ? (x >> s) | (x << (64 - s)) : x;
+}
+
+inline uint64_t mix64(uint64_t z) {
+  z += 0x9E3779B97F4A7C15ULL;
+  z ^= z >> 30;
+  z *= 0xBF58476D1CE4E5B9ULL;
+  z ^= z >> 27;
+  z *= 0x94D049BB133111EBULL;
+  z ^= z >> 31;
+  return z;
+}
+
+// Canonical (or forward-only) ntHash over all valid windows; min sign per
+// bin (one-permutation MinHash binning fused into the scan).
+void bin_signs_for_k(const uint8_t *codes, int64_t n, int k, bool use_rc,
+                     int64_t nbins, uint64_t *signs) {
+  for (int64_t b = 0; b < nbins; ++b) signs[b] = EMPTY_BIN;
+  if (n < k) return;
+  const uint64_t binsize =
+      (SIGN_MOD + (uint64_t)nbins - 1) / (uint64_t)nbins;
+
+  int64_t j = 0;
+  while (j + k <= n) {
+    // ensure window [j, j+k) is fully valid; jump past invalid bases
+    bool restart = false;
+    for (int64_t i = j + k - 1; i >= j; --i) {
+      if (codes[i] == INVALID_BASE) {
+        j = i + 1;
+        restart = true;
+        break;
+      }
+    }
+    if (restart) continue;
+
+    // initial hashes for window at j
+    uint64_t fh = 0, rh = 0;
+    for (int i = 0; i < k; ++i) {
+      fh ^= rol64(SEED[codes[j + i]], k - 1 - i);
+      if (use_rc) rh ^= rol64(SEED[COMP[codes[j + i]]], i);
+    }
+
+    while (true) {
+      uint64_t h = (use_rc && rh < fh) ? rh : fh;
+      uint64_t sign = h % SIGN_MOD;
+      uint64_t bin = sign / binsize;
+      if (sign < signs[bin]) signs[bin] = sign;
+
+      if (j + k >= n) { j = n; break; }
+      uint8_t in = codes[j + k];
+      if (in == INVALID_BASE) { j = j + k + 1; break; }
+      uint8_t out = codes[j];
+      fh = rol64(fh, 1) ^ rol64(SEED[out], k) ^ SEED[in];
+      if (use_rc)
+        rh = ror64(rh ^ SEED[COMP[out]], 1) ^ rol64(SEED[COMP[in]], k - 1);
+      ++j;
+    }
+  }
+}
+
+// Optimal densification, bit-identical to minhash.py densify(): all empty
+// bins are probed in lockstep rounds; donors reference the ORIGINAL
+// non-empty mask and original values.
+int densify(uint64_t *signs, int64_t nbins) {
+  std::vector<int64_t> empty_idx;
+  for (int64_t b = 0; b < nbins; ++b)
+    if (signs[b] == EMPTY_BIN) empty_idx.push_back(b);
+  if (empty_idx.empty()) return 0;
+  if ((int64_t)empty_idx.size() == nbins) return -1;  // nothing to sketch
+
+  std::vector<uint8_t> nonempty(nbins);
+  for (int64_t b = 0; b < nbins; ++b)
+    nonempty[b] = signs[b] != EMPTY_BIN;
+
+  std::vector<int64_t> donor(empty_idx.size(), -1);
+  std::vector<size_t> unfilled(empty_idx.size());
+  for (size_t i = 0; i < empty_idx.size(); ++i) unfilled[i] = i;
+
+  uint64_t attempt = 0;
+  while (!unfilled.empty()) {
+    std::vector<size_t> still;
+    uint64_t mixed_attempt = mix64(attempt);
+    for (size_t u : unfilled) {
+      uint64_t probe =
+          mix64((uint64_t)empty_idx[u] ^ mixed_attempt) % (uint64_t)nbins;
+      if (nonempty[probe]) {
+        donor[u] = (int64_t)probe;
+      } else {
+        still.push_back(u);
+      }
+    }
+    unfilled.swap(still);
+    ++attempt;
+    if (attempt > 100000) return -2;
+  }
+  for (size_t i = 0; i < empty_idx.size(); ++i)
+    signs[empty_idx[i]] = signs[donor[i]];
+  return 1;
+}
+
+// Pack low bbits of each bin sign into interleaved bit planes
+// (usigs[w*bbits + p] bit m = bit p of signs[w*64 + m]).
+void pack_bbits(const uint64_t *signs, int sketchsize64, int bbits,
+                uint64_t *usigs) {
+  for (int w = 0; w < sketchsize64; ++w) {
+    for (int p = 0; p < bbits; ++p) {
+      uint64_t word = 0;
+      for (int m = 0; m < 64; ++m) {
+        word |= ((signs[(int64_t)w * 64 + m] >> p) & 1ULL) << m;
+      }
+      usigs[(int64_t)w * bbits + p] = word;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sketch one encoded sequence at every k in klist.
+// codes: uint8[n] with A=0,C=1,G=2,T=3,invalid=4 (contig separators too).
+// usigs_out: uint64[n_k * sketchsize64 * bbits], per-k blocks in klist
+// order. Returns: 1 if any k was densified, 0 if none, <0 on error
+// (-1: a k had no valid k-mers).
+int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
+                      int n_k, int sketchsize64, int bbits, int use_rc,
+                      int n_threads, uint64_t *usigs_out) {
+  const int64_t nbins = (int64_t)sketchsize64 * 64;
+  int densified_any = 0;
+  int error = 0;
+#pragma omp parallel for schedule(dynamic) num_threads(n_threads)
+  for (int ki = 0; ki < n_k; ++ki) {
+    std::vector<uint64_t> signs(nbins);
+    bin_signs_for_k(codes, n, klist[ki], use_rc != 0, nbins, signs.data());
+    int rc = densify(signs.data(), nbins);
+    if (rc < 0) {
+#pragma omp critical
+      error = rc;
+      continue;
+    }
+    if (rc == 1) {
+#pragma omp critical
+      densified_any = 1;
+    }
+    pack_bbits(signs.data(), sketchsize64, bbits,
+               usigs_out + (int64_t)ki * sketchsize64 * bbits);
+  }
+  if (error) return error;
+  return densified_any;
+}
+
+}  // extern "C"

@@ -247,10 +247,13 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
 
         sys.stderr.write(f"Calculating query distances against "
                          f"{len(r_names)} references\n")
-        r_sketches = read_sketches(ref_db, r_names)
-        q_sketches = read_sketches(output, q_names)
-        qr_dist_mat = query_db(r_sketches, q_sketches, kmers,
-                               use_rc=not strand_preserved)
+        from .profiling import stage
+
+        with stage("query_distances", sync=True):
+            r_sketches = read_sketches(ref_db, r_names)
+            q_sketches = read_sketches(output, q_names)
+            qr_dist_mat = query_db(r_sketches, q_sketches, kmers,
+                                   use_rc=not strand_preserved)
 
         if qc_dict["run_qc"]:
             sys.stderr.write("Running QC on distance matrix\n")

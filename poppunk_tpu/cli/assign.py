@@ -77,6 +77,8 @@ def get_options(arg_list=None):
 
     other = parser.add_argument_group("Other options")
     other.add_argument("--threads", type=int, default=1)
+    other.add_argument("--profile", action="store_true",
+                       help="Print per-stage timings at exit")
     other.add_argument("--version", action="version",
                        version="%(prog)s " + __version__)
     other.add_argument("--citation", action="store_true")
@@ -89,6 +91,10 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    if getattr(args, "profile", False):
+        from ..profiling import enable
+
+        enable(True)
     if args.citation:
         from ..citation import print_citation
 

@@ -132,6 +132,8 @@ def get_options(arg_list=None):
     other = parser.add_argument_group("Other options")
     other.add_argument("--threads", type=int, default=1)
     other.add_argument("--no-plot", action="store_true")
+    other.add_argument("--profile", action="store_true",
+                       help="Print per-stage timings at exit")
     other.add_argument("--no-local", action="store_true")
     other.add_argument("--version", action="version",
                        version="%(prog)s " + __version__)
@@ -146,6 +148,10 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    if getattr(args, "profile", False):
+        from ..profiling import enable
+
+        enable(True)
 
     if args.citation:
         from ..citation import print_citation
@@ -178,19 +184,23 @@ def create_db(args):
     sys.stderr.write(f"Sketching genomes using k = {klist}\n")
     create_database_dir(output, klist)
 
-    names = construct_database(
-        args.r_files, klist, args.sketch_size // 64, output,
-        threads=args.threads, overwrite=args.overwrite,
-        strand_preserved=args.strand_preserved,
-        min_count=args.min_kmer_count, use_exact=args.exact_count,
-        codon_phased=args.codon_phased,
-    )
+    from ..profiling import stage
+
+    with stage("sketching"):
+        names = construct_database(
+            args.r_files, klist, args.sketch_size // 64, output,
+            threads=args.threads, overwrite=args.overwrite,
+            strand_preserved=args.strand_preserved,
+            min_count=args.min_kmer_count, use_exact=args.exact_count,
+            codon_phased=args.codon_phased,
+        )
 
     sys.stderr.write("Calculating all-vs-all distances\n")
-    sketches = read_sketches(output, names)
-    dist_mat = query_db(sketches, None, klist, self_mode=True,
-                        random_correct=True,
-                        use_rc=not args.strand_preserved)
+    with stage("distances", sync=True):
+        sketches = read_sketches(output, names)
+        dist_mat = query_db(sketches, None, klist, self_mode=True,
+                            random_correct=True,
+                            use_rc=not args.strand_preserved)
     store_pickle(names, names, True, dist_mat, default_dists(output))
 
     if not args.no_plot:

@@ -180,12 +180,26 @@ def _phase_hashes(codes, k, use_rc, codon_phased):
     return h[valid]
 
 
-def sketch_codes(codes, params: SketchParams, reads=False):
+def sketch_codes(codes, params: SketchParams, reads=False, use_native=None):
     """Sketch an encoded base array at every k in params.klist.
 
     Returns dict k -> packed usigs, plus densified flag.
+
+    The native C++ core (native/sketch_core.cpp, bit-identical) handles the
+    assembly path; codon-phased seeds and read k-mer filtering stay on the
+    numpy path.
     """
     from .reader import filter_read_kmers
+
+    if use_native is None:
+        use_native = not params.codon_phased and not (
+            reads and params.min_count > 0)
+    if use_native:
+        from .native import sketch_codes_native
+
+        native = sketch_codes_native(codes, params)
+        if native is not None:
+            return native
 
     usigs = {}
     densified_any = False
