@@ -448,6 +448,8 @@ def _assign_network(model, fit_type, ext, r_names, q_names, qr_dist_mat,
             output, kmers=kmers, distance_type=dist_type,
             query_query=update_db and fit_type == "default",
             strand_preserved=strand_preserved, weights=weights)
+        if qc_dict["run_qc"] and qc_dict.get("betweenness"):
+            _print_query_betweenness(genome_network, r_names, q_names)
         clustering, merged_queries = print_clusters(
             genome_network, list(r_names) + list(q_names), output_fn,
             old_cluster_file, external_clustering,
@@ -506,6 +508,30 @@ def _assign_network(model, fit_type, ext, r_names, q_names, qr_dist_mat,
 
     return (genome_network, isolate_clustering, merged_queries,
             old_cluster_file, qq_dist_mat)
+
+
+def _print_query_betweenness(G, r_names, q_names):
+    """Per-query vertex betweenness, highest first (the reference's
+    --betweenness QC report, assign.py:648-653)."""
+    from .network.components import connected_components
+    from .network.summary import brandes_betweenness
+
+    A = G.adjacency()
+    labels, _ = connected_components(G)
+    bc = np.zeros(G.n_vertices)
+    # exact betweenness within each component containing a query
+    query_comps = set(labels[len(r_names):].tolist())
+    for comp in query_comps:
+        members = np.flatnonzero(labels == comp)
+        if members.shape[0] < 3:
+            continue
+        bc_all = brandes_betweenness(A, members)
+        bc += bc_all
+    betweenness = {q: bc[len(r_names) + i] for i, q in enumerate(q_names)}
+    print("query\tbetweenness")
+    for query, b in sorted(betweenness.items(), key=lambda kv: kv[1],
+                           reverse=True):
+        print(f"{query}\t{b}")
 
 
 def _write_serial_csv(output, isolate_clustering):

@@ -157,13 +157,36 @@ def _auto_use_pallas():
     return jax.default_backend() == "tpu"
 
 
+# Below this many pairs the sharding overhead outweighs the parallelism;
+# route small problems through the single-device path.
+_SHARD_MIN_PAIRS = 1 << 16
+
+
 def pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
                    sketchsize64, bbits, random_correct=True, use_rc=True,
-                   jaccard=False, use_pallas=None, chunk=512):
+                   jaccard=False, use_pallas=None, chunk=512,
+                   use_mesh=None):
     """Dense [nq, nr] distance block, chunked over queries on the host.
 
     Returns f32[nq, nr, 2] (core, accessory) or [nq, nr, K] Jaccards.
+
+    With more than one device visible (and a big enough problem), the block
+    is computed sharded over the full ('q', 'r') device mesh — reference
+    shards resident per device, queries data-parallel.
     """
+    if use_mesh is None:
+        use_mesh = (jax.device_count() > 1
+                    and planes_q.shape[0] * planes_r.shape[0]
+                    >= _SHARD_MIN_PAIRS)
+    if use_mesh:
+        from ..parallel import get_mesh, sharded_pairwise_block
+
+        n_dev = jax.device_count()
+        n_q = 2 if n_dev % 2 == 0 and n_dev > 2 else 1
+        return sharded_pairwise_block(
+            get_mesh(n_dev, n_q=n_q), planes_q, planes_r, len_q, len_r,
+            freq_q, freq_r, klist, sketchsize64, bbits, random_correct,
+            use_rc, jaccard, use_pallas)
     if use_pallas is None:
         use_pallas = _auto_use_pallas()
     _, _, pad_bits = plane_geometry(sketchsize64, bbits)

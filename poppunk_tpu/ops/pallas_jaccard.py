@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TQ = 32
+DEFAULT_TQ = 64
 DEFAULT_TR = 128
 
 
@@ -33,8 +33,10 @@ def _match_kernel(q_ref, r_ref, out_ref, *, bbits, pad_bits, tq):
     """q_ref [TQ,1,P,Wp] u32; r_ref [TR,1,P,Wp] u32; out_ref [1,TQ,TR] i32.
 
     The query loop is fully unrolled: measured on v5e this gives ~4x over a
-    rolled fori_loop (ILP across iterations; tq=32 fits registers, tq=64
-    spills and regresses ~25x — keep tq small).
+    rolled fori_loop (ILP across iterations). Sweep on v5e at production
+    geometry (P=14, Wp=384): tq 8/16/32/64 -> 31/40/45/48 Mpairs/s; tq>=128
+    blows up compile time, tr=256 exceeds VMEM. tq=64, tr=128 is the
+    optimum.
     """
 
     r_planes = r_ref[:, 0, :, :]  # [TR, P, Wp]

@@ -14,3 +14,4 @@ from .dists import (  # noqa: F401
     sharded_query_dists,
     sharded_self_dists,
 )
+from .distributed import init_distributed, is_primary, pod_mesh  # noqa: F401
