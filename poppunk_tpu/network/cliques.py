@@ -20,7 +20,6 @@ import numpy as np
 import scipy.sparse.csgraph
 
 from .components import connected_components
-from .graph import Graph
 
 FAST_REF_SUBSAMPLE = 10
 FAST_REF_MERGE_SUBSAMPLE = 3

@@ -9,11 +9,9 @@ frequency.
 """
 
 import operator
-import os
 import sys
 from collections import Counter
 
-import numpy as np
 from scipy.stats import rankdata
 
 from ..utils import read_isolate_type_from_csv

@@ -15,7 +15,6 @@ single-chip kernel path).
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -141,16 +140,25 @@ def sharded_query_dists(sketches_r, sketches_q, klist, mesh,
 
 
 def sharded_self_dists(sketches, klist, mesh, random_correct=True,
-                       use_rc=True, jaccard=False, use_pallas=None):
-    """Condensed i<j all-vs-all distances (PopPUNK/utils.py:199-226 order)."""
+                       use_rc=True, jaccard=False, use_pallas=None,
+                       q_chunk=1024):
+    """Condensed i<j all-vs-all distances (PopPUNK/utils.py:199-226 order).
+
+    Streams query chunks and slices each to its upper-triangle rows so the
+    full n x n square is never materialised on the host."""
     from ..ops.distances import pack_planes
-    from ..pairs import all_pairs
 
     ss64 = sketches[0].sketchsize64
     bbits = sketches[0].bbits
     planes, lengths, freqs = pack_planes(sketches, klist)
-    block = sharded_pairwise_block(
-        mesh, planes, planes, lengths, lengths, freqs, freqs, klist,
-        ss64, bbits, random_correct, use_rc, jaccard, use_pallas)
-    i, j = all_pairs(len(sketches))
-    return block[i, j]
+    n = len(sketches)
+    out = []
+    for start in range(0, n, q_chunk):
+        stop = min(start + q_chunk, n)
+        block = sharded_pairwise_block(
+            mesh, planes[start:stop], planes, lengths[start:stop], lengths,
+            freqs[start:stop], freqs, klist, ss64, bbits, random_correct,
+            use_rc, jaccard, use_pallas, q_chunk=q_chunk)
+        for local, gi in enumerate(range(start, stop)):
+            out.append(block[local, gi + 1:])
+    return np.concatenate(out, axis=0)

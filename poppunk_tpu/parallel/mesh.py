@@ -12,8 +12,6 @@ tensor); a 2-D mesh trades reference-shard size against query parallelism.
 The reference framework has no analogue (single-device only, SURVEY.md §5.8).
 """
 
-import math
-
 import jax
 import numpy as np
 from jax.sharding import Mesh

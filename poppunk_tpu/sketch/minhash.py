@@ -27,11 +27,11 @@ not guaranteed bit-identical to pp-sketchlib, whose source is not part of
 the reference checkout; the estimator and schema are the same).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from .nthash import encode_bases, nthash_canonical, nthash_forward, INVALID_BASE
+from .nthash import nthash_canonical, nthash_forward, INVALID_BASE
 
 SIGN_MOD = np.uint64((1 << 61) - 1)
 DEFAULT_BBITS = 14

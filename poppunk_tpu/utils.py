@@ -2,8 +2,6 @@
 
 import os
 import pickle
-import re
-import sys
 from collections import defaultdict
 
 import numpy as np

@@ -7,7 +7,6 @@ Microreact / Phandango / Grapetree / Cytoscape bundles.
 
 import os
 import sys
-from collections import defaultdict
 
 import numpy as np
 import scipy.sparse
@@ -17,8 +16,8 @@ from .network.graph import load_network_file
 from .network.mst import minimum_spanning_tree, mst_from_sparse_distances
 from .ops.distances import query_db
 from .pairs import condensed_to_square
-from .trees import generate_nj_tree, load_tree, mst_to_phylogeny, write_tree
-from .utils import (isolate_name_to_label, join_cluster_dicts, read_pickle,
+from .trees import generate_nj_tree, load_tree, mst_to_phylogeny
+from .utils import (join_cluster_dicts, read_pickle,
                     read_isolate_type_from_csv,
                     read_rlist_from_distance_pickle)
 
