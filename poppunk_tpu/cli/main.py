@@ -207,7 +207,7 @@ def create_db(args):
         try:
             from ..plotting import plot_database_evaluations, plot_scatter
 
-            plot_scatter(dist_mat, file_base(output) + "_distanceDistribution",
+            plot_scatter(dist_mat, output,
                          os.path.basename(output) + " distances")
             lengths, ambiguous = get_database_statistics(output)
             plot_database_evaluations(output, lengths, ambiguous)

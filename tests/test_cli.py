@@ -169,6 +169,22 @@ class TestFitModels:
             sorted(map(sorted, p2.values()))
 
 
+class TestPlots:
+    def test_create_db_and_fit_plots(self, population_dir, tmp_path):
+        d, rfile = population_dir
+        out = str(tmp_path / "plotdb")
+        poppunk_main(["--create-db", "--r-files", rfile, "--output", out,
+                      "--min-k", "13", "--max-k", "21", "--k-step", "4",
+                      "--sketch-size", "1024", "--plot-fit", "1"])
+        base = os.path.join(out, "plotdb")
+        for suffix in ("_distanceDistribution.png", "_genome_lengths.png",
+                       "_ambiguous_base_counts.png", "_fit_example_1.pdf"):
+            assert os.path.isfile(base + suffix), suffix
+        poppunk_main(["--fit-model", "bgmm", "--ref-db", out,
+                      "--output", out, "--K", "2"])
+        assert os.path.isfile(base + "_DPGMM_fit.png")
+
+
 class TestQCDB:
     def test_qc_passes_all(self, db, tmp_path, capsys):
         out = str(tmp_path / "qced")
