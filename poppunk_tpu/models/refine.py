@@ -28,6 +28,7 @@ import scipy.optimize
 
 from ..ops import boundary as bops
 from ..network.incremental import IncrementalNetwork, grow_network_scores
+from ..ops.device_sweep import sweep_scores_device, use_device_sweep
 from ..utils import decision_boundary, transform_line
 from .base import ClusterFit
 
@@ -122,6 +123,9 @@ def refine_fit(dist_mat, sample_names, mean0, mean1, scale, max_move, min_move,
             )
             if len(idx_vec) == dist_mat.shape[0]:
                 global_s.append(np.zeros(len(x_max)))
+            elif use_device_sweep(len(sample_names), score_idx):
+                global_s.append(sweep_scores_device(
+                    len(sample_names), i_vec, j_vec, idx_vec, len(x_max)))
             else:
                 global_s.append(
                     grow_network_scores(
@@ -163,10 +167,14 @@ def refine_fit(dist_mat, sample_names, mean0, mean1, scale, max_move, min_move,
         )
         if len(idx_vec) == dist_mat.shape[0]:
             raise RuntimeError("Boundary range includes all points")
-        global_s = grow_network_scores(
-            len(sample_names), i_vec, j_vec, idx_vec, len(s_range),
-            score_idx, betweenness_sample, rng=rng,
-        )
+        if use_device_sweep(len(sample_names), score_idx):
+            global_s = sweep_scores_device(
+                len(sample_names), i_vec, j_vec, idx_vec, len(s_range))
+        else:
+            global_s = grow_network_scores(
+                len(sample_names), i_vec, j_vec, idx_vec, len(s_range),
+                score_idx, betweenness_sample, rng=rng,
+            )
         global_s[np.isnan(global_s)] = 1
         min_idx = int(np.argmin(global_s))
         if 0 < min_idx < len(s_range) - 1:

@@ -13,7 +13,7 @@ import scipy.sparse
 
 from .io.hdf5db import read_db_params, read_sketches
 from .network.graph import load_network_file
-from .network.mst import minimum_spanning_tree, mst_from_sparse_distances
+from .network.mst import minimum_spanning_tree
 from .ops.distances import query_db
 from .pairs import condensed_to_square
 from .trees import generate_nj_tree, load_tree, mst_to_phylogeny
@@ -163,10 +163,16 @@ def generate_visualisations(query_db, ref_db, distances, rank_fit, threads,
     if tree in ("mst", "both") or cytoscape:
         if rank_fit is not None:
             sys.stderr.write("Building MST from sparse lineage distances\n")
-            sparse_mat = scipy.sparse.load_npz(rank_fit).tocoo()
-            mst_graph = mst_from_sparse_distances(
-                sparse_mat.row, sparse_mat.col, sparse_mat.data,
-                sparse_mat.shape[0])
+            sparse_mat = scipy.sparse.load_npz(rank_fit)
+            from .cli.mst import generate_mst_from_sparse_input
+
+            old_rlist = None
+            if previous_distances is not None:
+                old_rlist = read_rlist_from_distance_pickle(
+                    previous_distances + ".pkl", allow_non_self=False)
+            mst_graph = generate_mst_from_sparse_input(
+                sparse_mat, combined_seq, old_rlist=old_rlist,
+                previous_mst=previous_mst)
         elif core_mat is not None:
             sys.stderr.write("Building MST from dense distances\n")
             from .network.construct import construct_dense_network

@@ -1,0 +1,50 @@
+"""Device boundary sweep must match the host incremental scoring exactly
+(score_idx=0) — the kernel-oracle pattern applied to the refine path."""
+
+import numpy as np
+import pytest
+
+from poppunk_tpu.network.incremental import grow_network_scores
+from poppunk_tpu.ops.device_sweep import sweep_scores_device
+
+
+def random_sweep(n, n_offsets, n_edges, seed):
+    rng = np.random.default_rng(seed)
+    i = rng.integers(0, n - 1, n_edges)
+    j = rng.integers(1, n, n_edges)
+    swap = i >= j
+    i2 = np.where(swap, j, i)
+    j2 = np.where(swap, np.minimum(i + 1, n - 1), j)
+    # guarantee i < j
+    mask = i2 < j2
+    i2, j2 = i2[mask], j2[mask]
+    # deduplicate pairs, keep first (lowest) offset per pair
+    idx = np.sort(rng.integers(0, n_offsets, i2.shape[0]))
+    key = i2 * n + j2
+    _, first = np.unique(key, return_index=True)
+    return i2[first], j2[first], idx[first]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_host_scores(seed):
+    n, n_offsets = 50, 12
+    i, j, idx = random_sweep(n, n_offsets, 300, seed)
+    want = grow_network_scores(n, i, j, idx, n_offsets, score_idx=0)
+    got = sweep_scores_device(n, i, j, idx, n_offsets)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_empty_edges():
+    got = sweep_scores_device(10, [], [], [], 5)
+    assert got.shape == (5,)
+    np.testing.assert_allclose(got, 1.0)
+
+
+def test_duplicate_edges_are_safe():
+    # same pair emitted at two offsets must not double-count
+    i = np.array([0, 0, 1])
+    j = np.array([1, 1, 2])
+    idx = np.array([0, 1, 1])
+    want = grow_network_scores(4, [0, 1], [1, 2], [0, 1], 3, score_idx=0)
+    got = sweep_scores_device(4, i, j, idx, 3)
+    np.testing.assert_allclose(got, want, atol=1e-6)
