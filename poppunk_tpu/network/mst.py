@@ -17,10 +17,18 @@ from .components import connected_components
 from .graph import Graph
 
 
+EPSILON = 1e-10
+
+
 def minimum_spanning_tree(G):
     if G.weights is None:
         raise RuntimeError("MST passed unweighted graph")
     sys.stderr.write("Starting calculation of minimum-spanning tree\n")
+    # identical genomes produce weight-0 edges, which a sparse CSR cannot
+    # represent (0 == no edge, silently dropping them from the MST);
+    # clamp to epsilon, as the reference's lineage fits do (models.py:54)
+    if np.any(G.weights < EPSILON):
+        G = Graph(G.n_vertices, G.edges, np.maximum(G.weights, EPSILON))
     adj = G.adjacency(weights=True)
     mst = scipy.sparse.csgraph.minimum_spanning_tree(adj)
     mst_coo = scipy.sparse.coo_matrix(mst)

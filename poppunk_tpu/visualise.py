@@ -279,14 +279,16 @@ def _dense_matrices(ref_db, query_db, distances, combined_seq,
     from .utils import db_h5_path
 
     ref_names = set(get_seqs_in_db(db_h5_path(ref_db)))
-    sketches = []
-    for name in names:
-        if name in ref_names:
-            sketches.extend(read_sketches(ref_db, [name]))
-        elif query_db is not None:
-            sketches.extend(read_sketches(query_db, [name]))
-        else:
-            raise RuntimeError(f"{name} not found in any database")
+    missing = [n for n in names if n not in ref_names]
+    if missing and query_db is None:
+        raise RuntimeError(f"{missing[0]} not found in any database")
+    by_name = {}
+    for sk in read_sketches(ref_db, [n for n in names if n in ref_names]):
+        by_name[sk.name] = sk
+    if missing:
+        for sk in read_sketches(query_db, missing):
+            by_name[sk.name] = sk
+    sketches = [by_name[n] for n in names]
     X = query_db_sketches(sketches, kmers, strand_preserved)
     core = condensed_to_square(X[:, 0], len(names))
     acc = condensed_to_square(X[:, 1], len(names))

@@ -90,6 +90,34 @@ class TestVisualise:
         assert sorted(r["id"] for r in rows) == sorted(subset)
 
 
+class TestVisualiseWithQueries:
+    def test_query_db_join(self, population, population_dir, fitted_db,
+                           tmp_path):
+        from poppunk_tpu.cli.assign import main as assign_main
+        from poppunk_tpu.cli.visualise import main as vis_main
+
+        d, _ = population_dir
+        # use two of the fitted samples as "queries" under new names by
+        # re-sketching their files with a _q suffix
+        queries = [n for n in population.names if n.endswith("iso2")][:2]
+        qfile = os.path.join(str(d), "viz_queries.txt")
+        with open(qfile, "w") as f:
+            for n in queries:
+                f.write(f"{n}_q\t{os.path.join(str(d), n + '.fa')}\n")
+        q_out = str(tmp_path / "qdb")
+        assign_main(["--db", fitted_db, "--query", qfile,
+                     "--output", q_out])
+        out = str(tmp_path / "qviz")
+        vis_main(["--ref-db", fitted_db, "--query-db", q_out,
+                  "--output", out, "--microreact", "--tree", "nj",
+                  "--maxIter", "10000", "--recalculate-distances"])
+        rows = list(csv.DictReader(
+            open(os.path.join(out, "qviz_microreact_clusters.csv"))))
+        ids = {r["id"] for r in rows}
+        assert {f"{n}_q" for n in queries}.issubset(ids)
+        assert len(ids) == 15 + 2
+
+
 class TestMST:
     def test_sparse_mst(self, lineage_db, tmp_path):
         from poppunk_tpu.cli.mst import main as mst_main
