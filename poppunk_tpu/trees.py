@@ -118,20 +118,21 @@ def neighbor_joining(D, labels):
         root.add_child(b)
         return root
 
+    # slot-compacted: active nodes always occupy slots 0..m-1 of D, the
+    # freed slot is backfilled with the last active row/column — no
+    # per-iteration fancy-index gather of the submatrix
     D = np.array(D, dtype=np.float64)
     nodes = [Node(lab) for lab in labels]
-    active = list(range(n))
+    m = n
 
-    while len(active) > 2:
-        m = len(active)
-        sub = D[np.ix_(active, active)]
+    while m > 2:
+        sub = D[:m, :m]
         r = sub.sum(axis=1)
         Q = (m - 2) * sub - r[:, None] - r[None, :]
         np.fill_diagonal(Q, np.inf)
         i_, j_ = np.unravel_index(np.argmin(Q), Q.shape)
         if i_ > j_:
             i_, j_ = j_, i_
-        fi, fj = active[i_], active[j_]
         dij = sub[i_, j_]
         li = 0.5 * dij + (r[i_] - r[j_]) / (2 * (m - 2))
         lj = dij - li
@@ -140,27 +141,33 @@ def neighbor_joining(D, labels):
         lj = max(lj, 0.0)
 
         parent = Node()
-        nodes[fi].edge_length = li
-        nodes[fj].edge_length = lj
-        parent.add_child(nodes[fi])
-        parent.add_child(nodes[fj])
+        nodes[i_].edge_length = li
+        nodes[j_].edge_length = lj
+        parent.add_child(nodes[i_])
+        parent.add_child(nodes[j_])
 
-        # new distances: d(u,k) = (d(i,k) + d(j,k) - d(i,j)) / 2
-        new_d = 0.5 * (D[fi, :] + D[fj, :] - dij)
-        D[fi, :] = new_d
-        D[:, fi] = new_d
-        D[fi, fi] = 0.0
-        nodes[fi] = parent
-        active.pop(j_)
+        # new node into slot i: d(u,k) = (d(i,k) + d(j,k) - d(i,j)) / 2
+        new_d = 0.5 * (D[i_, :m] + D[j_, :m] - dij)
+        D[i_, :m] = new_d
+        D[:m, i_] = new_d
+        D[i_, i_] = 0.0
+        nodes[i_] = parent
+        # backfill slot j with the last active slot
+        last = m - 1
+        if j_ != last:
+            D[j_, :m] = D[last, :m]
+            D[:m, j_] = D[:m, last]
+            D[j_, j_] = 0.0
+            nodes[j_] = nodes[last]
+        m -= 1
 
     # join last two, splitting the remaining distance evenly (the tree is
     # midpoint-rooted afterwards, so the split position is immaterial)
-    a, b = active
     root = Node()
-    nodes[a].edge_length = D[a, b] / 2
-    nodes[b].edge_length = D[a, b] / 2
-    root.add_child(nodes[a])
-    root.add_child(nodes[b])
+    nodes[0].edge_length = D[0, 1] / 2
+    nodes[1].edge_length = D[0, 1] / 2
+    root.add_child(nodes[0])
+    root.add_child(nodes[1])
     return root
 
 
@@ -296,8 +303,14 @@ def generate_nj_tree(core_mat, seq_labels, out_prefix, tmp=None, rapidnj=None,
         tree = build_rapidnj(rapidnj, seq_labels, core_mat, out_prefix,
                              tmp=tmp, threads=threads)
     else:
-        tree = neighbor_joining(np.asarray(core_mat, dtype=np.float64),
-                                seq_labels)
+        from .ops.nj_device import neighbor_joining_device, use_device_nj
+
+        if use_device_nj(len(seq_labels)):
+            sys.stderr.write("Running NJ on device\n")
+            tree = neighbor_joining_device(np.asarray(core_mat), seq_labels)
+        else:
+            tree = neighbor_joining(np.asarray(core_mat, dtype=np.float64),
+                                    seq_labels)
     tree = midpoint_root(tree)
     return to_newick(tree).replace("'", "")
 

@@ -202,6 +202,30 @@ class TestQCDB:
         assert len(failed) == len(population.names)
 
 
+def test_external_clustering(population, population_dir, tmp_path):
+    """--external-clustering relates strain components to external labels
+    (reference run_test.py:91)."""
+    import pandas as pd
+
+    d, rfile = population_dir
+    ext_csv = str(tmp_path / "external.csv")
+    with open(ext_csv, "w") as f:
+        f.write("sample,SeroGroup\n")
+        for name in population.names:
+            f.write(f"{name},SG{population.strain_of[name]}\n")
+    db = str(tmp_path / "extdb")
+    poppunk_main(["--create-db", "--r-files", rfile, "--output", db] + KARGS)
+    poppunk_main(["--fit-model", "bgmm", "--ref-db", db, "--output", db,
+                  "--K", "2", "--no-plot",
+                  "--external-clustering", ext_csv])
+    out_csv = os.path.join(db, "extdb_external_clusters.csv")
+    assert os.path.isfile(out_csv)
+    df = pd.read_csv(out_csv)
+    assert set(df.columns) == {"sample", "SeroGroup"}
+    for _, row in df.iterrows():
+        assert row["SeroGroup"] == f"SG{population.strain_of[row['sample']]}"
+
+
 def test_citation(capsys):
     with pytest.raises(SystemExit):
         poppunk_main(["--citation", "--fit-model", "bgmm"])
