@@ -85,7 +85,7 @@ class IncrementalNetwork:
         uniq, labels = np.unique(labels, return_inverse=True)
         sizes = np.bincount(labels)
         maxima, comp_sizes = betweenness_max_per_component(
-            G, labels, sizes, rng=rng
+            G, labels, sizes, sample_sources=betweenness_sample, rng=rng
         )
         if len(maxima) > 1:
             mean_bt = float(np.mean(maxima))

@@ -133,7 +133,7 @@ def network_summary(G, calc_betweenness=True, betweenness_sample=100,
     weighted_mean_bt = 0.0
     if calc_betweenness:
         maxima, comp_sizes = betweenness_max_per_component(
-            S, labels, sizes, sample_sources=None, rng=rng
+            S, labels, sizes, sample_sources=betweenness_sample, rng=rng
         )
         if len(maxima) > 1:
             mean_bt = float(np.mean(maxima))
