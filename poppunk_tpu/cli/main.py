@@ -423,6 +423,10 @@ def fit_lineage_networks(model, rlist, X, output, args):
         }
         if args.write_lineage_networks:
             save_network(G, prefix=output, suffix=f"_rank_{rank}_graph")
+        if rank == min(model.ranks):
+            # the lowest rank's network is the overall one (reference
+            # __main__.py keeps it as the output _graph)
+            save_network(G, prefix=output, suffix="_graph")
 
     overall = create_overall_lineage(model.ranks, lineage_clusters)
     write_lineage_csv(file_base(output) + "_lineages.csv", rlist, model.ranks,

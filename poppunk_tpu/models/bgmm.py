@@ -160,7 +160,7 @@ class BGMMFit(ClusterFit):
         self.fitted = True
 
     def plot(self, X, y):
-        from ..plotting import plot_results, plot_scatter  # lazy
+        from ..plotting import plot_contours, plot_results  # lazy
 
         ClusterFit.plot(self, X)
         used = np.unique(y).size
@@ -172,5 +172,11 @@ class BGMMFit(ClusterFit):
                 X, y, self.means, self.covariances, self.scale,
                 "DPGMM fit", self._artefact("_DPGMM_fit"),
             )
+            subsampled_y = self.assign(self.subsampled_X * self.scale,
+                                       progress=False) \
+                if hasattr(self, "subsampled_X") else y
+            plot_contours(self, subsampled_y,
+                          "DPGMM assignment boundary",
+                          self._artefact("_DPGMM_fit_contours"))
         except Exception as e:  # plotting must never kill a fit
             sys.stderr.write(f"Plotting failed: {e}\n")
