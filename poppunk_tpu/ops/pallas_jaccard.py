@@ -12,7 +12,10 @@ plane-by-plane so the live intermediate is a single [TR, Wp] tile; popcount
 uses the native TPU ``population_count``.
 
 Grid: (K, nq/TQ, nr/TR); the K axis rides the grid so each tile's operands
-stay small enough for double buffering in VMEM.
+stay small enough for double buffering in VMEM. (Fusing K inside the tile
+to reuse operands was measured and rejected: at production geometry the
+[tq,K,P,Wp]+[tr,K,P,Wp] operands need 45 MB of scoped VMEM against the
+16 MB limit, and the unrolled variant's compile time explodes.)
 
 Zero padding of the word axis adds a constant (subtracted here) — see
 ops/distances.py plane layout notes.
