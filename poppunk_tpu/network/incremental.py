@@ -10,10 +10,69 @@ whole sweep instead of O(grid * (V + E)) full recomputes. Betweenness
 reference.
 """
 
+import ctypes
+import os
+import subprocess
+import sys
+
 import numpy as np
 
 from .graph import Graph
 from .summary import betweenness_max_per_component
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgraph_core.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "graph_core.cpp")
+_graph_lib = None
+_graph_lib_tried = False
+
+
+def _get_graph_lib():
+    """Native sweep scorer (built on first use; None if unavailable)."""
+    global _graph_lib, _graph_lib_tried
+    if _graph_lib is not None or _graph_lib_tried:
+        return _graph_lib
+    _graph_lib_tried = True
+    try:
+        if (not os.path.isfile(_LIB_PATH) or
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _LIB_PATH, _SRC_PATH],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.sweep_scores_native.restype = None
+        lib.sweep_scores_native.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+        ]
+        _graph_lib = lib
+    except Exception as e:  # noqa: BLE001 — fall back to Python
+        sys.stderr.write(f"Native graph core unavailable ({e})\n")
+        _graph_lib = None
+    return _graph_lib
+
+
+def sweep_scores_native(n_vertices, i_vec, j_vec, idx_vec, n_offsets):
+    """-(score0) per offset via the C++ incremental sweep, or None if the
+    native library is unavailable."""
+    lib = _get_graph_lib()
+    if lib is None:
+        return None
+    i_vec = np.ascontiguousarray(i_vec, dtype=np.int32)
+    j_vec = np.ascontiguousarray(j_vec, dtype=np.int32)
+    idx_vec = np.ascontiguousarray(idx_vec, dtype=np.int32)
+    out = np.empty(n_offsets, dtype=np.float64)
+    lib.sweep_scores_native(
+        i_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        j_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(i_vec.shape[0]), ctypes.c_int32(int(n_vertices)),
+        ctypes.c_int32(int(n_offsets)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
 
 
 class IncrementalNetwork:
@@ -109,6 +168,12 @@ def grow_network_scores(n_vertices, i_vec, j_vec, idx_vec, n_offsets,
     import os
 
     from .clusters import print_clusters
+
+    if score_idx == 0 and not write_clusters and len(i_vec) > 0:
+        native = sweep_scores_native(n_vertices, i_vec, j_vec, idx_vec,
+                                     n_offsets)
+        if native is not None:
+            return native
 
     net = IncrementalNetwork(n_vertices)
     scores = np.ones(n_offsets)

@@ -34,6 +34,34 @@ def test_matches_host_scores(seed):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.parametrize("seed", [3, 4])
+def test_native_matches_python(seed):
+    """The C++ incremental sweep must equal the pure-Python union-find
+    scoring exactly."""
+    from poppunk_tpu.network.incremental import (IncrementalNetwork,
+                                                 sweep_scores_native)
+
+    n, n_offsets = 80, 15
+    i, j, idx = random_sweep(n, n_offsets, 600, seed)
+    native = sweep_scores_native(n, i, j, idx, n_offsets)
+    if native is None:
+        pytest.skip("native graph core unavailable")
+
+    order = np.argsort(idx, kind="stable")
+    i, j, idx = i[order], j[order], idx[order]
+    net = IncrementalNetwork(n)
+    want = np.ones(n_offsets)
+    pos = 0
+    for off in range(n_offsets):
+        end = pos
+        while end < idx.shape[0] and idx[end] <= off:
+            end += 1
+        net.add_edges(i[pos:end], j[pos:end])
+        pos = end
+        want[off] = -net.score(0)
+    np.testing.assert_allclose(native, want, atol=1e-12)
+
+
 def test_empty_edges():
     got = sweep_scores_device(10, [], [], [], 5)
     assert got.shape == (5,)
