@@ -72,7 +72,18 @@ def main(arg_list=None):
             os.path.join(db, os.path.basename(db) + "_graph" + GRAPH_SUFFIX))
         G = None
         if os.path.isfile(network_file):
-            G = load_network_file(network_file)
+            if (network_file.endswith(".npz")
+                    and not network_file.endswith(".graph.npz")):
+                # a sparse lineage rank fit (reference info.py:128-131)
+                import scipy.sparse
+
+                from ..network.graph import Graph
+
+                mat = scipy.sparse.load_npz(network_file).tocoo()
+                G = Graph(mat.shape[0],
+                          np.stack([mat.row, mat.col], axis=1), mat.data)
+            else:
+                G = load_network_file(network_file)
             print("\nNetwork summary for " + network_file)
             print_network_summary(G)
         else:
