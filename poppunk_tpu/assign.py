@@ -342,7 +342,7 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
                 else:
                     G_save = genome_network
                 G_sub, pruned_names = remove_non_query_components(
-                    G_save, r_names, q_names)
+                    G_save, r_names, q_names, relabel=True)
                 save_network(G_sub, prefix=output,
                              suffix=("_graph" if model.type == "lineage"
                                      else ext + "_graph"))

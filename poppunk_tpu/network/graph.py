@@ -248,11 +248,14 @@ def prune_graph(prefix, reflist, samples_to_keep, output_db_name):
         sys.stderr.write("No network file found for pruning\n")
 
 
-def remove_non_query_components(G, rlist, qlist):
+def remove_non_query_components(G, rlist, qlist, relabel=False):
     """Keep only components containing at least one query
-    (PopPUNK/network.py:2029-2073). Returns (subgraph, pruned_names);
-    vertex ids are preserved (no relabel), matching the reference's
-    GraphView semantics."""
+    (PopPUNK/network.py:2029-2073). Returns (subgraph, pruned_names).
+
+    relabel=False preserves vertex ids (the reference's GraphView
+    semantics); relabel=True renumbers kept vertices 0..K-1 in
+    pruned_names order (a compact standalone artefact whose vertex i is
+    pruned_names[i] — what the partial-query-graph file stores)."""
     from .components import connected_components
 
     combined_names = list(rlist) + list(qlist)
@@ -261,5 +264,5 @@ def remove_non_query_components(G, rlist, qlist):
     keep_mask = np.isin(labels, list(components_with_query))
     pruned_names = [combined_names[i] for i in np.where(keep_mask)[0]]
     keep_vertices = np.where(keep_mask)[0]
-    G_sub, _ = G.subgraph(keep_vertices, relabel=False)
+    G_sub, _ = G.subgraph(keep_vertices, relabel=relabel)
     return G_sub, pruned_names
