@@ -38,27 +38,69 @@ def mutual_reachability_mst(X, core, n_jobs=1):
     """Prim's MST over the complete mutual reachability graph.
 
     Returns edges [(u, v, w)] sorted ascending by w, length n-1.
+    O(n) memory (never materialises the n x n matrix); the sequential
+    scan runs on device for large n (no per-step host dispatch).
     """
+    import jax
+
     n = X.shape[0]
-    in_tree = np.zeros(n, dtype=bool)
-    best_dist = np.full(n, np.inf)
-    best_from = np.zeros(n, dtype=np.int64)
-    in_tree[0] = True
-    current = 0
-    edges = np.empty((n - 1, 3))
-    for step in range(n - 1):
-        d = np.sqrt(((X - X[current]) ** 2).sum(axis=1))
-        mr = np.maximum(np.maximum(d, core), core[current])
-        update = mr < best_dist
-        best_dist = np.where(update, mr, best_dist)
-        best_from = np.where(update, current, best_from)
-        masked = np.where(in_tree, np.inf, best_dist)
-        nxt = int(np.argmin(masked))
-        edges[step] = (best_from[nxt], nxt, best_dist[nxt])
-        in_tree[nxt] = True
-        current = nxt
+    if n >= 4096 and jax.default_backend() != "cpu":
+        edges = np.asarray(_prim_mst_device(
+            np.asarray(X, dtype=np.float32), np.asarray(core, np.float32),
+            n), dtype=np.float64)
+    else:
+        in_tree = np.zeros(n, dtype=bool)
+        best_dist = np.full(n, np.inf)
+        best_from = np.zeros(n, dtype=np.int64)
+        in_tree[0] = True
+        current = 0
+        edges = np.empty((n - 1, 3))
+        for step in range(n - 1):
+            d = np.sqrt(((X - X[current]) ** 2).sum(axis=1))
+            mr = np.maximum(np.maximum(d, core), core[current])
+            update = mr < best_dist
+            best_dist = np.where(update, mr, best_dist)
+            best_from = np.where(update, current, best_from)
+            masked = np.where(in_tree, np.inf, best_dist)
+            nxt = int(np.argmin(masked))
+            edges[step] = (best_from[nxt], nxt, best_dist[nxt])
+            in_tree[nxt] = True
+            current = nxt
     order = np.argsort(edges[:, 2], kind="stable")
     return edges[order]
+
+
+def _prim_mst_device(X, core, n):
+    """Device twin of the Prim loop (lax.scan, one vector update/step)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n_",))
+    def run(Xd, cored, n_):
+        inf = jnp.float32(3.4e38)
+
+        def step(carry, _):
+            in_tree, best_dist, best_from, current = carry
+            d = jnp.sqrt(((Xd - Xd[current]) ** 2).sum(axis=1))
+            mr = jnp.maximum(jnp.maximum(d, cored), cored[current])
+            update = mr < best_dist
+            best_dist = jnp.where(update, mr, best_dist)
+            best_from = jnp.where(update, current, best_from)
+            masked = jnp.where(in_tree, inf, best_dist)
+            nxt = jnp.argmin(masked).astype(jnp.int32)
+            edge = jnp.stack([best_from[nxt].astype(jnp.float32),
+                              nxt.astype(jnp.float32), best_dist[nxt]])
+            in_tree = in_tree.at[nxt].set(True)
+            return (in_tree, best_dist, best_from, nxt), edge
+
+        in_tree0 = jnp.zeros(n_, bool).at[0].set(True)
+        carry0 = (in_tree0, jnp.full(n_, inf, jnp.float32),
+                  jnp.zeros(n_, jnp.int32), jnp.int32(0))
+        _, edges = jax.lax.scan(step, carry0, None, length=n_ - 1)
+        return edges
+
+    return run(jnp.asarray(X), jnp.asarray(core), int(n))
 
 
 def single_linkage(mst_edges, n):
