@@ -391,6 +391,15 @@ def fit_model(args):
         except Exception as e:
             sys.stderr.write(f"Plotting failed: {e}\n")
 
+    if getattr(args, "for_refine", False) and not args.use_model:
+        # assignments cover only the fit subsample; points are assigned
+        # when the model is refined (reference __main__.py:630-632)
+        sys.stderr.write(
+            'Initial model fit complete; points will be assigned when this '
+            'model is refined\nusing "--fit-model refine"\n')
+        sys.stderr.write("Done\n")
+        return model, assignments
+
     if model.type == "lineage":
         lineage_clusters = fit_lineage_networks(
             model, rlist, X, output, args)

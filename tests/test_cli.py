@@ -94,6 +94,21 @@ class TestFitModels:
         clustering = read_clusters(os.path.join(out, "dbscan_clusters.csv"))
         self._check_perfect_clusters(clustering, population)
 
+    def test_dbscan_for_refine_then_refine(self, db, population, tmp_path):
+        """--for-refine skips assignment/network (reference
+        __main__.py:630-632); the fit is then usable as a refine start."""
+        out = str(tmp_path / "dbscan_fr")
+        poppunk_main(["--fit-model", "dbscan", "--ref-db", db,
+                      "--output", out, "--for-refine", "--no-plot"])
+        assert not os.path.isfile(os.path.join(out, "dbscan_fr_clusters.csv"))
+        assert os.path.isfile(os.path.join(out, "dbscan_fr_fit.npz"))
+        rf = str(tmp_path / "rf_from_dbscan")
+        poppunk_main(["--fit-model", "refine", "--ref-db", db,
+                      "--output", rf, "--model-dir", out, "--no-plot"])
+        clustering = read_clusters(
+            os.path.join(rf, "rf_from_dbscan_clusters.csv"))
+        self._check_strain_pure(clustering, population)
+
     def _check_strain_pure(self, clustering, population, max_clusters=10):
         """Refine may legitimately choose a tighter boundary than the strain
         split on synthetic data (higher transitivity for sub-cliques); the
