@@ -111,7 +111,7 @@ def refine_fit(dist_mat, sample_names, mean0, mean1, scale, max_move, min_move,
         global_grid_resolution = 20
         x_max_start, y_max_start = decision_boundary(np.copy(mean0), gradient, adj=-1 * min_move)
         x_max_end, y_max_end = decision_boundary(np.copy(mean1), gradient, adj=max_move)
-        if x_max_start < 0 or y_max_start < 0:
+        if x_max_start < -1e-9 or y_max_start < -1e-9:
             raise RuntimeError("Boundary range below zero")
         x_max = np.linspace(x_max_start, x_max_end, global_grid_resolution, dtype=np.float32)
         y_max = np.linspace(y_max_start, y_max_end, global_grid_resolution, dtype=np.float32)
@@ -159,7 +159,8 @@ def refine_fit(dist_mat, sample_names, mean0, mean1, scale, max_move, min_move,
         (min_x, max_x), (min_y, max_y) = check_search_range(
             scale, mean0, mean1, s_range[0], s_range[-1]
         )
-        if min_x < 0 or min_y < 0:
+        # tolerance: a 0,0 manual start produces -0.0/-1e-18 intercepts
+        if min_x < -1e-9 or min_y < -1e-9:
             raise RuntimeError("Boundary range below zero")
 
         i_vec, j_vec, idx_vec = bops.threshold_iterate_1d(

@@ -148,6 +148,29 @@ class TestFitModels:
             os.path.join(out2, "refine_u_clusters.csv"))
         self._check_strain_pure(clustering, population)
 
+    def test_refine_variants(self, db, population, tmp_path):
+        """Manual start file, betweenness score indices, --summary-sample,
+        --no-local (the reference's refine matrix, run_test.py:43-52)."""
+        bgmm_out = str(tmp_path / "bgmm_v")
+        poppunk_main(["--fit-model", "bgmm", "--ref-db", db,
+                      "--output", bgmm_out, "--K", "2", "--no-plot"])
+        manual = str(tmp_path / "manual.txt")
+        with open(manual, "w") as f:
+            f.write("start 0.05,0.05\nend 0.6,0.6\nscaled True\n")
+        for name, extra in [
+            ("manual", ["--manual-start", manual]),
+            ("score1", ["--score-idx", "1"]),
+            ("score2", ["--score-idx", "2", "--betweenness-sample", "10"]),
+            ("summary", ["--summary-sample", "12", "--no-local"]),
+        ]:
+            out = str(tmp_path / f"rv_{name}")
+            poppunk_main(["--fit-model", "refine", "--ref-db", db,
+                          "--output", out, "--model-dir", bgmm_out,
+                          "--no-plot"] + extra)
+            clustering = read_clusters(
+                os.path.join(out, f"rv_{name}_clusters.csv"))
+            self._check_strain_pure(clustering, population, max_clusters=12)
+
     def test_threshold(self, db, population, tmp_path):
         out = str(tmp_path / "thresh")
         poppunk_main(["--fit-model", "threshold", "--threshold", "0.02",
