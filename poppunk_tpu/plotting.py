@@ -312,11 +312,21 @@ def spring_layout(n, edges, iterations=60, seed=42):
     dt = t / (iterations + 1)
     src = edges[:, 0]
     dst = edges[:, 1]
+    # above this size exact all-pairs repulsion (O(n^2)/iteration) gives way
+    # to a sampled estimate
+    max_exact = 3000
     for _ in range(iterations):
-        delta = pos[:, None, :] - pos[None, :, :]
+        if n <= max_exact:
+            others = pos
+            scale_rep = 1.0
+        else:
+            idx = rng.integers(0, n, max_exact)
+            others = pos[idx]
+            scale_rep = n / max_exact
+        delta = pos[:, None, :] - others[None, :, :]
         dist = np.maximum(np.linalg.norm(delta, axis=-1), 0.01)
         force = (k * k / dist ** 2)[:, :, None] * delta  # repulsion
-        disp = force.sum(axis=1)
+        disp = force.sum(axis=1) * scale_rep
         # attraction along edges
         edelta = pos[src] - pos[dst]
         edist = np.maximum(np.linalg.norm(edelta, axis=-1), 0.01)
