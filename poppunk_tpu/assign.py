@@ -132,6 +132,10 @@ def assign_query(ref_db, q_files, output, qc_dict, update_db=False,
         sys.stderr.write("--output and --db must be different to "
                          "prevent overwrite.\n")
         sys.exit(1)
+    if not os.path.isfile(db_h5_path(ref_db.rstrip("/"))):
+        sys.stderr.write(f"Cannot find database {ref_db} "
+                         "(no sketch .h5 file)\n")
+        sys.exit(1)
     kmers, sketch_size, codon_phased = read_db_params(ref_db)
     create_database_dir(output, kmers)
     q_names = construct_database(

@@ -312,6 +312,11 @@ def fit_model(args):
     output = setup_output(args.output or ref_db)
     distances = args.distances or default_dists(ref_db)
 
+    if not os.path.isfile(distances + ".pkl"):
+        sys.stderr.write(
+            f"Cannot find distances at {distances}.pkl — run --create-db "
+            "first, or point --distances at an existing output\n")
+        sys.exit(1)
     rlist, qlist, self_mode, X = read_pickle(distances, enforce_self=True)
     sys.stderr.write(f"Loaded distances for {len(rlist)} samples\n")
 
