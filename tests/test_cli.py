@@ -230,6 +230,29 @@ class TestQCDB:
         # all synthetic genomes pass the default thresholds: dists copied
         assert os.path.isfile(os.path.join(out, "qced.dists.pkl"))
 
+    def test_qc_retain_failures(self, db, population, tmp_path):
+        out = str(tmp_path / "qcretain")
+        poppunk_main(["--qc-db", "--ref-db", db, "--output", out,
+                      "--length-range", "1", "2", "--retain-failures"])
+        failed_h5 = os.path.join(out, "failed.qcretain.h5")
+        assert os.path.isfile(failed_h5)
+        from poppunk_tpu.io.hdf5db import get_seqs_in_db
+
+        # nobody passes the absurd length range; the retained-failures DB
+        # keeps every failing sketch
+        assert sorted(get_seqs_in_db(failed_h5)) == sorted(population.names)
+
+    def test_graph_weights_stored(self, db, tmp_path):
+        out = str(tmp_path / "weighted")
+        poppunk_main(["--fit-model", "bgmm", "--ref-db", db,
+                      "--output", out, "--K", "2", "--no-plot",
+                      "--graph-weights"])
+        from poppunk_tpu.network.graph import load_network_file
+
+        G = load_network_file(os.path.join(out, "weighted_graph.graph.npz"))
+        assert G.weights is not None
+        assert (G.weights >= 0).all() and G.n_edges > 0
+
     def test_qc_length_filter(self, db, population, tmp_path):
         out = str(tmp_path / "qcfail")
         poppunk_main(["--qc-db", "--ref-db", db, "--output", out,
