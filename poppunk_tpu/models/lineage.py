@@ -16,7 +16,7 @@ import numpy as np
 import scipy.sparse
 
 from ..ops.sparse_knn import extend as knn_extend
-from ..ops.sparse_knn import get_knn_distances, lower_rank
+from ..ops.sparse_knn import knn_from_condensed, lower_rank
 from ..pairs import condensed_to_square
 from .base import ClusterFit
 
@@ -81,8 +81,8 @@ class LineageFit(ClusterFit):
                 + str(sample_size)
             )
         search_depth = min(self.max_search_depth, sample_size - 1)
-        square = condensed_to_square(X[:, self.dist_col], sample_size)
-        row, col, data = get_knn_distances(square, search_depth)
+        row, col, data = knn_from_condensed(
+            X[:, self.dist_col], sample_size, search_depth)
         self.__save_sparse__(data, row, col, search_depth, sample_size,
                              X.dtype, is_nn_dist=True)
         for rank in self.ranks:

@@ -41,6 +41,36 @@ def get_knn_distances(dist_mat, knn, exclude_self=None):
     return rows, cols, data
 
 
+def knn_from_condensed(condensed, n, knn, chunk=2048):
+    """(row, col, data): kNN per sample straight from a condensed i<j
+    distance vector — never materialises the n x n square (80 GB at 1e5
+    genomes; this is O(chunk * n)). Output is identical to
+    ``get_knn_distances(condensed_to_square(condensed, n), knn)``.
+    """
+    condensed = np.asarray(condensed)
+    knn = min(knn, n - 1)
+    rows_out = np.repeat(np.arange(n, dtype=np.int64), knn)
+    cols_out = np.empty(n * knn, dtype=np.int64)
+    data_out = np.empty(n * knn, dtype=condensed.dtype)
+    # condensed index of pair (i<j): i*n - i(i+1)/2 + (j-i-1)
+    offsets = np.arange(n, dtype=np.int64) * n \
+        - (np.arange(n, dtype=np.int64) * (np.arange(n, dtype=np.int64) + 1)) // 2
+    j_all = np.arange(n, dtype=np.int64)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        i_idx = np.arange(start, stop, dtype=np.int64)[:, None]  # [c,1]
+        lo = np.minimum(i_idx, j_all[None, :])
+        hi = np.maximum(i_idx, j_all[None, :])
+        flat = offsets[lo] + (hi - lo - 1)
+        block = condensed[np.clip(flat, 0, condensed.shape[0] - 1)]
+        block = np.where(i_idx == j_all[None, :], np.inf, block)
+        order = np.argsort(block, axis=1, kind="stable")[:, :knn]
+        sl = slice(start * knn, stop * knn)
+        cols_out[sl] = order.ravel()
+        data_out[sl] = np.take_along_axis(block, order, axis=1).ravel()
+    return rows_out, cols_out, data_out
+
+
 def _rows_to_lists(row, col, data, n_samples):
     """Group a row-sorted COO structure by row."""
     row = np.asarray(row)

@@ -150,3 +150,22 @@ class TestThresholdIterate:
                 )
             )
             assert got == expect
+
+
+class TestKnnFromCondensed:
+    def test_matches_square_path(self):
+        import numpy as np
+
+        from poppunk_tpu.ops.sparse_knn import (get_knn_distances,
+                                                knn_from_condensed)
+        from poppunk_tpu.pairs import condensed_to_square
+
+        rng = np.random.default_rng(5)
+        for n, k in [(30, 5), (101, 10), (64, 63)]:
+            vec = rng.random(n * (n - 1) // 2)
+            square = condensed_to_square(vec, n)
+            r1, c1, d1 = get_knn_distances(square, k)
+            r2, c2, d2 = knn_from_condensed(vec, n, k, chunk=17)
+            assert np.array_equal(r1, r2)
+            assert np.array_equal(c1, c2)
+            assert np.allclose(d1, d2)
