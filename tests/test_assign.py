@@ -102,6 +102,32 @@ class TestStableSerial:
                 assert got[q] == ref_clusters[mate]
 
 
+class TestNameClash:
+    def test_clash_without_flag_exits(self, split_population, population,
+                                      population_dir, tmp_path):
+        db, rfile, qfile, refs, queries, _ = split_population
+        d, _ = population_dir
+        clash = population.subset_rfile(d, [refs[0]], "clash.txt")
+        out = str(tmp_path / "clash")
+        with pytest.raises(SystemExit):
+            assign_main(["--db", db, "--query", clash, "--output", out])
+
+    def test_clash_renamed_with_write_references(self, split_population,
+                                                 population, population_dir,
+                                                 tmp_path):
+        db, rfile, qfile, refs, queries, ref_clusters = split_population
+        d, _ = population_dir
+        clash = population.subset_rfile(d, [refs[0]], "clash2.txt")
+        out = str(tmp_path / "clash_wr")
+        assign_main(["--db", db, "--query", clash, "--output", out,
+                     "--write-references"])
+        got = read_clusters(os.path.join(out, "clash_wr_clusters.csv"))
+        renamed = refs[0] + "_query"
+        assert renamed in got
+        # an exact copy of a reference genome lands in its own cluster
+        assert got[renamed] == ref_clusters[refs[0]]
+
+
 class TestUpdateDB:
     def test_full_update_then_assign(self, split_population, population,
                                      population_dir, tmp_path):
