@@ -36,16 +36,14 @@ def main(arg_list=None):
     configure_jax_cache()
     args = get_options(arg_list)
     from ..embedding import generate_embedding
-    from ..pairs import condensed_to_square
     from ..utils import read_pickle
 
     rlist, qlist, self_mode, X = read_pickle(args.distances,
                                              enforce_self=True)
-    acc_mat = condensed_to_square(X[:, 1], len(rlist))
     os.makedirs(args.output, exist_ok=True)
-    generate_embedding(rlist, acc_mat, args.perplexity, args.output,
+    generate_embedding(rlist, X[:, 1], args.perplexity, args.output,
                        args.overwrite, kNN=args.knn, maxIter=args.iter,
-                       n_threads=args.cpus)
+                       n_threads=args.cpus, condensed=True)
 
 
 if __name__ == "__main__":

@@ -153,6 +153,17 @@ def _sce_optimize_sampled(key, I, J, P, n, epochs, n_repu=8, eta0=None):
     return Y
 
 
+def sce_embedding_condensed(acc_vec, n, perplexity, knn=50,
+                            max_iter=10_000_000, seed=42):
+    """2-D SCE embedding straight from a condensed accessory-distance
+    vector (no n x n square materialised)."""
+    from .ops.sparse_knn import knn_from_condensed
+
+    knn = min(knn, n - 1)
+    I, J, dists = knn_from_condensed(acc_vec, n, knn)
+    return _sce_from_knn(I, J, dists, n, knn, perplexity, max_iter, seed)
+
+
 def sce_embedding(acc_mat, perplexity, knn=50, max_iter=10_000_000, seed=42):
     """2-D SCE embedding of a square accessory-distance matrix."""
     from .ops.sparse_knn import get_knn_distances
@@ -160,6 +171,10 @@ def sce_embedding(acc_mat, perplexity, knn=50, max_iter=10_000_000, seed=42):
     n = acc_mat.shape[0]
     knn = min(knn, n - 1)
     I, J, dists = get_knn_distances(acc_mat, knn)
+    return _sce_from_knn(I, J, dists, n, knn, perplexity, max_iter, seed)
+
+
+def _sce_from_knn(I, J, dists, n, knn, perplexity, max_iter, seed):
     P = _perplexity_probabilities(
         np.asarray(dists).reshape(n, knn), perplexity
     ).reshape(-1)
@@ -184,8 +199,12 @@ def sce_embedding(acc_mat, perplexity, knn=50, max_iter=10_000_000, seed=42):
 
 
 def generate_embedding(seq_labels, acc_mat, perplexity, out_prefix, overwrite,
-                       kNN=50, maxIter=10_000_000, n_threads=1, seed=42):
-    """Write the embedding .dot (generate_embedding, mandrake.py:22-120)."""
+                       kNN=50, maxIter=10_000_000, n_threads=1, seed=42,
+                       condensed=False):
+    """Write the embedding .dot (generate_embedding, mandrake.py:22-120).
+
+    ``acc_mat`` is a square accessory matrix, or with condensed=True the
+    condensed i<j vector (no square ever materialised)."""
     mandrake_filename = os.path.join(
         out_prefix,
         os.path.basename(out_prefix)
@@ -198,8 +217,13 @@ def generate_embedding(seq_labels, acc_mat, perplexity, out_prefix, overwrite,
         return mandrake_filename
 
     sys.stderr.write("Running SCE embedding\n")
-    embedding = sce_embedding(np.asarray(acc_mat), perplexity, knn=kNN,
-                              max_iter=maxIter, seed=seed)
+    if condensed:
+        embedding = sce_embedding_condensed(
+            np.asarray(acc_mat), len(seq_labels), perplexity, knn=kNN,
+            max_iter=maxIter, seed=seed)
+    else:
+        embedding = sce_embedding(np.asarray(acc_mat), perplexity, knn=kNN,
+                                  max_iter=maxIter, seed=seed)
     with open(mandrake_filename, "w") as n_file:
         n_file.write("graph G { ")
         for s, seq_label in enumerate(seq_labels):
