@@ -163,7 +163,7 @@ def refine_fit(dist_mat, sample_names, mean0, mean1, scale, max_move, min_move,
         if min_x < -1e-9 or min_y < -1e-9:
             raise RuntimeError("Boundary range below zero")
 
-        i_vec, j_vec, idx_vec = bops.threshold_iterate_1d(
+        i_vec, j_vec, idx_vec = bops.threshold_iterate_1d_auto(
             dist_mat, s_range, slope, mean0[0], mean0[1], mean1[0], mean1[1]
         )
         if len(idx_vec) == dist_mat.shape[0]:

@@ -151,6 +151,53 @@ def threshold_iterate_1d(X, offsets, slope, x0, y0, x1, y1):
     return (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
 
 
+def threshold_iterate_1d_fast(X, offsets, slope, x0, y0, x1, y1):
+    """Sort-free 1-D sweep for huge pair counts.
+
+    The 1-D search translates a fixed-normal boundary, so every offset's
+    signed distance is d0 - t_off for a scalar t_off — each pair's first
+    active offset is a searchsorted over the 40 thresholds instead of a
+    global argsort of all P pairs (the O(P log P) the reference's
+    boost::parallel_stable_sort pays, src/boundary.cpp:154-210). Output
+    set {(i, j, first_offset)} matches threshold_iterate_1d up to float
+    rounding at boundary-grazing pairs; ordering within an offset differs
+    (irrelevant to the union-find/device scoring).
+    """
+    X = np.asarray(X, dtype=np.float32)
+    n = samples_from_rows(X.shape[0])
+    x_max, y_max = _boundary_params(offsets, slope, x0, y0, x1, y1)
+
+    d0 = line_dist(X, float(x_max[0]), float(y_max[0]), slope)
+    # threshold for offset o = the d0 value of a point ON that offset's
+    # boundary (pair active at o iff d0(pair) <= t[o]); exact whatever the
+    # per-offset normalisation of line_dist does
+    if slope == 1:
+        boundary_points = np.stack(
+            [np.zeros_like(y_max), y_max], axis=1).astype(np.float32)
+    else:
+        boundary_points = np.stack(
+            [x_max, np.zeros_like(x_max)], axis=1).astype(np.float32)
+    t = line_dist(boundary_points, float(x_max[0]), float(y_max[0]), slope)
+    # thresholds must be non-decreasing (boundary moves outward)
+    t = np.maximum.accumulate(t)
+    idx = np.searchsorted(t, d0, side="left")
+    active = idx < len(offsets)
+    rows = np.flatnonzero(active)
+    i, j = condensed_to_pair(rows, n)
+    return i, j, idx[rows].astype(np.int64)
+
+
+# Above this many pairs the faithful sorted sweep's argsort dominates; the
+# sort-free path takes over.
+FAST_SWEEP_MIN_PAIRS = 5_000_000
+
+
+def threshold_iterate_1d_auto(X, offsets, slope, x0, y0, x1, y1):
+    if np.asarray(X).shape[0] >= FAST_SWEEP_MIN_PAIRS:
+        return threshold_iterate_1d_fast(X, offsets, slope, x0, y0, x1, y1)
+    return threshold_iterate_1d(X, offsets, slope, x0, y0, x1, y1)
+
+
 def threshold_iterate_2d(X, x_max_list, y_max):
     """2-D sweep at fixed y_max over increasing x_max (boundary.cpp:212-237)."""
     X = np.asarray(X, dtype=np.float32)

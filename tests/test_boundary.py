@@ -169,3 +169,39 @@ class TestKnnFromCondensed:
             assert np.array_equal(r1, r2)
             assert np.array_equal(c1, c2)
             assert np.allclose(d1, d2)
+
+
+class TestFastSweep:
+    def test_matches_faithful_sweep(self):
+        import numpy as np
+
+        from poppunk_tpu.network.incremental import grow_network_scores
+        from poppunk_tpu.ops.boundary import (threshold_iterate_1d,
+                                              threshold_iterate_1d_fast)
+
+        rng = np.random.default_rng(9)
+        n = 120
+        P = n * (n - 1) // 2
+        X = rng.random((P, 2)).astype(np.float32) * 0.5
+        mean0 = np.array([0.1, 0.1])
+        mean1 = np.array([0.4, 0.4])
+        offsets = np.linspace(-0.05, 0.5, 25)
+        slow = threshold_iterate_1d(X, offsets, 2, mean0[0], mean0[1],
+                                    mean1[0], mean1[1])
+        fast = threshold_iterate_1d_fast(X, offsets, 2, mean0[0], mean0[1],
+                                         mean1[0], mean1[1])
+        # identical activation sets up to fp rounding at boundary-grazing
+        # pairs: compare network scores, which is what the sweep feeds
+        s_slow = grow_network_scores(n, *slow, len(offsets))
+        s_fast = grow_network_scores(n, *fast, len(offsets))
+        np.testing.assert_allclose(s_fast, s_slow, atol=1e-6)
+
+        # and the pair/offset assignments themselves almost all agree
+        def as_dict(res):
+            return {(int(a), int(b)): int(o)
+                    for a, b, o in zip(res[0], res[1], res[2])}
+
+        d_slow, d_fast = as_dict(slow), as_dict(fast)
+        assert set(d_slow) == set(d_fast)
+        diff = sum(1 for k in d_slow if d_slow[k] != d_fast[k])
+        assert diff <= max(2, len(d_slow) // 500), diff
