@@ -461,16 +461,15 @@ def _assign_network(model, fit_type, ext, r_names, q_names, qr_dist_mat,
         isolate_clustering = clustering
     elif stable is not None:
         sys.stderr.write("Assigning stably\n")
-        from .ops.sparse_knn import get_knn_distances
         from .utils import read_isolate_type_from_csv
 
         ref_clustering = read_isolate_type_from_csv(
             old_cluster_file, mode="clusters", return_dict=True)["Cluster"]
         isolate_clustering = {}
         dist_col = 0 if stable == "core" else 1
-        q_idx, r_idx, _ = get_knn_distances(
-            qr_dist_mat[:, dist_col].reshape(len(q_names), len(r_names)),
-            knn=1)
+        rect = qr_dist_mat[:, dist_col].reshape(len(q_names), len(r_names))
+        q_idx = np.arange(len(q_names))
+        r_idx = rect.argmin(axis=1)  # 1-NN per query (first min on ties)
         assignments = np.asarray(query_assignments)
         for query, ref in zip(q_idx, r_idx):
             if assignments[query * len(r_names) + ref] == model.within_label:
