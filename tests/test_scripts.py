@@ -87,6 +87,23 @@ def test_distribute_fit(fitted_db, tmp_path, monkeypatch):
     assert "bundle_refs.h5" in refs
 
 
+def test_batch_mst(population, population_dir, tmp_path, monkeypatch):
+    """Batched lineage build + sparse MST driver
+    (scripts/poppunk_batch_mst.py flow)."""
+    from poppunk_tpu.scripts.batch_mst import main as batch_main
+
+    d, rfile = population_dir
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "bmst")
+    batch_main(["--r-files", rfile, "--n-batches", "2", "--output", out,
+                "--rank", "3", "--sketch-size", "2048", "--min-k", "13",
+                "--max-k", "25", "--k-step", "4", "--no-plot"])
+    assert os.path.isfile(out + "/bmst_MST.nwk")
+    nwk = open(out + "/bmst_MST.nwk").read()
+    for name in population.names:
+        assert name in nwk, name
+
+
 def test_iterate(population_dir, tmp_path):
     from poppunk_tpu.scripts.iterate import main as it_main
 
