@@ -81,6 +81,12 @@ def bench_cpu(lib, planes64, nq, nr, threads):
 
 def bench_device(nq, nr, iters=3):
     import jax
+
+    try:
+        jax.devices()
+    except Exception as e:  # selected platform unavailable -> CPU
+        sys.stderr.write(f"backend init failed ({e}); forcing CPU\n")
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
