@@ -269,6 +269,9 @@ def construct_database(assembly_list, klist, sketch_size64, o_prefix, threads=1,
     """
     if names is None:
         names, sequences = read_rfile(assembly_list)
+    if not names:
+        raise RuntimeError(
+            f"No samples found in input list {assembly_list}")
 
     params = SketchParams(
         klist=tuple(int(k) for k in klist),

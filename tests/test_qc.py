@@ -134,3 +134,25 @@ def test_qc_query_assignments(tmp_path):
     )
     assert "q0" in failed
     assert retained == ["q1"]
+
+
+class TestInputValidation:
+    def test_empty_rfile(self, tmp_path):
+        from poppunk_tpu.io.hdf5db import construct_database
+
+        empty = str(tmp_path / "empty.txt")
+        open(empty, "w").close()
+        with pytest.raises(RuntimeError, match="No samples"):
+            construct_database(empty, [13], 8, str(tmp_path / "db"))
+
+    def test_malformed_and_duplicate_rfile(self, tmp_path):
+        from poppunk_tpu.utils import read_rfile
+
+        bad = str(tmp_path / "bad.txt")
+        open(bad, "w").write("noseparator\n")
+        with pytest.raises(RuntimeError, match="misformatted"):
+            read_rfile(bad)
+        dup = str(tmp_path / "dup.txt")
+        open(dup, "w").write("a\t/x.fa\na\t/y.fa\n")
+        with pytest.raises(RuntimeError, match="duplicate"):
+            read_rfile(dup)
