@@ -221,6 +221,23 @@ class TestPlots:
         poppunk_main(["--fit-model", "bgmm", "--ref-db", out,
                       "--output", out, "--K", "2"])
         assert os.path.isfile(base + "_DPGMM_fit.png")
+        assert os.path.isfile(base + "_DPGMM_fit_contours.pdf")
+
+    def test_model_plots(self, db, tmp_path):
+        d1 = str(tmp_path / "dbp")
+        poppunk_main(["--fit-model", "dbscan", "--ref-db", db,
+                      "--output", d1])
+        assert os.path.isfile(os.path.join(d1, "dbp_dbscan.png"))
+        d2 = str(tmp_path / "rfp")
+        poppunk_main(["--fit-model", "refine", "--ref-db", db,
+                      "--output", d2, "--model-dir", d1])
+        assert os.path.isfile(os.path.join(d2, "rfp_refined_fit.png"))
+        d3 = str(tmp_path / "linp")
+        poppunk_main(["--fit-model", "lineage", "--ranks", "1,2",
+                      "--ref-db", db, "--output", d3])
+        hist = [f for f in os.listdir(d3) if "histogram" in f
+                or "rank" in f and f.endswith(".png")]
+        assert hist, os.listdir(d3)
 
 
 class TestQCDB:
