@@ -168,6 +168,33 @@ class TestUpdateDB:
         assert len(set(v.pop() for v in by_strain.values())) == 4
 
 
+class TestFastUpdate:
+    def test_fast_update(self, split_population, population, population_dir,
+                         tmp_path):
+        db, rfile, qfile, refs, queries, ref_clusters = split_population
+        up = str(tmp_path / "fast")
+        assign_main(["--db", db, "--query", qfile, "--output", up,
+                     "--update-db", "fast"])
+        # fast mode still produces a usable updated database
+        assert os.path.isfile(os.path.join(up, "fast.h5"))
+        assert os.path.isfile(os.path.join(up, "fast.refs"))
+        fast_refs = open(os.path.join(up, "fast.refs")).read().split()
+        combined = set(refs) | set(queries)
+        assert set(fast_refs).issubset(combined)
+        # each strain (incl. the novel one) keeps at least one reference
+        strains = {r.split("_iso")[0] for r in fast_refs}
+        assert "strain3" in strains
+        # the updated DB can answer another assignment (fresh name)
+        d, _ = population_dir
+        one = os.path.join(str(d), "fast_extra.txt")
+        with open(one, "w") as f:
+            f.write(f"fresh_q\t{os.path.join(str(d), queries[0] + '.fa')}\n")
+        out2 = str(tmp_path / "fq")
+        assign_main(["--db", up, "--query", one, "--output", out2])
+        got = read_clusters(os.path.join(out2, "fq_clusters.csv"))
+        assert "fresh_q" in got
+
+
 class TestLineageUpdateEquivalence:
     """The core invariant of test/test-update.py: building with
     --update-db must match building from scratch (R^2 > 0.99 on
