@@ -320,6 +320,8 @@ def fit_model(args):
     rlist, qlist, self_mode, X = read_pickle(distances, enforce_self=True)
     sys.stderr.write(f"Loaded distances for {len(rlist)} samples\n")
 
+    from ..profiling import stage
+
     assignments = None
     if args.use_model:
         model_dir = (args.model_dir or ref_db).rstrip("/")
@@ -411,7 +413,8 @@ def fit_model(args):
         sys.stderr.write("Done\n")
         return model, lineage_clusters
 
-    make_network_and_refs(model, assignments, rlist, X, output, args)
+    with stage("network+refs"):
+        make_network_and_refs(model, assignments, rlist, X, output, args)
     sys.stderr.write("Done\n")
     return model, assignments
 
