@@ -64,7 +64,19 @@ def knn_from_condensed(condensed, n, knn, chunk=2048):
         flat = offsets[lo] + (hi - lo - 1)
         block = condensed[np.clip(flat, 0, condensed.shape[0] - 1)]
         block = np.where(i_idx == j_all[None, :], np.inf, block)
-        order = np.argsort(block, axis=1, kind="stable")[:, :knn]
+        if n > 4 * knn + 64:
+            # argpartition prunes each row to ~4k candidates before the
+            # stable sort (an O(n) scan instead of O(n log n)); exact ties
+            # straddling the candidate boundary could order differently,
+            # which only matters for epsilon-identical distances
+            cand = np.argpartition(block, min(4 * knn, n - 1),
+                                   axis=1)[:, :4 * knn]
+            cand.sort(axis=1)  # restore column order for stable ties
+            cand_vals = np.take_along_axis(block, cand, axis=1)
+            sub_order = np.argsort(cand_vals, axis=1, kind="stable")[:, :knn]
+            order = np.take_along_axis(cand, sub_order, axis=1)
+        else:
+            order = np.argsort(block, axis=1, kind="stable")[:, :knn]
         sl = slice(start * knn, stop * knn)
         cols_out[sl] = order.ravel()
         data_out[sl] = np.take_along_axis(block, order, axis=1).ravel()
