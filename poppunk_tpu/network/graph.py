@@ -215,10 +215,17 @@ def load_network_file(fn):
 
 def remove_nodes_from_graph(G, reflist, samples_to_keep):
     """Induced subgraph keeping only the named samples
-    (PopPUNK/network.py:1988-2027)."""
+    (PopPUNK/network.py:1988-2027).
+
+    Indices beyond the graph's vertex count are ignored — prune_graph
+    passes the full database name list even to `.refs_graph` files whose
+    vertex set is the reference subset (the reference's graph-tool
+    filtering is equally lenient, and its loop saves the correctly-pruned
+    `_graph` last)."""
     keep_set = frozenset(samples_to_keep)
     vertices = np.array(
-        [i for i, name in enumerate(reflist) if name in keep_set],
+        [i for i, name in enumerate(reflist)
+         if name in keep_set and i < G.n_vertices],
         dtype=np.int64,
     )
     G_new, _ = G.subgraph(vertices, relabel=True)
