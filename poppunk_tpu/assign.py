@@ -95,16 +95,26 @@ def add_query_to_network(rlist, qlist, G, assignments, model, query_db_prefix,
             qq_dist_mat = np.zeros((0, 2), dtype=np.float32)
         else:
             sys.stderr.write("Calculating all query-query distances\n")
+            from .ops.fused_assign import model_post_spec
+
             add_random(query_db_prefix, qlist, kmers, strand_preserved)
             q_sketches = read_sketches(query_db_prefix, qlist)
-            qq_dist_mat = query_db(q_sketches, None, kmers, self_mode=True,
-                                   use_rc=not strand_preserved)
-            if distance_type == "core":
-                qq_assign = model.assign(qq_dist_mat, slope=0)
-            elif distance_type == "accessory":
-                qq_assign = model.assign(qq_dist_mat, slope=1)
+            qq_slope = {"core": 0, "accessory": 1}.get(distance_type)
+            post_spec = model_post_spec(model, slope=qq_slope)
+            if post_spec is not None:
+                qq_dist_mat, qq_assign = query_db(
+                    q_sketches, None, kmers, self_mode=True,
+                    use_rc=not strand_preserved, post_spec=post_spec)
             else:
-                qq_assign = model.assign(qq_dist_mat)
+                qq_dist_mat = query_db(q_sketches, None, kmers,
+                                       self_mode=True,
+                                       use_rc=not strand_preserved)
+                if distance_type == "core":
+                    qq_assign = model.assign(qq_dist_mat, slope=0)
+                elif distance_type == "accessory":
+                    qq_assign = model.assign(qq_dist_mat, slope=1)
+                else:
+                    qq_assign = model.assign(qq_dist_mat)
             edges = generate_tuples(np.asarray(qq_assign), model.within_label,
                                     self=True, int_offset=n_ref)
             w = None
@@ -251,13 +261,30 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
 
         sys.stderr.write(f"Calculating query distances against "
                          f"{len(r_names)} references\n")
+        from .ops.fused_assign import model_post_spec
         from .profiling import stage
+
+        # Serving fast path: classify every pair against the fitted model
+        # inside the same jit as the distance kernel (one dispatch per
+        # query chunk instead of distances -> host -> re-upload -> assign).
+        if fit_type == "core_refined" or (model.type == "refine"
+                                          and model.threshold):
+            fused_slope = 0
+        elif fit_type == "accessory_refined":
+            fused_slope = 1
+        else:
+            fused_slope = None
+        post_spec = model_post_spec(model, slope=fused_slope)
 
         with stage("query_distances", sync=True):
             r_sketches = read_sketches(ref_db, r_names)
             q_sketches = read_sketches(output, q_names)
-            qr_dist_mat = query_db(r_sketches, q_sketches, kmers,
-                                   use_rc=not strand_preserved)
+            out = query_db(r_sketches, q_sketches, kmers,
+                           use_rc=not strand_preserved, post_spec=post_spec)
+            if post_spec is not None:
+                qr_dist_mat, fused_assignments = out
+            else:
+                qr_dist_mat, fused_assignments = out, None
 
         if qc_dict["run_qc"]:
             sys.stderr.write("Running QC on distance matrix\n")
@@ -273,8 +300,10 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
                     [failed_dist_qc, failed_assembly_qc], output)
                 if len(failed_dist_samples) == len(q_names):
                     sys.exit(1)
-                q_names, qr_dist_mat = prune_query_distance_matrix(
-                    r_names, q_names, failed_dist_samples, qr_dist_mat)[0:2]
+                q_names, qr_dist_mat, fused_assignments = \
+                    prune_query_distance_matrix(
+                        r_names, q_names, failed_dist_samples, qr_dist_mat,
+                        fused_assignments)
 
         if model.type == "lineage":
             genome_network, isolate_clustering = _assign_lineage(
@@ -289,7 +318,8 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
                 model, fit_type, ext, r_names, q_names, qr_dist_mat,
                 prev_clustering_dir, output, kmers, qc_dict, serial, stable,
                 update_db, write_references, graph_weights, strand_preserved,
-                external_clustering, use_ref_graph, threads)
+                external_clustering, use_ref_graph, threads,
+                fused_assignments=fused_assignments)
             if isolate_clustering is None:
                 continue  # all queries failed assignment QC for this type
 
@@ -405,7 +435,7 @@ def _assign_network(model, fit_type, ext, r_names, q_names, qr_dist_mat,
                     prev_clustering_dir, output, kmers, qc_dict, serial,
                     stable, update_db, write_references, graph_weights,
                     strand_preserved, external_clustering, use_ref_graph,
-                    threads):
+                    threads, fused_assignments=None):
     """Non-lineage assignment: attach to network, name clusters
     (assign.py:576-734)."""
     genome_network, old_cluster_file = fetch_network(
@@ -417,14 +447,20 @@ def _assign_network(model, fit_type, ext, r_names, q_names, qr_dist_mat,
 
     if fit_type == "core_refined" or (model.type == "refine"
                                       and model.threshold):
-        query_assignments = model.assign(qr_dist_mat, slope=0)
         dist_type = "core"
     elif fit_type == "accessory_refined":
-        query_assignments = model.assign(qr_dist_mat, slope=1)
         dist_type = "accessory"
     else:
-        query_assignments = model.assign(qr_dist_mat)
         dist_type = "euclidean"
+    if fused_assignments is not None:
+        # classified on device inside the distance dispatch
+        query_assignments = fused_assignments
+    elif dist_type == "core":
+        query_assignments = model.assign(qr_dist_mat, slope=0)
+    elif dist_type == "accessory":
+        query_assignments = model.assign(qr_dist_mat, slope=1)
+    else:
+        query_assignments = model.assign(qr_dist_mat)
 
     if qc_dict["run_qc"] and qc_dict["max_merge"] > 1:
         sys.stderr.write("Running QC on model assignments\n")

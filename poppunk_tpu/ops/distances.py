@@ -136,10 +136,11 @@ def core_accessory(jaccards, klist):
 
 @partial(jax.jit, static_argnames=("klist", "sketchsize64", "bbits", "pad_bits",
                                    "random_correct", "use_rc", "jaccard",
-                                   "use_pallas"))
+                                   "use_pallas", "post_name", "post_static"))
 def _dist_chunk(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
                 sketchsize64, bbits, pad_bits, random_correct, use_rc,
-                jaccard, use_pallas):
+                jaccard, use_pallas, post_name=None, post_static=(),
+                post_params=None):
     if use_pallas:
         from .pallas_jaccard import match_counts_pallas
 
@@ -150,7 +151,13 @@ def _dist_chunk(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
                            sketchsize64, bbits, random_correct, use_rc)
     if jaccard:
         return j
-    return core_accessory(j, klist)
+    d = core_accessory(j, klist)
+    if post_name is None:
+        return d
+    from .fused_assign import apply_post
+
+    extra = apply_post(d, (post_name, post_static, post_params))
+    return d, extra.reshape(d.shape[:-1])
 
 
 def _auto_use_pallas():
@@ -165,15 +172,19 @@ _SHARD_MIN_PAIRS = 1 << 16
 def pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
                    sketchsize64, bbits, random_correct=True, use_rc=True,
                    jaccard=False, use_pallas=None, chunk=512,
-                   use_mesh=None):
+                   use_mesh=None, post_spec=None):
     """Dense [nq, nr] distance block, chunked over queries on the host.
 
     Returns f32[nq, nr, 2] (core, accessory) or [nq, nr, K] Jaccards.
+    With ``post_spec`` (ops/fused_assign), returns (dists, extra[nq, nr]) —
+    the model classification fused into the same dispatch.
 
     With more than one device visible (and a big enough problem), the block
     is computed sharded over the full ('q', 'r') device mesh — reference
     shards resident per device, queries data-parallel.
     """
+    if post_spec is not None and jaccard:
+        raise ValueError("post_spec requires (core, accessory) output")
     if use_mesh is None:
         use_mesh = (jax.device_count() > 1
                     and planes_q.shape[0] * planes_r.shape[0]
@@ -186,10 +197,11 @@ def pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
         return sharded_pairwise_block(
             get_mesh(n_dev, n_q=n_q), planes_q, planes_r, len_q, len_r,
             freq_q, freq_r, klist, sketchsize64, bbits, random_correct,
-            use_rc, jaccard, use_pallas)
+            use_rc, jaccard, use_pallas, post_spec=post_spec)
     if use_pallas is None:
         use_pallas = _auto_use_pallas()
     _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+    post_name, post_static, post_params = post_spec or (None, (), None)
     nq = planes_q.shape[0]
     out = []
     planes_r = jnp.asarray(planes_r)
@@ -205,34 +217,47 @@ def pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
                 tuple(int(k) for k in klist), int(sketchsize64), int(bbits),
                 int(pad_bits), bool(random_correct), bool(use_rc),
                 bool(jaccard), bool(use_pallas),
+                post_name, post_static, post_params,
             )
         )
+    if post_name is not None:
+        return (np.concatenate([np.asarray(o[0]) for o in out], axis=0),
+                np.concatenate([np.asarray(o[1]) for o in out], axis=0))
     return np.concatenate([np.asarray(o) for o in out], axis=0)
 
 
 def condensed_self_block(planes, lengths, freqs, klist, sketchsize64, bbits,
                          random_correct=True, use_rc=True, jaccard=False,
-                         use_pallas=None, chunk=512):
+                         use_pallas=None, chunk=512, post_spec=None):
     """Condensed i<j all-vs-all rows WITHOUT materialising the n x n
     square: each query chunk's block is sliced to its upper-triangle rows
     immediately (peak memory chunk * n instead of n * n — the difference
     between 80 GB and 0.4 GB at 10^5 genomes)."""
     n = planes.shape[0]
     out = []
+    out_extra = []
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
         block = pairwise_block(
             planes[start:stop], planes, lengths[start:stop], lengths,
             freqs[start:stop], freqs, klist, sketchsize64, bbits,
             random_correct, use_rc, jaccard, use_pallas, chunk=chunk,
-            use_mesh=False if n * (stop - start) < 1 << 16 else None)
+            use_mesh=False if n * (stop - start) < 1 << 16 else None,
+            post_spec=post_spec)
+        if post_spec is not None:
+            block, extra = block
+            for local, gi in enumerate(range(start, stop)):
+                out_extra.append(extra[local, gi + 1:])
         for local, gi in enumerate(range(start, stop)):
             out.append(block[local, gi + 1:])
+    if post_spec is not None:
+        return (np.concatenate(out, axis=0),
+                np.concatenate(out_extra, axis=0))
     return np.concatenate(out, axis=0)
 
 
 def query_db(sketches_r, sketches_q, klist, random_correct=True, use_rc=True,
-             jaccard=False, self_mode=False, use_pallas=None):
+             jaccard=False, self_mode=False, use_pallas=None, post_spec=None):
     """Long-form distances, reference row conventions.
 
     self_mode: condensed i<j rows over sketches_r (sketches_q ignored),
@@ -240,7 +265,9 @@ def query_db(sketches_r, sketches_q, klist, random_correct=True, use_rc=True,
     (PopPUNK/assign.py:690).
 
     Returns float32[n_rows, 2] of (core, accessory) — or [n_rows, K]
-    Jaccards with jaccard=True.
+    Jaccards with jaccard=True. With ``post_spec`` (ops/fused_assign),
+    returns (dists, extra[n_rows]) with the model classification fused
+    into the distance dispatch.
     """
     ss64 = sketches_r[0].sketchsize64
     bbits = sketches_r[0].bbits
@@ -248,9 +275,12 @@ def query_db(sketches_r, sketches_q, klist, random_correct=True, use_rc=True,
     if self_mode:
         return condensed_self_block(
             planes_r, len_r, freq_r, klist, ss64, bbits, random_correct,
-            use_rc, jaccard, use_pallas)
+            use_rc, jaccard, use_pallas, post_spec=post_spec)
     planes_q, len_q, freq_q = pack_planes(sketches_q, klist)
     block = pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r,
                            klist, ss64, bbits, random_correct, use_rc,
-                           jaccard, use_pallas)
+                           jaccard, use_pallas, post_spec=post_spec)
+    if post_spec is not None:
+        block, extra = block
+        return block.reshape(-1, block.shape[-1]), extra.reshape(-1)
     return block.reshape(-1, block.shape[-1])

@@ -1,0 +1,106 @@
+"""Fused distance + model-classification post-ops.
+
+The reference's serving path (PopPUNK/assign.py:502 then models.py:1085 /
+models.py:411-464) computes the query-vs-reference distance matrix in one
+native call, ships it to Python, then re-walks every pair in a second pass
+to classify it against the fitted model. On TPU that second pass would mean
+re-uploading the whole |Q|x|R| matrix through the host. Instead the
+classifier runs inside the same jit as the distance kernel, on the tile
+that is already in VMEM/HBM — one dispatch per query chunk returns both the
+distances and the per-pair assignment.
+
+A post-op is identified by a static string (jit-cache key) plus a static
+tuple and a pytree of device parameters:
+
+    spec = (name, static, params)
+    POST_FNS[name](dists, params, static) -> extra output
+
+``model_post_spec(model, slope)`` builds the spec for any model that
+supports device classification (refine/threshold boundaries, BGMM
+likelihood argmax); returns None otherwise (the caller falls back to the
+two-pass route).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _post_boundary(dists, params, static):
+    """Sign of each pair vs a 2-D line boundary — jnp twin of
+    ops/boundary.assign_threshold (reference src/boundary.cpp:42-80).
+    Within-strain pairs are -1."""
+    (slope,) = static
+    scale, x_max, y_max = params
+    Xs = dists.reshape(-1, 2) / scale
+    x0 = Xs[:, 0]
+    y0 = Xs[:, 1]
+    if slope == 2:
+        d = jnp.where(
+            (x_max == 0) | (y_max == 0),
+            jnp.sqrt(x0 * x0 + y0 * y0),
+            y0 * x_max + x0 * y_max - x_max * y_max,
+        )
+    elif slope == 0:
+        d = x0 - x_max
+    elif slope == 1:
+        d = y0 - y_max
+    else:
+        raise ValueError("slope must be 0, 1 or 2")
+    return jnp.sign(d).astype(jnp.int32)
+
+
+def _post_bgmm(dists, params, static):
+    """Component argmax of the weighted Gaussian log-likelihood — same math
+    as models/bgmm._assign_chunk (reference PopPUNK/bgmm.py:100-174)."""
+    from ..models.bgmm import log_likelihood_device
+
+    weights, means, covariances, scale = params
+    _, lpr = log_likelihood_device(
+        dists.reshape(-1, 2), weights, means, covariances, scale)
+    return jnp.argmax(lpr, axis=1).astype(jnp.int32)
+
+
+POST_FNS = {
+    "boundary": _post_boundary,
+    "bgmm": _post_bgmm,
+}
+
+
+def apply_post(dists, post_spec):
+    """Run a post-op inside a jit. post_spec = (name, static, params)."""
+    name, static, params = post_spec
+    return POST_FNS[name](dists, params, static)
+
+
+def model_post_spec(model, slope=None):
+    """(name, static, params) classifying pairs like ``model.assign`` —
+    or None if the model has no device classifier (dbscan, lineage)."""
+    if getattr(model, "type", None) == "refine":
+        if slope is None:
+            slope = model.slope
+        scale = jnp.asarray(model.scale, jnp.float32)
+        if slope == 2:
+            x_max, y_max = model.optimal_x, model.optimal_y
+        elif slope == 0:
+            x_max, y_max = model.core_boundary, 0.0
+        else:
+            x_max, y_max = 0.0, model.accessory_boundary
+        params = (scale, jnp.float32(x_max), jnp.float32(y_max))
+        return ("boundary", (int(slope),), params)
+    if getattr(model, "type", None) == "bgmm":
+        params = (
+            jnp.asarray(model.weights, jnp.float32),
+            jnp.asarray(model.means, jnp.float32),
+            jnp.asarray(model.covariances, jnp.float32),
+            jnp.asarray(model.scale, jnp.float32),
+        )
+        return ("bgmm", (), params)
+    return None
+
+
+def assign_oracle(model, dist_mat, slope=None):
+    """Host-path assignment with the same slope resolution as
+    model_post_spec (for tests and fallbacks)."""
+    if slope is None:
+        return np.asarray(model.assign(dist_mat))
+    return np.asarray(model.assign(dist_mat, slope=slope))

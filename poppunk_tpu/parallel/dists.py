@@ -26,8 +26,9 @@ from ..ops.distances import (
 )
 
 
-def _local_block(pq, pr, lq, lr, fq, fr, *, klist, sketchsize64, bbits,
-                 pad_bits, random_correct, use_rc, jaccard, use_pallas):
+def _local_block(pq, pr, lq, lr, fq, fr, post_params, *, klist, sketchsize64,
+                 bbits, pad_bits, random_correct, use_rc, jaccard, use_pallas,
+                 post_name, post_static):
     """Distance tile for one device's (query shard, reference shard)."""
     if use_pallas:
         from ..ops.pallas_jaccard import match_counts_pallas
@@ -39,27 +40,41 @@ def _local_block(pq, pr, lq, lr, fq, fr, *, klist, sketchsize64, bbits,
                            sketchsize64, bbits, random_correct, use_rc)
     if jaccard:
         return j
-    return core_accessory(j, klist)
+    d = core_accessory(j, klist)
+    if post_name is None:
+        return d
+    from ..ops.fused_assign import apply_post
+
+    extra = apply_post(d, (post_name, post_static, post_params))
+    return d, extra.reshape(d.shape[:-1])
 
 
 @partial(jax.jit, static_argnames=("mesh", "klist", "sketchsize64", "bbits",
                                    "pad_bits", "random_correct", "use_rc",
-                                   "jaccard", "use_pallas"))
+                                   "jaccard", "use_pallas", "post_name",
+                                   "post_static"))
 def _sharded_block_jit(planes_q, planes_r, len_q, len_r, freq_q, freq_r,
-                       mesh, klist, sketchsize64, bbits, pad_bits,
-                       random_correct, use_rc, jaccard, use_pallas):
+                       post_params, mesh, klist, sketchsize64, bbits,
+                       pad_bits, random_correct, use_rc, jaccard, use_pallas,
+                       post_name=None, post_static=()):
+    if jaccard or post_name is None:
+        out_specs = P("q", "r", None)
+    else:
+        out_specs = (P("q", "r", None), P("q", "r"))
     fn = jax.shard_map(
         partial(_local_block, klist=klist, sketchsize64=sketchsize64,
                 bbits=bbits, pad_bits=pad_bits, random_correct=random_correct,
-                use_rc=use_rc, jaccard=jaccard, use_pallas=use_pallas),
+                use_rc=use_rc, jaccard=jaccard, use_pallas=use_pallas,
+                post_name=post_name, post_static=post_static),
         mesh=mesh,
         in_specs=(
             P("q", None, None, None), P("r", None, None, None),
             P("q"), P("r"), P("q", None), P("r", None),
+            P(),  # classifier params replicated on every device
         ),
-        out_specs=P("q", "r", None),
+        out_specs=out_specs,
     )
-    return fn(planes_q, planes_r, len_q, len_r, freq_q, freq_r)
+    return fn(planes_q, planes_r, len_q, len_r, freq_q, freq_r, post_params)
 
 
 def _pad_axis0(arrs, n_to):
@@ -75,15 +90,18 @@ def _pad_axis0(arrs, n_to):
 def sharded_pairwise_block(mesh, planes_q, planes_r, len_q, len_r, freq_q,
                            freq_r, klist, sketchsize64, bbits,
                            random_correct=True, use_rc=True, jaccard=False,
-                           use_pallas=None, q_chunk=1024):
+                           use_pallas=None, q_chunk=1024, post_spec=None):
     """Dense [nq, nr, 2] block, sharded over the mesh.
 
     Queries are processed in host-side chunks of ``q_chunk`` per q-shard to
-    bound device memory for huge all-vs-all runs.
+    bound device memory for huge all-vs-all runs. With ``post_spec``
+    (ops/fused_assign) returns (dists, extra[nq, nr]) — the model
+    classification runs on each device's tile inside the same dispatch.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+    post_name, post_static, post_params = post_spec or (None, (), None)
     nq, nr = planes_q.shape[0], planes_r.shape[0]
     q_size = mesh.shape["q"]
     r_size = mesh.shape["r"]
@@ -101,6 +119,7 @@ def sharded_pairwise_block(mesh, planes_q, planes_r, len_q, len_r, freq_q,
 
     step = q_chunk * q_size
     out = []
+    out_extra = []
     for start in range(0, nq, step):
         stop = min(start + step, nq)
         cq = ((stop - start + q_size - 1) // q_size) * q_size
@@ -114,11 +133,18 @@ def sharded_pairwise_block(mesh, planes_q, planes_r, len_q, len_r, freq_q,
             len_r,
             jax.device_put(fq, NamedSharding(mesh, P("q", None))),
             freq_r,
+            post_params,
             mesh, tuple(int(k) for k in klist), int(sketchsize64), int(bbits),
             int(pad_bits), bool(random_correct), bool(use_rc), bool(jaccard),
-            bool(use_pallas),
+            bool(use_pallas), post_name, post_static,
         )
+        if post_name is not None and not jaccard:
+            block, extra = block
+            out_extra.append(np.asarray(extra)[: stop - start, :nr])
         out.append(np.asarray(block)[: stop - start, :nr])
+    if post_name is not None and not jaccard:
+        return (np.concatenate(out, axis=0),
+                np.concatenate(out_extra, axis=0))
     return np.concatenate(out, axis=0)
 
 
