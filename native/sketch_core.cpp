@@ -10,6 +10,7 @@
 // Build: g++ -O3 -march=native -fopenmp -shared -fPIC -o libsketch_core.so sketch_core.cpp
 // Called from poppunk_tpu/sketch/native.py via ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -95,6 +96,95 @@ void bin_signs_for_k(const uint8_t *codes, int64_t n, int k, bool use_rc,
   }
 }
 
+// All canonical (or forward) hashes of valid windows, same scan as
+// bin_signs_for_k — used by the read path, where k-mers must be counted
+// before binning.
+void collect_hashes_for_k(const uint8_t *codes, int64_t n, int k, bool use_rc,
+                          std::vector<uint64_t> &out) {
+  out.clear();
+  if (n < k) return;
+  int64_t j = 0;
+  while (j + k <= n) {
+    bool restart = false;
+    for (int64_t i = j + k - 1; i >= j; --i) {
+      if (codes[i] == INVALID_BASE) {
+        j = i + 1;
+        restart = true;
+        break;
+      }
+    }
+    if (restart) continue;
+
+    uint64_t fh = 0, rh = 0;
+    for (int i = 0; i < k; ++i) {
+      fh ^= rol64(SEED[codes[j + i]], k - 1 - i);
+      if (use_rc) rh ^= rol64(SEED[COMP[codes[j + i]]], i);
+    }
+
+    while (true) {
+      out.push_back((use_rc && rh < fh) ? rh : fh);
+      if (j + k >= n) { j = n; break; }
+      uint8_t in = codes[j + k];
+      if (in == INVALID_BASE) { j = j + k + 1; break; }
+      uint8_t out_base = codes[j];
+      fh = rol64(fh, 1) ^ rol64(SEED[out_base], k) ^ SEED[in];
+      if (use_rc)
+        rh = ror64(rh ^ SEED[COMP[out_base]], 1) ^
+             rol64(SEED[COMP[in]], k - 1);
+      ++j;
+    }
+  }
+}
+
+inline void bin_one(uint64_t h, uint64_t binsize, uint64_t *signs) {
+  uint64_t sign = h % SIGN_MOD;
+  uint64_t bin = sign / binsize;
+  if (sign < signs[bin]) signs[bin] = sign;
+}
+
+// Count-min geometry matching sketch/reader.py CountMin (width_bits=22,
+// 4 rows, salts (row+1)*golden; idx = (h * salt) >> 33 & mask; uint16
+// counters with numpy's wrap-on-overflow semantics; estimates read after
+// all insertions).
+constexpr int CM_WIDTH_BITS = 22;
+constexpr int CM_HASHES = 4;
+constexpr uint64_t CM_MASK = (1ULL << CM_WIDTH_BITS) - 1;
+
+// Filter read k-mer hashes by multiplicity then bin the survivors —
+// multiset-identical to reader.py filter_read_kmers (both filter modes
+// keep or drop whole unique hashes, and min-per-bin is order-blind).
+void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
+                         bool exact, uint64_t binsize, uint64_t *signs) {
+  if (hashes.empty()) return;
+  if (exact) {
+    std::sort(hashes.begin(), hashes.end());
+    size_t i = 0;
+    while (i < hashes.size()) {
+      size_t run = i + 1;
+      while (run < hashes.size() && hashes[run] == hashes[i]) ++run;
+      if (run - i >= (size_t)min_count) bin_one(hashes[i], binsize, signs);
+      i = run;
+    }
+    return;
+  }
+  std::vector<uint16_t> table((size_t)CM_HASHES << CM_WIDTH_BITS, 0);
+  for (int row = 0; row < CM_HASHES; ++row) {
+    const uint64_t salt = (uint64_t)(row + 1) * 0x9E3779B97F4A7C15ULL;
+    uint16_t *t = table.data() + ((size_t)row << CM_WIDTH_BITS);
+    for (uint64_t h : hashes) ++t[(h * salt) >> 33 & CM_MASK];
+  }
+  for (uint64_t h : hashes) {
+    uint32_t est = 0xFFFFFFFFu;
+    for (int row = 0; row < CM_HASHES; ++row) {
+      const uint64_t salt = (uint64_t)(row + 1) * 0x9E3779B97F4A7C15ULL;
+      const uint16_t *t = table.data() + ((size_t)row << CM_WIDTH_BITS);
+      uint32_t c = t[(h * salt) >> 33 & CM_MASK];
+      if (c < est) est = c;
+    }
+    if (est >= (uint32_t)min_count) bin_one(h, binsize, signs);
+  }
+}
+
 // Optimal densification, bit-identical to minhash.py densify(): all empty
 // bins are probed in lockstep rounds; donors reference the ORIGINAL
 // non-empty mask and original values.
@@ -156,19 +246,31 @@ extern "C" {
 
 // Sketch one encoded sequence at every k in klist.
 // codes: uint8[n] with A=0,C=1,G=2,T=3,invalid=4 (contig separators too).
+// min_count > 1 enables read k-mer filtering (exact_filter selects the
+// exact counter over count-min), matching sketch/reader.py.
 // usigs_out: uint64[n_k * sketchsize64 * bbits], per-k blocks in klist
 // order. Returns: 1 if any k was densified, 0 if none, <0 on error
 // (-1: a k had no valid k-mers).
 int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
                       int n_k, int sketchsize64, int bbits, int use_rc,
-                      int n_threads, uint64_t *usigs_out) {
+                      int min_count, int exact_filter, int n_threads,
+                      uint64_t *usigs_out) {
   const int64_t nbins = (int64_t)sketchsize64 * 64;
+  const uint64_t binsize = (SIGN_MOD + (uint64_t)nbins - 1) / (uint64_t)nbins;
   int densified_any = 0;
   int error = 0;
 #pragma omp parallel for schedule(dynamic) num_threads(n_threads)
   for (int ki = 0; ki < n_k; ++ki) {
     std::vector<uint64_t> signs(nbins);
-    bin_signs_for_k(codes, n, klist[ki], use_rc != 0, nbins, signs.data());
+    if (min_count > 1) {
+      for (int64_t b = 0; b < nbins; ++b) signs[b] = EMPTY_BIN;
+      std::vector<uint64_t> hashes;
+      collect_hashes_for_k(codes, n, klist[ki], use_rc != 0, hashes);
+      bin_filtered_hashes(hashes, min_count, exact_filter != 0, binsize,
+                          signs.data());
+    } else {
+      bin_signs_for_k(codes, n, klist[ki], use_rc != 0, nbins, signs.data());
+    }
     int rc = densify(signs.data(), nbins);
     if (rc < 0) {
 #pragma omp critical

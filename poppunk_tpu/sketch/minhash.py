@@ -185,19 +185,18 @@ def sketch_codes(codes, params: SketchParams, reads=False, use_native=None):
 
     Returns dict k -> packed usigs, plus densified flag.
 
-    The native C++ core (native/sketch_core.cpp, bit-identical) handles the
-    assembly path; codon-phased seeds and read k-mer filtering stay on the
-    numpy path.
+    The native C++ core (native/sketch_core.cpp, bit-identical) handles
+    both the assembly path and the read path (exact / count-min k-mer
+    filtering); codon-phased seeds stay on the numpy path.
     """
     from .reader import filter_read_kmers
 
     if use_native is None:
-        use_native = not params.codon_phased and not (
-            reads and params.min_count > 0)
+        use_native = not params.codon_phased
     if use_native:
         from .native import sketch_codes_native
 
-        native = sketch_codes_native(codes, params)
+        native = sketch_codes_native(codes, params, reads=reads)
         if native is not None:
             return native
 

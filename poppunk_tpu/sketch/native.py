@@ -44,6 +44,7 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64),
         ]
         _lib = lib
@@ -58,9 +59,10 @@ def native_available():
     return get_lib() is not None
 
 
-def sketch_codes_native(codes, params, threads=None):
-    """Native twin of minhash.sketch_codes (assembly path; read-input
-    k-mer filtering stays on the numpy path).
+def sketch_codes_native(codes, params, threads=None, reads=False):
+    """Native twin of minhash.sketch_codes, including read-input k-mer
+    multiplicity filtering (exact or count-min, sketch/reader.py
+    semantics).
 
     Returns (usigs dict k -> uint64 array, densified flag) or None if the
     native library is unavailable.
@@ -75,12 +77,15 @@ def sketch_codes_native(codes, params, threads=None):
     out = np.empty(n_k * block, dtype=np.uint64)
     if threads is None:
         threads = min(n_k, os.cpu_count() or 1)
+    min_count = params.min_count if reads else 0
     rc = lib.sketch_sequence_c(
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(codes.shape[0]),
         klist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int(n_k), ctypes.c_int(params.sketchsize64),
         ctypes.c_int(params.bbits), ctypes.c_int(1 if params.use_rc else 0),
+        ctypes.c_int(int(min_count)),
+        ctypes.c_int(1 if params.exact_counter else 0),
         ctypes.c_int(threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )

@@ -79,3 +79,46 @@ def test_speedup_measured():
     sketch_codes(codes, params, use_native=False)
     numpy_t = time.perf_counter() - t0
     assert native_t < numpy_t, (native_t, numpy_t)
+
+
+def _read_like_codes(rng, n_kmers_rep, seed_len=3_000):
+    """Synthetic 'reads': a genome duplicated several times (k-mers with
+    multiplicity >= copies) plus unique error k-mers (multiplicity 1)."""
+    genome = rng.integers(0, 4, seed_len).astype(np.uint8)
+    sep = np.array([4], dtype=np.uint8)
+    parts = []
+    for _ in range(n_kmers_rep):
+        parts.extend([genome, sep])
+    errors = rng.integers(0, 4, 2_000).astype(np.uint8)
+    parts.append(errors)
+    return np.concatenate(parts)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.parametrize("min_count", [2, 3])
+def test_read_filter_bit_identical(exact, min_count):
+    """Read k-mer filtering (exact and count-min) in the native core must
+    reproduce the numpy reader.py path exactly."""
+    rng = np.random.default_rng(7)
+    codes = _read_like_codes(rng, 4)
+    params = SketchParams(klist=(13, 17, 21), sketchsize64=16, bbits=8,
+                          min_count=min_count, exact_counter=exact)
+    got, got_dense = sketch_codes_native(codes, params, reads=True)
+    want, want_dense = sketch_codes(codes, params, reads=True,
+                                    use_native=False)
+    assert got_dense == want_dense
+    for k in want:
+        assert np.array_equal(got[k], want[k]), f"k={k}"
+
+
+def test_read_filter_changes_sketch():
+    """Filtering must actually drop the unique error k-mers: the filtered
+    sketch differs from the unfiltered one."""
+    rng = np.random.default_rng(8)
+    codes = _read_like_codes(rng, 3)
+    base = SketchParams(klist=(17,), sketchsize64=16, bbits=8)
+    filt = SketchParams(klist=(17,), sketchsize64=16, bbits=8, min_count=2,
+                        exact_counter=True)
+    plain, _ = sketch_codes_native(codes, base, reads=True)
+    filtered, _ = sketch_codes_native(codes, filt, reads=True)
+    assert not np.array_equal(plain[17], filtered[17])
