@@ -83,6 +83,10 @@ def get_options(arg_list=None):
                        version="%(prog)s " + __version__)
     other.add_argument("--citation", action="store_true")
 
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "gpu-sketch", "gpu-dist", "gpu-graph",
+                           "deviceid")
     return parser.parse_args(arg_list)
 
 
@@ -91,6 +95,9 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
     if getattr(args, "profile", False):
         from ..profiling import enable
 

@@ -56,6 +56,46 @@ def qc_dict_from_args(args, run_qc=True):
     return qc
 
 
+_ACCEL_FLAG_DEFS = {
+    "gpu-sketch": ("--gpu-sketch", dict(action="store_true")),
+    "gpu-dist": ("--gpu-dist", dict(action="store_true")),
+    "gpu-model": ("--gpu-model", dict(action="store_true")),
+    "gpu-graph": ("--gpu-graph", dict(action="store_true")),
+    "use-gpu": ("--use-gpu", dict(action="store_true")),
+    "deviceid": ("--deviceid", dict(type=int, default=0)),
+    "device-id": ("--device-id", dict(type=int, default=0)),
+}
+
+
+def add_accel_compat_flags(parser, *names):
+    """Register the reference's GPU-offload flags as accepted no-ops.
+
+    The reference gates CUDA offload behind --gpu-sketch/--gpu-dist/
+    --gpu-model/--gpu-graph/--use-gpu/--deviceid (PopPUNK/__main__.py:
+    216-220, docs/gpu.rst). Here every compute stage already runs on the
+    TPU mesh, so existing scripts keep working: the flags parse, do
+    nothing, and note_accel_compat_flags() says so on stderr."""
+    group = parser.add_argument_group(
+        "GPU options (compatibility; compute always runs on TPU)")
+    for name in names:
+        flag, kwargs = _ACCEL_FLAG_DEFS[name]
+        group.add_argument(flag, help="Accepted for compatibility with "
+                          "PopPUNK; ignored (TPU offload is automatic)",
+                          **kwargs)
+
+
+def note_accel_compat_flags(args):
+    set_flags = [f"--{n}" for n in
+                 ("gpu_sketch", "gpu_dist", "gpu_model", "gpu_graph",
+                  "use_gpu")
+                 if getattr(args, n, False)]
+    if set_flags:
+        sys.stderr.write(
+            " ".join(set_flags).replace("_", "-")
+            + ": compute runs on the TPU device mesh automatically; "
+            "GPU flags are accepted for compatibility and ignored\n")
+
+
 def parse_kmers(min_k, max_k, k_step):
     if min_k >= max_k:
         sys.stderr.write("Minimum k-mer length must be smaller than maximum\n")

@@ -27,6 +27,9 @@ def get_options(arg_list=None):
     parser.add_argument("--threads", type=int, default=1)
     parser.add_argument("--version", action="version",
                         version="%(prog)s " + __version__)
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "use-gpu")
     return parser.parse_args(arg_list)
 
 
@@ -35,6 +38,9 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
     from ..network.graph import GRAPH_SUFFIX, load_network_file
     from ..network.summary import print_network_summary
     from ..utils import db_h5_path

@@ -64,6 +64,9 @@ def get_options(arg_list=None):
                          default=DEFAULT_LINEAGE_RESOLUTION)
     parser.add_argument("--version", action="version",
                         version="%(prog)s " + __version__)
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "gpu-sketch", "gpu-dist", "gpu-graph", "deviceid")
     return parser.parse_args(arg_list)
 
 
@@ -72,6 +75,9 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
     if args.create_db is not None:
         create_db(args)
     else:

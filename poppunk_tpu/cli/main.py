@@ -140,6 +140,10 @@ def get_options(arg_list=None):
     other.add_argument("--citation", action="store_true",
                        help="Give a methods paragraph and citations")
 
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "gpu-sketch", "gpu-dist", "gpu-model",
+                           "gpu-graph", "deviceid")
     return parser.parse_args(arg_list)
 
 
@@ -148,6 +152,9 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
     if getattr(args, "profile", False):
         from ..profiling import enable
 

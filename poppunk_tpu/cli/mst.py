@@ -40,6 +40,9 @@ def get_options(arg_list=None):
     other.add_argument("--threads", type=int, default=1)
     other.add_argument("--version", action="version",
                        version="%(prog)s " + __version__)
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "gpu-graph")
     return parser.parse_args(arg_list)
 
 
@@ -74,6 +77,9 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
     from ..network.graph import save_network
     from ..trees import mst_to_phylogeny, write_tree
     from ..utils import (read_isolate_type_from_csv,

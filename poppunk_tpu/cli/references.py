@@ -25,12 +25,19 @@ def get_options(arg_list=None):
     io_group.add_argument("--model",
                           help="Directory containing the model fit (copied "
                                "to the output)")
+    io_group.add_argument("--clusters", default=None,
+                          help="Specify a different clustering (e.g. "
+                               "core/accessory) to copy with the model")
     out_group = parser.add_argument_group("Output options")
     out_group.add_argument("--output", required=True)
     other = parser.add_argument_group("Other options")
     other.add_argument("--threads", type=int, default=1)
     other.add_argument("--version", action="version",
                        version="%(prog)s " + __version__)
+
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "use-gpu")
     return parser.parse_args(arg_list)
 
 
@@ -39,6 +46,9 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
     from ..io.hdf5db import remove_from_db
     from ..network.cliques import extract_references
     from ..network.graph import load_network_file, save_network
@@ -68,12 +78,20 @@ def main(arg_list=None):
             output, os.path.basename(output) + ".refs.h5"))
 
     if args.model is not None:
+        from shutil import copyfile
+
         from ..models import load_cluster_fit
 
         model_base = os.path.join(args.model, os.path.basename(args.model))
         model = load_cluster_fit(model_base + "_fit.pkl",
                                  model_base + "_fit.npz")
         model.copy(output)
+        # carry the clustering over too (reference_pick.py:124-128);
+        # --clusters picks an alternative CSV (e.g. core/accessory)
+        cluster_file = args.clusters or model_base + "_clusters.csv"
+        if os.path.isfile(cluster_file):
+            copyfile(cluster_file, os.path.join(
+                output, os.path.basename(output) + "_clusters.csv"))
 
 
 if __name__ == "__main__":

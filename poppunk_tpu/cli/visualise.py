@@ -32,12 +32,20 @@ def get_options(arg_list=None):
     io_group.add_argument("--recalculate-distances", action="store_true",
                           help="Recalculate pairwise distances rather than "
                                "reading them from the distance file")
+    io_group.add_argument("--read-distances", action="store_true",
+                          help="Read pairwise distances from a file rather "
+                               "than recalculate them (the default when a "
+                               "distance file exists; accepted for "
+                               "compatibility)")
     io_group.add_argument("--network-file")
     io_group.add_argument("--display-cluster",
                           help="Column of clustering CSV to use for colouring")
     io_group.add_argument("--use-partial-query-graph",
                           help="File with the list of sequences in the "
                                "partial query graph from poppunk_assign")
+    io_group.add_argument("--extend-query-graph", action="store_true",
+                          help="Extend the partial query graph to include "
+                               "all other sequences in the same clusters")
 
     out_group = parser.add_argument_group("Output options")
     out_group.add_argument("--output", required=True)
@@ -61,6 +69,14 @@ def get_options(arg_list=None):
     viz_group.add_argument("--info-csv",
                            help="Epidemiological information CSV for join")
 
+    query_group = parser.add_argument_group("Database querying options")
+    query_group.add_argument("--core-only", action="store_true",
+                             help="Accepted for compatibility with PopPUNK "
+                                  "(parsed but unused there too)")
+    query_group.add_argument("--accessory-only", action="store_true",
+                             help="Accepted for compatibility with PopPUNK "
+                                  "(parsed but unused there too)")
+
     other = parser.add_argument_group("Other options")
     other.add_argument("--threads", type=int, default=1)
     other.add_argument("--strand-preserved", action="store_true")
@@ -68,6 +84,9 @@ def get_options(arg_list=None):
     other.add_argument("--version", action="version",
                        version="%(prog)s " + __version__)
 
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "gpu-dist", "gpu-graph", "deviceid")
     return parser.parse_args(arg_list)
 
 
@@ -76,6 +95,9 @@ def main(arg_list=None):
 
     configure_jax_cache()
     args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
     from ..visualise import generate_visualisations
 
     generate_visualisations(
@@ -108,7 +130,9 @@ def main(arg_list=None):
         overwrite=args.overwrite,
         display_cluster=args.display_cluster,
         use_partial_query_graph=args.use_partial_query_graph,
-        recalculate_distances=args.recalculate_distances,
+        extend_query_graph=args.extend_query_graph,
+        recalculate_distances=(args.recalculate_distances
+                               and not args.read_distances),
         tmp=args.tmp,
     )
 

@@ -68,6 +68,7 @@ def generate_visualisations(query_db, ref_db, distances, rank_fit, threads,
                             previous_distances, network_file, info_csv,
                             rapidnj, api_key, tree, mst_distances, overwrite,
                             display_cluster, use_partial_query_graph=None,
+                            extend_query_graph=False,
                             recalculate_distances=False, tmp="/tmp/"):
     from .models import load_cluster_fit
 
@@ -126,6 +127,17 @@ def generate_visualisations(query_db, ref_db, distances, rank_fit, threads,
                 prev_query, mode=mode, return_dict=True)
             isolate_clustering = join_cluster_dicts(isolate_clustering,
                                                     query_clustering)
+
+    # Extend the partial query graph subset to every isolate sharing a
+    # cluster with it (reference visualise.py:444-464)
+    if use_partial_query_graph and extend_query_graph and viz_subset:
+        clustering = isolate_clustering.get("Cluster", {})
+        subset_clusters = {clustering[s] for s in viz_subset
+                           if s in clustering}
+        universe = set(combined_seq)
+        for isolate, cluster in clustering.items():
+            if cluster in subset_clusters and isolate in universe:
+                viz_subset.add(isolate)
 
     # ------------------------------------------------------------------
     # Dense distances (for NJ and dense MST)

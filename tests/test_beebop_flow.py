@@ -49,3 +49,41 @@ def test_partial_query_graph_flow(population, population_dir, tmp_path):
     rows = list(csv.DictReader(open(csv_file)))
     ids = {r["id"] for r in rows}
     assert set(subset) == ids
+
+
+def test_extend_query_graph_flow(population, population_dir, tmp_path):
+    """--extend-query-graph grows the partial-graph subset to every
+    isolate sharing a cluster with it (reference visualise.py:444-464)."""
+    d, _ = population_dir
+    refs = [n for n in population.names if not n.endswith("iso0")]
+    queries = [n for n in population.names
+               if n.endswith("iso0") and n.startswith("strain1")]
+    rfile = population.subset_rfile(d, refs, "ext_refs.txt")
+    qfile = population.subset_rfile(d, queries, "ext_q.txt")
+
+    db = str(tmp_path / "db")
+    poppunk_main(["--create-db", "--r-files", rfile, "--output", db] + KARGS)
+    poppunk_main(["--fit-model", "bgmm", "--ref-db", db, "--output", db,
+                  "--K", "2", "--no-plot"])
+
+    out = str(tmp_path / "eq")
+    assign_main(["--db", db, "--query", qfile, "--output", out,
+                 "--save-partial-query-graph"])
+    subset_file = os.path.join(out, "eq_query.subset")
+    graph_file = os.path.join(out, "eq_graph.graph.npz")
+
+    viz = str(tmp_path / "viz_ext")
+    vis_main(["--ref-db", db, "--query-db", out, "--output", viz,
+              "--microreact", "--tree", "none",
+              "--use-partial-query-graph", subset_file,
+              "--extend-query-graph"])
+    csv_file = os.path.join(viz, "viz_ext_microreact_clusters.csv")
+    assert os.path.isfile(csv_file)
+    rows = list(csv.DictReader(open(csv_file)))
+    ids = {r["id"] for r in rows}
+    # extension pulls in ALL strain1 members of the query's cluster, not
+    # just the component listed in the subset file
+    strain1_refs = {n for n in population.names
+                    if n.startswith("strain1") and not n.endswith("iso0")}
+    assert strain1_refs <= ids
+    assert "strain1_iso0" in ids

@@ -309,3 +309,58 @@ def test_citation(capsys):
         poppunk_main(["--citation", "--fit-model", "bgmm"])
     out = capsys.readouterr().out
     assert "PopPUNK" in out and "Methods" in out
+
+
+class TestGpuFlagCompat:
+    def test_gpu_flags_accepted_and_ignored(self, population_dir, tmp_path,
+                                            capsys):
+        """The reference's GPU-offload flags parse as no-ops so existing
+        PopPUNK scripts run unchanged (compute is always on device here)."""
+        import sys
+
+        from poppunk_tpu.cli.main import main as poppunk_main
+
+        d, rfile = population_dir
+        db = str(tmp_path / "gdb")
+        poppunk_main(["--create-db", "--r-files", rfile, "--output", db,
+                      "--min-k", "13", "--max-k", "21", "--k-step", "4",
+                      "--sketch-size", "1024", "--no-plot",
+                      "--gpu-sketch", "--gpu-dist", "--gpu-graph",
+                      "--deviceid", "1"])
+        err = capsys.readouterr().err
+        assert "accepted for compatibility" in err
+        import os
+
+        assert os.path.isfile(os.path.join(db, "gdb.dists.npy"))
+
+    def test_all_clis_parse_gpu_flags(self):
+        """Every entry point accepts its reference GPU flag set."""
+        import pytest
+
+        from poppunk_tpu.cli import (assign, info, lineages, main, mandrake,
+                                     mst, references, visualise)
+
+        cases = [
+            (main.get_options, ["--create-db", "--r-files", "x",
+                                "--output", "y", "--gpu-model"]),
+            (assign.get_options, ["--db", "x", "--query", "q",
+                                  "--output", "y", "--gpu-dist"]),
+            (visualise.get_options, ["--ref-db", "x", "--output", "y",
+                                     "--microreact", "--gpu-graph",
+                                     "--core-only", "--read-distances"]),
+            (mst.get_options, ["--distance-pkl", "x", "--rank-fit", "r",
+                               "--output", "y", "--gpu-graph"]),
+            (mandrake.get_options, ["--distances", "x", "--output", "y",
+                                    "--use-gpu", "--device-id", "0"]),
+            (lineages.get_options, ["--create-db", "rfile.txt",
+                                    "--db-scheme", "s", "--output", "y",
+                                    "--gpu-sketch"]),
+            (info.get_options, ["--db", "x", "--use-gpu"]),
+            (references.get_options, ["--network", "n", "--distances", "d",
+                                      "--output", "y", "--use-gpu"]),
+        ]
+        for get_options, argv in cases:
+            try:
+                get_options(argv)
+            except SystemExit as e:  # argparse exits on unknown flags
+                pytest.fail(f"{get_options.__module__} rejected {argv}: {e}")
