@@ -226,3 +226,29 @@ class TestPairs:
         assert sq.shape == (8, 8)
         assert np.array_equal(sq, sq.T)
         assert sq[5, 0] == qr.reshape(n_q, n_ref)[0, 0]
+
+
+class TestPallasKernelOracle:
+    """The Pallas TPU match-count kernel (interpret mode on CPU) must equal
+    the pure-jnp oracle — including tile-padding edges and the plane-major
+    layout transposes."""
+
+    @pytest.mark.parametrize("nq,nr", [(3, 5), (64, 128), (65, 129)])
+    def test_matches_xla_oracle(self, nq, nr):
+        from poppunk_tpu.ops.distances import match_counts_xla, plane_geometry
+        from poppunk_tpu.ops.pallas_jaccard import match_counts_pallas
+
+        ss64, bbits, K = 16, 5, 3
+        _, wp, pad_bits = plane_geometry(ss64, bbits)
+        rng = np.random.default_rng(nq * 1000 + nr)
+        w32 = 2 * ss64
+        pq = np.zeros((nq, K, bbits, wp), dtype=np.uint32)
+        pr = np.zeros((nr, K, bbits, wp), dtype=np.uint32)
+        pq[..., :w32] = rng.integers(0, 2**32, (nq, K, bbits, w32),
+                                     dtype=np.uint32)
+        pr[..., :w32] = rng.integers(0, 2**32, (nr, K, bbits, w32),
+                                     dtype=np.uint32)
+        got = match_counts_pallas(pq, pr, pad_bits, tq=8, tr=16,
+                                  interpret=True)
+        want = match_counts_xla(pq, pr, pad_bits)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
