@@ -133,7 +133,87 @@ def bench_device(nq, nr, iters=3):
     return nq * nr / dt, planes64, on_tpu
 
 
+def bench_serving(nq=256, nr=8192, iters=3):
+    """Serving path: query-vs-reference distances + model classification.
+
+    Compares the fused route (classifier inside the distance jit,
+    ops/fused_assign) against the two-pass route the reference uses
+    (distance matrix to host, re-upload for classification —
+    PopPUNK/assign.py:502 then models.py:1085). Reference sketches stay
+    device-resident, as in production serving.
+    """
+    import jax
+
+    try:
+        jax.devices()
+    except Exception as e:
+        sys.stderr.write(f"backend init failed ({e}); forcing CPU\n")
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from poppunk_tpu.models.refine import RefineFit
+    from poppunk_tpu.ops.distances import (_dist_chunk, plane_geometry)
+    from poppunk_tpu.ops.fused_assign import model_post_spec
+
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        nq, nr = min(nq, 32), min(nr, 512)
+    _, wp, pad_bits = plane_geometry(SS64, BBITS)
+    rng = np.random.default_rng(2)
+    planes64 = _synth_planes_u64(max(nq, nr), rng)
+    planes = _u64_to_u32_planes(planes64, wp)
+    lengths = rng.integers(1_800_000, 2_400_000, max(nq, nr)).astype(np.int32)
+    freqs = rng.dirichlet(np.ones(4), max(nq, nr)).astype(np.float32)
+
+    model = RefineFit("/tmp/bench_refine")
+    model.scale = np.array([0.7, 0.9])
+    model.optimal_x, model.optimal_y = 0.4, 0.6
+    model.core_boundary, model.accessory_boundary = 0.4, 0.6
+    model.fitted = True
+    spec = model_post_spec(model)
+
+    static = (tuple(KLIST), SS64, BBITS, pad_bits, True, True, False,
+              bool(on_tpu))
+    args = (jnp.asarray(planes[:nq]), jnp.asarray(planes[:nr]),
+            jnp.asarray(lengths[:nq]), jnp.asarray(lengths[:nr]),
+            jnp.asarray(freqs[:nq]), jnp.asarray(freqs[:nr]))
+
+    def fused():
+        # serving delivers only the per-pair classification to the host;
+        # the distance tile lives and dies on device
+        _, a = _dist_chunk(*args, *static, *spec)
+        return np.asarray(a)
+
+    def two_pass():
+        # the reference route: full distance matrix to the host, classify
+        # there (PopPUNK/models.py:1085 runs on the host matrix)
+        d = np.asarray(_dist_chunk(*args, *static))
+        return model.assign(d.reshape(-1, 2))
+
+    out = {}
+    for name, fn in (("fused", fused), ("two_pass", two_pass)):
+        fn()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        dt = (time.perf_counter() - t0) / iters
+        out[name] = nq * nr / dt
+        sys.stderr.write(f"serving {name}: {out[name] / 1e6:.1f} Mpairs "
+                         f"classified/s ({nq} queries x {nr} refs)\n")
+    print(json.dumps({
+        "metric": "serving: query dists + model classification "
+                  f"({nq} queries x {nr} device-resident refs)",
+        "value": round(out["fused"], 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(out["fused"] / out["two_pass"], 2),
+    }))
+
+
 def main():
+    if "--serve" in sys.argv:
+        bench_serving()
+        return
     threads = os.cpu_count() or 1
     dev_rate, planes64, on_tpu = bench_device(nq=2048, nr=4096)
 

@@ -46,7 +46,8 @@ def _post_boundary(dists, params, static):
         d = y0 - y_max
     else:
         raise ValueError("slope must be 0, 1 or 2")
-    return jnp.sign(d).astype(jnp.int32)
+    # int8: the sign fits, and serving fetches only this array to the host
+    return jnp.sign(d).astype(jnp.int8)
 
 
 def _post_bgmm(dists, params, static):
@@ -57,7 +58,8 @@ def _post_bgmm(dists, params, static):
     weights, means, covariances, scale = params
     _, lpr = log_likelihood_device(
         dists.reshape(-1, 2), weights, means, covariances, scale)
-    return jnp.argmax(lpr, axis=1).astype(jnp.int32)
+    # int8 holds any practical component count (reference K <= 10)
+    return jnp.argmax(lpr, axis=1).astype(jnp.int8)
 
 
 POST_FNS = {
