@@ -13,10 +13,11 @@ manual batch scripts. Wire-up:
 - the sharded distance path (parallel/dists.py) is topology-agnostic —
   it takes whatever mesh it is given.
 
-This module is exercised in CI only on a single-process virtual mesh (the
-driver's dryrun and the test-suite); the multi-host paths follow the
-standard jax.distributed recipe and activate when run under a multi-host
-launcher.
+Tested two ways: single-process virtual meshes (the driver's dryrun and
+most of the suite), and a true two-controller run — two OS processes,
+four virtual CPU devices each, gloo collectives between them
+(tests/test_distributed.py) — which is the CPU stand-in for a multi-host
+TPU pod and exercises the real cross-process gather path.
 """
 
 import os

@@ -77,6 +77,20 @@ def _sharded_block_jit(planes_q, planes_r, len_q, len_r, freq_q, freq_r,
     return fn(planes_q, planes_r, len_q, len_r, freq_q, freq_r, post_params)
 
 
+def _fetch(x):
+    """Global jax.Array -> host numpy, multi-controller safe.
+
+    Under a multi-process mesh (jax.distributed) each process only holds
+    its addressable shards; reassemble the global value with an
+    allgather so every host sees the full block (the hosts' downstream
+    graph/naming stages are replicated, rank 0 writes files)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _pad_axis0(arrs, n_to):
     out = []
     for a in arrs:
@@ -140,8 +154,8 @@ def sharded_pairwise_block(mesh, planes_q, planes_r, len_q, len_r, freq_q,
         )
         if post_name is not None and not jaccard:
             block, extra = block
-            out_extra.append(np.asarray(extra)[: stop - start, :nr])
-        out.append(np.asarray(block)[: stop - start, :nr])
+            out_extra.append(_fetch(extra)[: stop - start, :nr])
+        out.append(_fetch(block)[: stop - start, :nr])
     if post_name is not None and not jaccard:
         return (np.concatenate(out, axis=0),
                 np.concatenate(out_extra, axis=0))
