@@ -108,6 +108,35 @@ def highlight_cluster(query, cluster):
     return "red" if str(cluster) == str(query) else "blue"
 
 
+def api(query, ref_db):
+    """Post the reference tree + clusters to microreact, highlighting the
+    query's assigned cluster (api, web.py:103-122; legacy microreact
+    project API, kept for the web front end)."""
+    import pandas as pd
+    import requests
+
+    url = "https://microreact.org/api/project/"
+    base = os.path.join(ref_db, os.path.basename(ref_db))
+    df = pd.read_csv(base + "_microreact_clusters.csv")
+    df["Cluster__autocolour"] = df["Cluster_Cluster__autocolour"]
+    df["Highlight_Query__colour"] = df.apply(
+        lambda row: highlight_cluster(query, row["Cluster__autocolour"]),
+        axis=1)
+    df = df.drop(columns=["Cluster_Cluster__autocolour"])
+    with open(base + ".nwk") as nwk:
+        tree = nwk.read()
+    description = (
+        "A tree representing all samples in the reference database, "
+        "excluding the query sequence but highlighting its assigned "
+        "cluster. The cluster assigned to the query is coloured red. If no "
+        "clusters are highlighted red, query sequence was assigned to a "
+        "new cluster.")
+    data = {"name": "PopPUNK-web", "description": description,
+            "data": df.to_csv(), "tree": tree}
+    response = json.loads(requests.post(url, data=data).text)
+    return response.get("url", url)
+
+
 def calc_prevalence(cluster, cluster_list, num_samples):
     """(web.py:123-127)."""
     return round(cluster_list.count(cluster) / num_samples * 100, 2)

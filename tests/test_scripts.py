@@ -121,3 +121,21 @@ def test_iterate(population_dir, tmp_path):
     assert os.path.isfile(os.path.join(db, "multi_iterate.tree.nwk"))
     assert os.path.isfile(os.path.join(db, "multi_iterate.clusters.csv"))
     assert os.path.isfile(os.path.join(db, "multi_iterate.cutoff_clusters.csv"))
+
+
+def test_easy_run(population_dir, tmp_path):
+    """create-db -> dbscan -> refine convenience driver
+    (scripts/poppunk_easy_run.py)."""
+    import os
+
+    from poppunk_tpu.scripts.easy_run import main as easy_main
+
+    d, rfile = population_dir
+    out = str(tmp_path / "easy")
+    easy_main(["--r-files", rfile, "--output", out,
+               "--analysis-args",
+               "--min-k 13 --max-k 21 --k-step 4 --sketch-size 1024 "
+               "--no-plot --K 2"])
+    base = os.path.join(out, "easy")
+    assert os.path.isfile(base + "_fit.npz")
+    assert os.path.isfile(base + "_clusters.csv")

@@ -72,3 +72,36 @@ def test_summarise_clusters(tmp_path):
     assert q_prev[0] > 70  # 7/9 samples
     assert os.path.isfile(os.path.join(out, "include1.txt"))
     assert "q0" in open(os.path.join(out, "include1.txt")).read().split()
+
+
+def test_api_posts_legacy_microreact(tmp_path, monkeypatch):
+    """web.api posts the reference tree + clusters with the query's
+    cluster highlighted (reference web.py:103-122), returning the
+    project URL from the response."""
+    from poppunk_tpu import web
+
+    db = tmp_path / "wdb"
+    db.mkdir()
+    (db / "wdb_microreact_clusters.csv").write_text(
+        "id,Cluster_Cluster__autocolour\na,1\nb,2\nc,1\n")
+    (db / "wdb.nwk").write_text("(a:1,(b:1,c:1):1);")
+
+    posted = {}
+
+    class FakeResponse:
+        text = '{"url": "https://microreact.org/project/xyz"}'
+
+    def fake_post(url, data=None):
+        posted["url"] = url
+        posted["data"] = data
+        return FakeResponse()
+
+    import requests
+
+    monkeypatch.setattr(requests, "post", fake_post)
+    url = web.api("1", str(db))
+    assert url == "https://microreact.org/project/xyz"
+    assert posted["data"]["tree"].startswith("(a:1")
+    # query cluster 1 rows highlighted red, others blue
+    assert "red" in posted["data"]["data"]
+    assert "blue" in posted["data"]["data"]
