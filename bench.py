@@ -133,7 +133,12 @@ def bench_device(nq, nr, iters=3):
     return nq * nr / dt, planes64, on_tpu
 
 
-def bench_serving(nq=256, nr=8192, iters=3):
+def bench_serving(nq=256, nr=4096, iters=3):
+    # nr=4096 keeps the one-time reference upload feasible through this
+    # sandbox's ~5-20 MB/s host<->device tunnel; the per-pair rate is
+    # size-invariant once the reference tensor is resident (a 20k-genome
+    # DB is 2.6 GB, comfortably HBM-resident on v5e), so
+    # genomes assigned/s at any DB size = value / n_refs.
     """Serving path: query-vs-reference distances + model classification.
 
     Compares the fused route (classifier inside the distance jit,
@@ -200,10 +205,12 @@ def bench_serving(nq=256, nr=8192, iters=3):
         dt = (time.perf_counter() - t0) / iters
         out[name] = nq * nr / dt
         sys.stderr.write(f"serving {name}: {out[name] / 1e6:.1f} Mpairs "
-                         f"classified/s ({nq} queries x {nr} refs)\n")
+                         f"classified/s = {out[name] / nr:.0f} genomes "
+                         f"assigned/s ({nq} queries x {nr} refs)\n")
     print(json.dumps({
         "metric": "serving: query dists + model classification "
-                  f"({nq} queries x {nr} device-resident refs)",
+                  f"({nq} queries x {nr} device-resident refs); "
+                  "genomes_assigned_per_s = value / n_refs",
         "value": round(out["fused"], 1),
         "unit": "pairs/s",
         "vs_baseline": round(out["fused"] / out["two_pass"], 2),
