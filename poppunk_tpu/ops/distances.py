@@ -209,17 +209,31 @@ def pairwise_block(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
     freq_r = jnp.asarray(freq_r)
     for start in range(0, nq, chunk):
         sl = slice(start, min(start + chunk, nq))
-        out.append(
-            _dist_chunk(
-                jnp.asarray(planes_q[sl]), planes_r,
-                jnp.asarray(len_q[sl]), len_r,
-                jnp.asarray(freq_q[sl]), freq_r,
-                tuple(int(k) for k in klist), int(sketchsize64), int(bbits),
-                int(pad_bits), bool(random_correct), bool(use_rc),
-                bool(jaccard), bool(use_pallas),
-                post_name, post_static, post_params,
-            )
+        n = sl.stop - sl.start
+        # Bucket the query-chunk size to the next power of two (zero-pad,
+        # slice the result): every distinct batch size would otherwise
+        # trace + compile its own program — O(log chunk) executables
+        # instead, so serving latency is flat across batch sizes.
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        pad = bucket - n
+        pq, lq, fq = planes_q[sl], len_q[sl], freq_q[sl]
+        if pad:
+            pq = np.pad(np.asarray(pq), ((0, pad),) + ((0, 0),) * 3)
+            lq = np.pad(np.asarray(lq), (0, pad), constant_values=1)
+            fq = np.pad(np.asarray(fq), ((0, pad), (0, 0)))
+        o = _dist_chunk(
+            jnp.asarray(pq), planes_r, jnp.asarray(lq), len_r,
+            jnp.asarray(fq), freq_r,
+            tuple(int(k) for k in klist), int(sketchsize64), int(bbits),
+            int(pad_bits), bool(random_correct), bool(use_rc),
+            bool(jaccard), bool(use_pallas),
+            post_name, post_static, post_params,
         )
+        if pad:
+            o = (o[0][:n], o[1][:n]) if post_name is not None else o[:n]
+        out.append(o)
     if post_name is not None:
         return (np.concatenate([np.asarray(o[0]) for o in out], axis=0),
                 np.concatenate([np.asarray(o[1]) for o in out], axis=0))

@@ -136,7 +136,12 @@ def sharded_pairwise_block(mesh, planes_q, planes_r, len_q, len_r, freq_q,
     out_extra = []
     for start in range(0, nq, step):
         stop = min(start + step, nq)
-        cq = ((stop - start + q_size - 1) // q_size) * q_size
+        # bucket the chunk to a power of two (then a q_size multiple) so
+        # distinct batch sizes reuse O(log step) compiled programs
+        bucket = 1
+        while bucket < stop - start:
+            bucket *= 2
+        cq = ((bucket + q_size - 1) // q_size) * q_size
         pq, lq, fq = _pad_axis0(
             [planes_q[start:stop], np.asarray(len_q[start:stop]),
              np.asarray(freq_q[start:stop], dtype=np.float32)], cq)
