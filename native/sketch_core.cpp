@@ -50,14 +50,12 @@ inline uint64_t mix64(uint64_t z) {
 }
 
 // Canonical (or forward-only) ntHash over all valid windows; min sign per
-// bin (one-permutation MinHash binning fused into the scan).
-void bin_signs_for_k(const uint8_t *codes, int64_t n, int k, bool use_rc,
-                     int64_t nbins, uint64_t *signs) {
-  for (int64_t b = 0; b < nbins; ++b) signs[b] = EMPTY_BIN;
+// bin (one-permutation MinHash binning fused into the scan). Does NOT
+// reset signs — callers may accumulate several scans (codon phases) into
+// one bin array.
+void scan_and_bin(const uint8_t *codes, int64_t n, int k, bool use_rc,
+                  uint64_t binsize, uint64_t *signs) {
   if (n < k) return;
-  const uint64_t binsize =
-      (SIGN_MOD + (uint64_t)nbins - 1) / (uint64_t)nbins;
-
   int64_t j = 0;
   while (j + k <= n) {
     // ensure window [j, j+k) is fully valid; jump past invalid bases
@@ -248,28 +246,53 @@ extern "C" {
 // codes: uint8[n] with A=0,C=1,G=2,T=3,invalid=4 (contig separators too).
 // min_count > 1 enables read k-mer filtering (exact_filter selects the
 // exact counter over count-min), matching sketch/reader.py.
+// codon_phased hashes every third base over the 3 phase offsets
+// (spaced-seed X--X--X.., matching minhash._phase_hashes).
 // usigs_out: uint64[n_k * sketchsize64 * bbits], per-k blocks in klist
 // order. Returns: 1 if any k was densified, 0 if none, <0 on error
 // (-1: a k had no valid k-mers).
 int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
                       int n_k, int sketchsize64, int bbits, int use_rc,
-                      int min_count, int exact_filter, int n_threads,
-                      uint64_t *usigs_out) {
+                      int min_count, int exact_filter, int codon_phased,
+                      int n_threads, uint64_t *usigs_out) {
   const int64_t nbins = (int64_t)sketchsize64 * 64;
   const uint64_t binsize = (SIGN_MOD + (uint64_t)nbins - 1) / (uint64_t)nbins;
   int densified_any = 0;
   int error = 0;
+
+  // phase subsequences (every third base), shared across k
+  std::vector<std::vector<uint8_t>> phases;
+  if (codon_phased) {
+    phases.resize(3);
+    for (int ph = 0; ph < 3; ++ph) {
+      for (int64_t i = ph; i < n; i += 3) phases[ph].push_back(codes[i]);
+    }
+  }
+
 #pragma omp parallel for schedule(dynamic) num_threads(n_threads)
   for (int ki = 0; ki < n_k; ++ki) {
-    std::vector<uint64_t> signs(nbins);
+    std::vector<uint64_t> signs(nbins, EMPTY_BIN);
     if (min_count > 1) {
-      for (int64_t b = 0; b < nbins; ++b) signs[b] = EMPTY_BIN;
       std::vector<uint64_t> hashes;
-      collect_hashes_for_k(codes, n, klist[ki], use_rc != 0, hashes);
+      if (codon_phased) {
+        std::vector<uint64_t> ph_hashes;
+        for (int ph = 0; ph < 3; ++ph) {
+          collect_hashes_for_k(phases[ph].data(),
+                               (int64_t)phases[ph].size(), klist[ki],
+                               use_rc != 0, ph_hashes);
+          hashes.insert(hashes.end(), ph_hashes.begin(), ph_hashes.end());
+        }
+      } else {
+        collect_hashes_for_k(codes, n, klist[ki], use_rc != 0, hashes);
+      }
       bin_filtered_hashes(hashes, min_count, exact_filter != 0, binsize,
                           signs.data());
+    } else if (codon_phased) {
+      for (int ph = 0; ph < 3; ++ph)
+        scan_and_bin(phases[ph].data(), (int64_t)phases[ph].size(),
+                     klist[ki], use_rc != 0, binsize, signs.data());
     } else {
-      bin_signs_for_k(codes, n, klist[ki], use_rc != 0, nbins, signs.data());
+      scan_and_bin(codes, n, klist[ki], use_rc != 0, binsize, signs.data());
     }
     int rc = densify(signs.data(), nbins);
     if (rc < 0) {

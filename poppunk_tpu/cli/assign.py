@@ -20,8 +20,14 @@ def get_options(arg_list=None):
     io_group = parser.add_argument_group("Input files")
     io_group.add_argument("--db", required=True,
                           help="Location of built reference database")
-    io_group.add_argument("--query", required=True,
+    io_group.add_argument("--query", required="--warmup" not in
+                          (arg_list if arg_list is not None else sys.argv),
                           help="File listing query input assemblies")
+    io_group.add_argument("--warmup", action="store_true",
+                          help="Pre-compile the serving programs for this "
+                               "database's geometry (one per query-batch "
+                               "bucket size) and exit — no request then "
+                               "pays a first-compile")
     io_group.add_argument("--distances",
                           help="Prefix of input pickle of pre-calculated distances")
     io_group.add_argument("--external-clustering",
@@ -107,6 +113,33 @@ def main(arg_list=None):
 
         args.ref_db = args.db
         print_citation(args, assign=True)
+        sys.exit(0)
+
+    if args.warmup:
+        import os
+
+        from ..io.hdf5db import read_db_params, read_sketches
+        from ..models import load_cluster_fit
+        from ..ops.distances import warmup_query_programs
+        from ..ops.fused_assign import model_post_spec
+
+        db = args.db.rstrip("/")
+        model_prefix = (args.model_dir or db).rstrip("/")
+        base = os.path.join(model_prefix, os.path.basename(model_prefix))
+        kmers = list(read_db_params(db)[0])
+        model = load_cluster_fit(base + "_fit.pkl", base + "_fit.npz")
+        # warm against the .refs subset if present (the serving ref set)
+        r_names = None
+        refs_file = base + ".refs"
+        if os.path.isfile(refs_file) and not args.use_full_network:
+            with open(refs_file) as f:
+                r_names = [line.rstrip() for line in f]
+        r_sketches = read_sketches(db, r_names)
+        n = warmup_query_programs(r_sketches, kmers,
+                                  post_spec=model_post_spec(model),
+                                  use_rc=not args.strand_preserved)
+        sys.stderr.write(f"Warmed {n} serving programs for {db} "
+                         f"({len(r_sketches)} references)\n")
         sys.exit(0)
 
     from ..assign import assign_query

@@ -270,6 +270,44 @@ def condensed_self_block(planes, lengths, freqs, klist, sketchsize64, bbits,
     return np.concatenate(out, axis=0)
 
 
+def warmup_query_programs(sketches_r, klist, post_spec=None, chunk=512,
+                          use_pallas=None, use_rc=True):
+    """Pre-compile the serving programs for a reference set.
+
+    With power-of-two chunk bucketing, the executables a serving process
+    can ever need for this geometry are one per bucket size; compile them
+    all against dummy queries before taking traffic, so no request pays a
+    first-compile. Returns the number of programs warmed.
+    """
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas()
+    ss64 = sketches_r[0].sketchsize64
+    bbits = sketches_r[0].bbits
+    planes_r, len_r, freq_r = pack_planes(sketches_r, klist)
+    _, wp, pad_bits = plane_geometry(ss64, bbits)
+    post_name, post_static, post_params = post_spec or (None, (), None)
+    planes_r = jnp.asarray(planes_r)
+    len_r = jnp.asarray(len_r)
+    freq_r = jnp.asarray(freq_r)
+    n = 0
+    bucket = 1
+    while True:
+        pq = jnp.zeros((bucket, len(klist), bbits, wp), dtype=jnp.uint32)
+        lq = jnp.ones(bucket, dtype=jnp.int32)
+        fq = jnp.zeros((bucket, 4), dtype=jnp.float32)
+        out = _dist_chunk(
+            pq, planes_r, lq, len_r, fq, freq_r,
+            tuple(int(k) for k in klist), int(ss64), int(bbits),
+            int(pad_bits), True, bool(use_rc), False, bool(use_pallas),
+            post_name, post_static, post_params)
+        # force execution so the compile actually happens now
+        np.asarray((out[0] if isinstance(out, tuple) else out)[-1, -1])
+        n += 1
+        if bucket >= chunk:
+            return n
+        bucket *= 2
+
+
 def query_db(sketches_r, sketches_q, klist, random_correct=True, use_rc=True,
              jaccard=False, self_mode=False, use_pallas=None, post_spec=None):
     """Long-form distances, reference row conventions.

@@ -186,13 +186,13 @@ def sketch_codes(codes, params: SketchParams, reads=False, use_native=None):
     Returns dict k -> packed usigs, plus densified flag.
 
     The native C++ core (native/sketch_core.cpp, bit-identical) handles
-    both the assembly path and the read path (exact / count-min k-mer
-    filtering); codon-phased seeds stay on the numpy path.
+    every input mode: assemblies, reads (exact / count-min k-mer
+    filtering) and codon-phased spaced seeds.
     """
     from .reader import filter_read_kmers
 
     if use_native is None:
-        use_native = not params.codon_phased
+        use_native = True
     if use_native:
         from .native import sketch_codes_native
 

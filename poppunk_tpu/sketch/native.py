@@ -44,7 +44,7 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64),
         ]
         _lib = lib
@@ -60,9 +60,9 @@ def native_available():
 
 
 def sketch_codes_native(codes, params, threads=None, reads=False):
-    """Native twin of minhash.sketch_codes, including read-input k-mer
-    multiplicity filtering (exact or count-min, sketch/reader.py
-    semantics).
+    """Native twin of minhash.sketch_codes: assembly and read inputs
+    (exact / count-min multiplicity filtering, sketch/reader.py
+    semantics) and codon-phased spaced seeds.
 
     Returns (usigs dict k -> uint64 array, densified flag) or None if the
     native library is unavailable.
@@ -86,6 +86,7 @@ def sketch_codes_native(codes, params, threads=None, reads=False):
         ctypes.c_int(params.bbits), ctypes.c_int(1 if params.use_rc else 0),
         ctypes.c_int(int(min_count)),
         ctypes.c_int(1 if params.exact_counter else 0),
+        ctypes.c_int(1 if params.codon_phased else 0),
         ctypes.c_int(threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )

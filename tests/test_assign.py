@@ -259,3 +259,31 @@ class TestLineageUpdateEquivalence:
         m_up = scipy.sparse.load_npz(os.path.join(up, "up_rank_1_fit.npz"))
         r2 = self._matched_r2(m_full, full_names, m_up, up_names)
         assert r2 > 0.99, r2
+
+
+class TestWarmup:
+    def test_warmup_compiles_and_exits(self, population_dir, tmp_path,
+                                       capsys):
+        """--warmup pre-compiles one serving program per batch bucket and
+        exits without touching outputs."""
+        import pytest as _pytest
+
+        from poppunk_tpu.cli.assign import main as assign_main
+        from poppunk_tpu.cli.main import main as poppunk_main
+
+        d, rfile = population_dir
+        db = str(tmp_path / "wdb")
+        poppunk_main(["--create-db", "--r-files", rfile, "--output", db,
+                      "--min-k", "13", "--max-k", "21", "--k-step", "4",
+                      "--sketch-size", "1024", "--no-plot"])
+        poppunk_main(["--fit-model", "bgmm", "--ref-db", db, "--output", db,
+                      "--K", "2", "--no-plot"])
+        with _pytest.raises(SystemExit) as e:
+            assign_main(["--db", db, "--warmup", "--output",
+                         str(tmp_path / "unused")])
+        assert e.value.code == 0
+        err = capsys.readouterr().err
+        assert "Warmed 10 serving programs" in err
+        import os
+
+        assert not os.path.exists(str(tmp_path / "unused"))

@@ -122,3 +122,34 @@ def test_read_filter_changes_sketch():
     plain, _ = sketch_codes_native(codes, base, reads=True)
     filtered, _ = sketch_codes_native(codes, filt, reads=True)
     assert not np.array_equal(plain[17], filtered[17])
+
+
+@pytest.mark.parametrize("with_invalid", [False, True])
+def test_codon_phased_bit_identical(with_invalid):
+    """Codon-phased spaced seeds in the native core must reproduce the
+    numpy _phase_hashes path exactly."""
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, 30_000).astype(np.uint8)
+    if with_invalid:
+        pos = rng.choice(30_000, 300, replace=False)
+        codes[pos] = 4
+    params = SketchParams(klist=(5, 7, 9), sketchsize64=16, bbits=8,
+                          codon_phased=True)
+    got, got_dense = sketch_codes_native(codes, params)
+    want, want_dense = sketch_codes(codes, params, use_native=False)
+    assert got_dense == want_dense
+    for k in want:
+        assert np.array_equal(got[k], want[k]), f"k={k}"
+
+
+def test_codon_phased_reads_filter_bit_identical():
+    """Codon-phased + read multiplicity filtering, native vs numpy."""
+    rng = np.random.default_rng(10)
+    codes = _read_like_codes(rng, 3)
+    params = SketchParams(klist=(5, 7), sketchsize64=16, bbits=8,
+                          codon_phased=True, min_count=2,
+                          exact_counter=True)
+    got, _ = sketch_codes_native(codes, params, reads=True)
+    want, _ = sketch_codes(codes, params, reads=True, use_native=False)
+    for k in want:
+        assert np.array_equal(got[k], want[k]), f"k={k}"
