@@ -156,8 +156,7 @@ def _dist_chunk(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
         return d
     from .fused_assign import apply_post
 
-    extra = apply_post(d, (post_name, post_static, post_params))
-    return d, extra.reshape(d.shape[:-1])
+    return d, apply_post(d, (post_name, post_static, post_params))
 
 
 def _auto_use_pallas():

@@ -25,11 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _post_boundary(dists, params, static):
-    """Sign of each pair vs a 2-D line boundary — jnp twin of
-    ops/boundary.assign_threshold (reference src/boundary.cpp:42-80).
-    Within-strain pairs are -1."""
-    (slope,) = static
+def _boundary_sign(dists, params, slope):
     scale, x_max, y_max = params
     Xs = dists.reshape(-1, 2) / scale
     x0 = Xs[:, 0]
@@ -50,6 +46,29 @@ def _post_boundary(dists, params, static):
     return jnp.sign(d).astype(jnp.int8)
 
 
+def _post_boundary(dists, params, static):
+    """Sign of each pair vs a 2-D line boundary — jnp twin of
+    ops/boundary.assign_threshold (reference src/boundary.cpp:42-80).
+    Within-strain pairs are -1. Output shape = dists.shape[:-1]."""
+    (slope,) = static
+    return _boundary_sign(dists, params, slope).reshape(dists.shape[:-1])
+
+
+def _post_boundary_stable(dists, params, static):
+    """Fully-fused --stable serving: per query, the 1-NN reference on the
+    chosen distance column and whether that pair is within-strain
+    (reference assign.py:663-693 semantics — first min on ties). Output
+    int32[nq, 2] of (nn_index, within_flag): O(queries) host fetch, the
+    |Q|x|R| tile never leaves the device."""
+    slope, dist_col = static
+    sign = _boundary_sign(dists, params, slope).reshape(dists.shape[:-1])
+    rect = dists[..., dist_col]  # [nq, nr]
+    nn = jnp.argmin(rect, axis=-1)  # first min on ties, like np.argmin
+    within = jnp.take_along_axis(sign, nn[..., None], axis=-1)[..., 0] == -1
+    return jnp.stack([nn.astype(jnp.int32), within.astype(jnp.int32)],
+                     axis=-1)
+
+
 def _post_bgmm(dists, params, static):
     """Component argmax of the weighted Gaussian log-likelihood — same math
     as models/bgmm._assign_chunk (reference PopPUNK/bgmm.py:100-174)."""
@@ -59,11 +78,13 @@ def _post_bgmm(dists, params, static):
     _, lpr = log_likelihood_device(
         dists.reshape(-1, 2), weights, means, covariances, scale)
     # int8 holds any practical component count (reference K <= 10)
-    return jnp.argmax(lpr, axis=1).astype(jnp.int8)
+    return jnp.argmax(lpr, axis=1).astype(jnp.int8).reshape(
+        dists.shape[:-1])
 
 
 POST_FNS = {
     "boundary": _post_boundary,
+    "boundary_stable": _post_boundary_stable,
     "bgmm": _post_bgmm,
 }
 

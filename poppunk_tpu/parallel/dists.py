@@ -45,8 +45,7 @@ def _local_block(pq, pr, lq, lr, fq, fr, post_params, *, klist, sketchsize64,
         return d
     from ..ops.fused_assign import apply_post
 
-    extra = apply_post(d, (post_name, post_static, post_params))
-    return d, extra.reshape(d.shape[:-1])
+    return d, apply_post(d, (post_name, post_static, post_params))
 
 
 @partial(jax.jit, static_argnames=("mesh", "klist", "sketchsize64", "bbits",

@@ -1,0 +1,160 @@
+"""Resident serving session for query assignment.
+
+The CLI path (assign.py, mirroring PopPUNK/assign.py) re-reads the sketch
+database, re-packs the reference plane tensor and re-uploads it on every
+invocation — correct for batch jobs, wasteful for a serving daemon
+answering many small requests (the BeeBOP web flow calls assignment per
+upload). ``AssignSession`` pays those costs once:
+
+- reference sketches are read, packed and placed on device at
+  construction, and stay resident across requests;
+- the fitted model's classifier is fused into the distance dispatch
+  (ops/fused_assign);
+- stable mode ("core"/"accessory") additionally fuses the 1-NN search, so
+  a request fetches O(queries) integers from the device — the |Q|x|R|
+  distance tile never leaves HBM;
+- query batches are bucketed to powers of two, so after ``warmup()``
+  (or the first few requests) no batch size pays a compile.
+
+Semantics match ``poppunk_assign --stable {core,accessory}``
+(reference assign.py:663-693): each query takes its nearest reference's
+cluster iff that pair is within-strain, else "NA". Sessions serve
+refine/threshold models (the reference's production serving models).
+"""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from .io.hdf5db import read_db_params, read_sketches
+from .ops.distances import (_auto_use_pallas, _dist_chunk, pack_planes,
+                            plane_geometry)
+from .ops.fused_assign import model_post_spec
+from .utils import db_h5_path, read_isolate_type_from_csv
+
+
+def _file_base(prefix):
+    return os.path.join(prefix, os.path.basename(prefix))
+
+
+class AssignSession:
+    def __init__(self, ref_db, model_dir=None, stable="core",
+                 use_full_network=False, strand_preserved=False, chunk=512):
+        from .models import load_cluster_fit
+
+        self.ref_db = ref_db = ref_db.rstrip("/")
+        model_prefix = (model_dir or ref_db).rstrip("/")
+        base = _file_base(model_prefix)
+        self.model = load_cluster_fit(base + "_fit.pkl", base + "_fit.npz")
+        if self.model.type not in ("refine",):
+            raise RuntimeError(
+                "AssignSession serves refine/threshold models; got "
+                + self.model.type)
+        if stable not in ("core", "accessory"):
+            raise ValueError("stable must be 'core' or 'accessory'")
+        self.stable = stable
+        self.chunk = chunk
+        self.use_rc = not strand_preserved
+        self.kmers = tuple(int(k) for k in read_db_params(ref_db)[0])
+
+        # serving reference set: the clique-pruned .refs subset if present
+        r_names = None
+        refs_file = base + ".refs"
+        if os.path.isfile(refs_file) and not use_full_network:
+            with open(refs_file) as f:
+                wanted = frozenset(line.rstrip() for line in f)
+            from .io.hdf5db import get_seqs_in_db
+
+            r_names = [n for n in get_seqs_in_db(db_h5_path(ref_db))
+                       if n in wanted]
+        sketches = read_sketches(ref_db, r_names)
+        self.r_names = [s.name for s in sketches]
+        self.ss64 = sketches[0].sketchsize64
+        self.bbits = sketches[0].bbits
+        _, _, self.pad_bits = plane_geometry(self.ss64, self.bbits)
+        planes_r, len_r, freq_r = pack_planes(sketches, self.kmers)
+        self.planes_r = jnp.asarray(planes_r)   # device-resident
+        self.len_r = jnp.asarray(len_r)
+        self.freq_r = jnp.asarray(freq_r)
+
+        # reference clustering for cluster names
+        cluster_csv = base + "_clusters.csv"
+        self.ref_clustering = read_isolate_type_from_csv(
+            cluster_csv, mode="clusters", return_dict=True)["Cluster"]
+
+        # fused classifier + 1-NN spec
+        name, static, params = model_post_spec(self.model)
+        dist_col = 0 if stable == "core" else 1
+        self.post_spec = ("boundary_stable", (static[0], dist_col), params)
+
+    def _dispatch(self, planes_q, len_q, freq_q):
+        """One fused dispatch: dists + classification + 1-NN on device;
+        fetches int32[nq, 2] of (nn_index, within)."""
+        _, extra = _dist_chunk(
+            jnp.asarray(planes_q), self.planes_r, jnp.asarray(len_q),
+            self.len_r, jnp.asarray(freq_q), self.freq_r,
+            self.kmers, self.ss64, self.bbits, self.pad_bits,
+            True, self.use_rc, False, _auto_use_pallas(), *self.post_spec)
+        return np.asarray(extra)
+
+    def assign_sketches(self, sketches):
+        """{query name: cluster or 'NA'} for already-sketched queries."""
+        planes_q, len_q, freq_q = pack_planes(sketches, self.kmers)
+        out = {}
+        for start in range(0, len(sketches), self.chunk):
+            sl = slice(start, min(start + self.chunk, len(sketches)))
+            n = sl.stop - sl.start
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            pad = bucket - n
+            pq = planes_q[sl]
+            lq = np.asarray(len_q[sl])
+            fq = np.asarray(freq_q[sl])
+            if pad:
+                pq = np.pad(pq, ((0, pad),) + ((0, 0),) * 3)
+                lq = np.pad(lq, (0, pad), constant_values=1)
+                fq = np.pad(fq, ((0, pad), (0, 0)))
+            extra = self._dispatch(pq, lq, fq)[:n]
+            for sk, (nn, within) in zip(sketches[sl], extra):
+                out[sk.name] = (self.ref_clustering[self.r_names[int(nn)]]
+                                if within else "NA")
+        return out
+
+    def assign_files(self, q_files, threads=1):
+        """Sketch query inputs (an rfile path, or parallel name/file
+        lists) then assign — no query database is written. Returns
+        {name: cluster or 'NA'}."""
+        from .io.hdf5db import _sketch_one
+        from .sketch.minhash import SketchParams
+        from .utils import read_rfile
+
+        names, sequences = read_rfile(q_files)
+        params = SketchParams(klist=self.kmers, sketchsize64=self.ss64,
+                              bbits=self.bbits, use_rc=self.use_rc)
+        jobs = [(n, f, params) for n, f in zip(names, sequences)]
+        if threads > 1 and len(jobs) > 1:
+            from multiprocessing import get_context
+
+            with get_context("fork").Pool(min(threads, len(jobs))) as pool:
+                sketches = pool.map(_sketch_one, jobs)
+        else:
+            sketches = [_sketch_one(j) for j in jobs]
+        return self.assign_sketches(sketches)
+
+    def warmup(self):
+        """Compile every bucket-size program before taking traffic."""
+        n = 0
+        bucket = 1
+        K, P = len(self.kmers), self.bbits
+        wp = self.planes_r.shape[-1]
+        while True:
+            self._dispatch(
+                np.zeros((bucket, K, P, wp), np.uint32),
+                np.ones(bucket, np.int32), np.zeros((bucket, 4), np.float32))
+            n += 1
+            if bucket >= self.chunk:
+                return n
+            bucket *= 2

@@ -1,0 +1,100 @@
+"""Resident serving session (poppunk_tpu.serve.AssignSession): results
+must equal the CLI --stable route exactly, references stay device-resident
+between requests, and the fused 1-NN post matches a host oracle."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from poppunk_tpu.cli.assign import main as assign_main
+from poppunk_tpu.cli.main import main as poppunk_main
+
+KARGS = ["--min-k", "13", "--max-k", "25", "--k-step", "4",
+         "--sketch-size", "2048", "--no-plot"]
+
+
+@pytest.fixture(scope="module")
+def refine_db(population_dir, tmp_path_factory):
+    d, rfile = population_dir
+    db = str(tmp_path_factory.mktemp("servedb") / "db")
+    poppunk_main(["--create-db", "--r-files", rfile, "--output", db] + KARGS)
+    poppunk_main(["--fit-model", "bgmm", "--ref-db", db, "--output", db,
+                  "--K", "2", "--no-plot"])
+    poppunk_main(["--fit-model", "refine", "--ref-db", db, "--output", db,
+                  "--no-plot"])
+    return db
+
+
+def _query_rfile(population, population_dir, tmp_path, n=4):
+    d, _ = population_dir
+    names = [x for x in population.names if x.endswith("iso1")][:n]
+    qfile = population.subset_rfile(d, names, "serve_q.txt")
+    # rename to avoid reference clashes
+    out = str(tmp_path / "serve_q_renamed.txt")
+    with open(qfile) as f, open(out, "w") as g:
+        for line in f:
+            name, path = line.rstrip("\n").split("\t")
+            g.write(f"{name}_sq\t{path}\n")
+    return out
+
+
+@pytest.mark.parametrize("stable", ["core", "accessory"])
+def test_session_matches_cli_stable(population, population_dir, refine_db,
+                                    tmp_path, stable):
+    from poppunk_tpu.serve import AssignSession
+
+    qfile = _query_rfile(population, population_dir, tmp_path)
+    out = str(tmp_path / f"cli_{stable}")
+    assign_main(["--db", refine_db, "--query", qfile, "--output", out,
+                 "--stable", stable])
+    cli = {r["Taxon"]: r["Cluster"] for r in csv.DictReader(
+        open(os.path.join(out, os.path.basename(out) + "_clusters.csv")))}
+
+    session = AssignSession(refine_db, stable=stable)
+    got = session.assign_files(qfile)
+    assert got == cli
+    # second request on the same session (resident refs) agrees too
+    assert session.assign_files(qfile) == cli
+
+
+def test_session_warmup_and_reuse(refine_db):
+    from poppunk_tpu.serve import AssignSession
+
+    session = AssignSession(refine_db)
+    assert session.warmup() == 10  # buckets 1..512
+
+
+def test_stable_post_oracle(refine_db, population, population_dir,
+                            tmp_path):
+    """The fused (nn, within) output equals a host recomputation from the
+    full distance matrix."""
+    from poppunk_tpu.io.hdf5db import read_sketches
+    from poppunk_tpu.ops.distances import query_db
+    from poppunk_tpu.serve import AssignSession
+
+    qfile = _query_rfile(population, population_dir, tmp_path, n=3)
+    session = AssignSession(refine_db, stable="core")
+
+    from poppunk_tpu.io.hdf5db import _sketch_one
+    from poppunk_tpu.sketch.minhash import SketchParams
+    from poppunk_tpu.utils import read_rfile
+
+    names, seqs = read_rfile(qfile)
+    params = SketchParams(klist=session.kmers,
+                          sketchsize64=session.ss64, bbits=session.bbits)
+    q_sketches = [_sketch_one((n, f, params)) for n, f in zip(names, seqs)]
+
+    r_sketches = read_sketches(session.ref_db, session.r_names)
+    qr = query_db(r_sketches, q_sketches, list(session.kmers))
+    n_ref = len(session.r_names)
+    rect = qr[:, 0].reshape(len(q_sketches), n_ref)
+    nn = rect.argmin(axis=1)
+    sign = np.asarray(session.model.assign(qr))
+    want = {}
+    for qi, sk in enumerate(q_sketches):
+        within = sign[qi * n_ref + nn[qi]] == -1
+        want[sk.name] = (session.ref_clustering[session.r_names[nn[qi]]]
+                         if within else "NA")
+    assert session.assign_sketches(q_sketches) == want
