@@ -69,6 +69,25 @@ def _post_boundary_stable(dists, params, static):
                      axis=-1)
 
 
+def _post_bgmm_stable(dists, params, static):
+    """Fused --stable serving for BGMM models: (nn_index, within_flag)
+    per query, within = the nearest pair's component argmax equals the
+    model's within label."""
+    from ..models.bgmm import log_likelihood_device
+
+    (dist_col, within_label) = static
+    weights, means, covariances, scale = params
+    _, lpr = log_likelihood_device(
+        dists.reshape(-1, 2), weights, means, covariances, scale)
+    comp = jnp.argmax(lpr, axis=1).reshape(dists.shape[:-1])
+    rect = dists[..., dist_col]
+    nn = jnp.argmin(rect, axis=-1)
+    within = jnp.take_along_axis(comp, nn[..., None], axis=-1)[..., 0] \
+        == within_label
+    return jnp.stack([nn.astype(jnp.int32), within.astype(jnp.int32)],
+                     axis=-1)
+
+
 def _post_bgmm(dists, params, static):
     """Component argmax of the weighted Gaussian log-likelihood — same math
     as models/bgmm._assign_chunk (reference PopPUNK/bgmm.py:100-174)."""
@@ -86,7 +105,23 @@ POST_FNS = {
     "boundary": _post_boundary,
     "boundary_stable": _post_boundary_stable,
     "bgmm": _post_bgmm,
+    "bgmm_stable": _post_bgmm_stable,
 }
+
+
+def stable_post_spec(model, dist_col):
+    """(name, static, params) for the fused --stable serving post
+    (1-NN + within check on device) — refine/threshold and BGMM."""
+    base = model_post_spec(model)
+    if base is None:
+        return None
+    name, static, params = base
+    if name == "boundary":
+        return ("boundary_stable", (static[0], int(dist_col)), params)
+    if name == "bgmm":
+        return ("bgmm_stable", (int(dist_col), int(model.within_label)),
+                params)
+    return None
 
 
 def apply_post(dists, post_spec):

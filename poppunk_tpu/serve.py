@@ -19,7 +19,9 @@ upload). ``AssignSession`` pays those costs once:
 Semantics match ``poppunk_assign --stable {core,accessory}``
 (reference assign.py:663-693): each query takes its nearest reference's
 cluster iff that pair is within-strain, else "NA". Sessions serve
-refine/threshold models (the reference's production serving models).
+refine/threshold and BGMM models (DBSCAN's approximate_predict needs a
+per-pair kNN against the fitted point set — costlier than the distance
+kernel itself — so it stays on the two-pass CLI route).
 """
 
 import os
@@ -31,7 +33,6 @@ import numpy as np
 from .io.hdf5db import read_db_params, read_sketches
 from .ops.distances import (_auto_use_pallas, _dist_chunk, pack_planes,
                             plane_geometry)
-from .ops.fused_assign import model_post_spec
 from .utils import db_h5_path, read_isolate_type_from_csv
 
 
@@ -48,9 +49,9 @@ class AssignSession:
         model_prefix = (model_dir or ref_db).rstrip("/")
         base = _file_base(model_prefix)
         self.model = load_cluster_fit(base + "_fit.pkl", base + "_fit.npz")
-        if self.model.type not in ("refine",):
+        if self.model.type not in ("refine", "bgmm"):
             raise RuntimeError(
-                "AssignSession serves refine/threshold models; got "
+                "AssignSession serves refine/threshold/bgmm models; got "
                 + self.model.type)
         if stable not in ("core", "accessory"):
             raise ValueError("stable must be 'core' or 'accessory'")
@@ -85,9 +86,11 @@ class AssignSession:
             cluster_csv, mode="clusters", return_dict=True)["Cluster"]
 
         # fused classifier + 1-NN spec
-        name, static, params = model_post_spec(self.model)
+        from .ops.fused_assign import stable_post_spec
+
         dist_col = 0 if stable == "core" else 1
-        self.post_spec = ("boundary_stable", (static[0], dist_col), params)
+        self.post_spec = stable_post_spec(self.model, dist_col)
+        assert self.post_spec is not None
 
     def _dispatch(self, planes_q, len_q, freq_q):
         """One fused dispatch: dists + classification + 1-NN on device;

@@ -98,3 +98,23 @@ def test_stable_post_oracle(refine_db, population, population_dir,
         want[sk.name] = (session.ref_clustering[session.r_names[nn[qi]]]
                          if within else "NA")
     assert session.assign_sketches(q_sketches) == want
+
+
+def test_session_bgmm_matches_cli_stable(population, population_dir,
+                                         tmp_path):
+    """BGMM sessions agree with the CLI --stable route too."""
+    from poppunk_tpu.serve import AssignSession
+
+    d, rfile = population_dir
+    db = str(tmp_path / "bgdb")
+    poppunk_main(["--create-db", "--r-files", rfile, "--output", db] + KARGS)
+    poppunk_main(["--fit-model", "bgmm", "--ref-db", db, "--output", db,
+                  "--K", "2", "--no-plot"])
+    qfile = _query_rfile(population, population_dir, tmp_path)
+    out = str(tmp_path / "bg_cli")
+    assign_main(["--db", db, "--query", qfile, "--output", out,
+                 "--stable", "core"])
+    cli = {r["Taxon"]: r["Cluster"] for r in csv.DictReader(
+        open(os.path.join(out, "bg_cli_clusters.csv")))}
+    session = AssignSession(db, stable="core")
+    assert session.assign_files(qfile) == cli
