@@ -25,7 +25,6 @@ kernel itself — so it stays on the two-pass CLI route).
 """
 
 import os
-import sys
 
 import jax.numpy as jnp
 import numpy as np
