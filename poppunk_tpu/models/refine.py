@@ -116,23 +116,33 @@ def refine_fit(dist_mat, sample_names, mean0, mean1, scale, max_move, min_move,
         x_max = np.linspace(x_max_start, x_max_end, global_grid_resolution, dtype=np.float32)
         y_max = np.linspace(y_max_start, y_max_end, global_grid_resolution, dtype=np.float32)
 
-        global_s = []
-        for y_idx in range(global_grid_resolution):
+        row_rngs = (rng.spawn(global_grid_resolution) if rng is not None
+                    else [None] * global_grid_resolution)
+
+        def score_row(y_idx):
+            """One y row = one sweep over the x grid (the reference farms
+            rows to a process pool, refine.py:147-166; numpy + the native
+            scorer release the GIL so threads suffice here)."""
             i_vec, j_vec, idx_vec = bops.threshold_iterate_2d(
                 dist_mat, x_max, float(y_max[y_idx])
             )
             if len(idx_vec) == dist_mat.shape[0]:
-                global_s.append(np.zeros(len(x_max)))
-            elif use_device_sweep(len(sample_names), score_idx):
-                global_s.append(sweep_scores_device(
-                    len(sample_names), i_vec, j_vec, idx_vec, len(x_max)))
-            else:
-                global_s.append(
-                    grow_network_scores(
-                        len(sample_names), i_vec, j_vec, idx_vec, len(x_max),
-                        score_idx, betweenness_sample, rng=rng,
-                    )
-                )
+                return np.zeros(len(x_max))
+            if use_device_sweep(len(sample_names), score_idx):
+                return sweep_scores_device(
+                    len(sample_names), i_vec, j_vec, idx_vec, len(x_max))
+            return grow_network_scores(
+                len(sample_names), i_vec, j_vec, idx_vec, len(x_max),
+                score_idx, betweenness_sample, rng=row_rngs[y_idx],
+            )
+
+        if num_processes > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_processes) as pool:
+                global_s = list(pool.map(score_row, range(global_grid_resolution)))
+        else:
+            global_s = [score_row(y) for y in range(global_grid_resolution)]
         global_s = np.concatenate(global_s)
         global_s[np.isnan(global_s)] = 1
         min_idx = int(np.argmin(global_s))
@@ -281,6 +291,7 @@ class RefineFit(ClusterFit):
             scaled_X, sample_names, self.mean0, self.mean1, self.scale,
             self.max_move, self.min_move, slope=2, score_idx=score_idx,
             unconstrained=unconstrained, no_local=no_local,
+            num_processes=self.threads,
             betweenness_sample=betweenness_sample, sample_size=sample_size,
             rng=rng,
         )

@@ -8,6 +8,11 @@ running wedge/triangle counts via adjacency sets — O(E * avg_deg) for the
 whole sweep instead of O(grid * (V + E)) full recomputes. Betweenness
 (score_idx > 0) is recomputed per evaluated offset via Brandes, as in the
 reference.
+
+The native C++ engine (native/graph_core.cpp) supersedes both loops when
+available: one compact-forward triangle pass for the whole sweep
+(O(E^1.5)) plus OpenMP Brandes with per-component caching across offsets
+— every score index, no [n, n] buffers, no per-edge Python.
 """
 
 import ctypes
@@ -37,16 +42,26 @@ def _get_graph_lib():
     try:
         if (not os.path.isfile(_LIB_PATH) or
                 os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB_PATH, _SRC_PATH],
-                check=True, capture_output=True)
+            cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                   "-fPIC", "-o", _LIB_PATH, _SRC_PATH]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # toolchains without OpenMP still get the serial build
+                cmd.remove("-fopenmp")
+                subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.sweep_scores_native.restype = None
-        lib.sweep_scores_native.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.sweep_scores_v2.restype = None
+        lib.sweep_scores_v2.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, f64p,
+        ]
+        lib.brandes_native.restype = None
+        lib.brandes_native.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), i32p, ctypes.c_int32, i32p,
+            ctypes.c_int64, f64p,
         ]
         _graph_lib = lib
     except Exception as e:  # noqa: BLE001 — fall back to Python
@@ -55,9 +70,10 @@ def _get_graph_lib():
     return _graph_lib
 
 
-def sweep_scores_native(n_vertices, i_vec, j_vec, idx_vec, n_offsets):
-    """-(score0) per offset via the C++ incremental sweep, or None if the
-    native library is unavailable."""
+def sweep_scores_native(n_vertices, i_vec, j_vec, idx_vec, n_offsets,
+                        score_idx=0, betweenness_sample=100, seed=0):
+    """-(score) per offset via the C++ sparse sweep (any score_idx), or
+    None if the native library is unavailable."""
     lib = _get_graph_lib()
     if lib is None:
         return None
@@ -65,12 +81,33 @@ def sweep_scores_native(n_vertices, i_vec, j_vec, idx_vec, n_offsets):
     j_vec = np.ascontiguousarray(j_vec, dtype=np.int32)
     idx_vec = np.ascontiguousarray(idx_vec, dtype=np.int32)
     out = np.empty(n_offsets, dtype=np.float64)
-    lib.sweep_scores_native(
+    lib.sweep_scores_v2(
         i_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         j_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         idx_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(i_vec.shape[0]), ctypes.c_int32(int(n_vertices)),
-        ctypes.c_int32(int(n_offsets)),
+        ctypes.c_int32(int(n_offsets)), ctypes.c_int32(int(score_idx)),
+        ctypes.c_int32(int(betweenness_sample)), ctypes.c_uint64(int(seed)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def brandes_native(A, sources):
+    """Native Brandes betweenness over a CSR adjacency from the given
+    sources, or None if the native library is unavailable."""
+    lib = _get_graph_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    sources = np.ascontiguousarray(sources, dtype=np.int32)
+    out = np.empty(A.shape[0], dtype=np.float64)
+    lib.brandes_native(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(int(A.shape[0])),
+        sources.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(sources.shape[0]),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
 
@@ -169,9 +206,15 @@ def grow_network_scores(n_vertices, i_vec, j_vec, idx_vec, n_offsets,
 
     from .clusters import print_clusters
 
-    if score_idx == 0 and not write_clusters and len(i_vec) > 0:
+    if not write_clusters and len(i_vec) > 0:
+        # sampled-source draws differ between the native mt19937 and the
+        # numpy rng, but components <= betweenness_sample are scored from
+        # all sources in both paths (exact equality — the tested regime)
+        seed = 0 if rng is None else int(rng.integers(2**63))
         native = sweep_scores_native(n_vertices, i_vec, j_vec, idx_vec,
-                                     n_offsets)
+                                     n_offsets, score_idx=score_idx,
+                                     betweenness_sample=betweenness_sample,
+                                     seed=seed)
         if native is not None:
             return native
 

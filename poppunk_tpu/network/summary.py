@@ -66,7 +66,15 @@ def betweenness_max_per_component(G, labels, sizes, sample_sources=None,
 
 def brandes_betweenness(A, sources):
     """Brandes betweenness (unnormalised, undirected double counting) from
-    the given source vertices. A: boolean CSR."""
+    the given source vertices. A: boolean CSR.
+
+    Dispatches to the native OpenMP engine (native/graph_core.cpp) when
+    available; the numpy implementation below is its oracle."""
+    from .incremental import brandes_native
+
+    native = brandes_native(A, np.asarray(sources))
+    if native is not None:
+        return native
     n = A.shape[0]
     indptr, indices = A.indptr, A.indices
     bc = np.zeros(n)

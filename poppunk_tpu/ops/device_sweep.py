@@ -13,8 +13,11 @@ comes out of a single [n, n] matmul on the MXU (A * A@A summed gives
 6*triangles directly — no A^3 needed). A lax.scan over offsets keeps peak
 memory at two [n, n] f32 buffers; counts stay exact in f32 up to 2^24.
 
-This path covers score_idx = 0 (the default). Betweenness-weighted scores
-(idx 1/2) are graph-irregular and stay on the host incremental path.
+This path covers score_idx = 0 (the default) up to n = 32768 vertices
+(dense [n, n] HBM). Beyond that, and for the betweenness-weighted scores
+(idx 1/2), the sparse native engine takes over (native/graph_core.cpp via
+network/incremental.py: one O(E^1.5) compact-forward triangle pass +
+OpenMP Brandes) — no [n, n] buffers at any n.
 """
 
 from functools import partial

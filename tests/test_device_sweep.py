@@ -76,3 +76,65 @@ def test_duplicate_edges_are_safe():
     want = grow_network_scores(4, [0, 1], [1, 2], [0, 1], 3, score_idx=0)
     got = sweep_scores_device(4, i, j, idx, 3)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("score_idx", [1, 2])
+@pytest.mark.parametrize("seed", [5, 6])
+def test_native_betweenness_scores_match_python(seed, score_idx):
+    """The sparse C++ sweep covers the betweenness-weighted scores too;
+    with betweenness_sample >= every component size both paths run exact
+    all-sources Brandes and must agree to float precision."""
+    from poppunk_tpu.network.incremental import (IncrementalNetwork,
+                                                 sweep_scores_native)
+
+    n, n_offsets = 60, 8
+    i, j, idx = random_sweep(n, n_offsets, 250, seed)
+    native = sweep_scores_native(n, i, j, idx, n_offsets,
+                                 score_idx=score_idx,
+                                 betweenness_sample=10_000)
+    if native is None:
+        pytest.skip("native graph core unavailable")
+
+    order = np.argsort(idx, kind="stable")
+    i, j, idx = i[order], j[order], idx[order]
+    net = IncrementalNetwork(n)
+    want = np.ones(n_offsets)
+    pos = 0
+    for off in range(n_offsets):
+        end = pos
+        while end < idx.shape[0] and idx[end] <= off:
+            end += 1
+        net.add_edges(i[pos:end], j[pos:end])
+        pos = end
+        want[off] = -net.score(score_idx, betweenness_sample=10_000)
+    np.testing.assert_allclose(native, want, atol=1e-10)
+
+
+def test_native_sweep_large_sparse():
+    """No [n, n] buffers: a 50k-vertex sweep (past DEVICE_SWEEP_MAX_N's
+    dense regime) completes quickly for every score index."""
+    from poppunk_tpu.network.incremental import sweep_scores_native
+
+    rng = np.random.default_rng(0)
+    n, n_offsets = 50_000, 10
+    # clustered edges: 1000 strain-like groups plus random noise
+    labels = rng.integers(0, 1000, n)
+    a = rng.integers(0, n, 120_000)
+    b = rng.integers(0, n, 120_000)
+    keep = (labels[a] == labels[b]) | (rng.random(120_000) < 0.02)
+    i, j = a[keep], b[keep]
+    m = i != j
+    i, j = i[m], j[m]
+    idx = rng.integers(0, n_offsets, i.shape[0])
+    for score_idx in (0, 1, 2):
+        scores = sweep_scores_native(n, i.astype(np.int32),
+                                     j.astype(np.int32),
+                                     idx.astype(np.int32), n_offsets,
+                                     score_idx=score_idx,
+                                     betweenness_sample=100, seed=1)
+        if scores is None:
+            pytest.skip("native graph core unavailable")
+        assert scores.shape == (n_offsets,)
+        assert np.all(np.isfinite(scores))
+        # scores are -(t(1-d)...) in [-1, 0]
+        assert np.all(scores <= 1e-12) and np.all(scores >= -1.0)
