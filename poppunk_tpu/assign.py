@@ -47,13 +47,16 @@ def fetch_network(network_dir, model, ref_list, ref_graph=False,
     else:
         suffix = ""
 
-    candidates = []
+    stems = []
     if ref_graph:
-        candidates.append(base + suffix + ".refs_graph" + GRAPH_SUFFIX)
-    candidates.append(base + suffix + "_graph" + GRAPH_SUFFIX)
+        stems.append(base + suffix + ".refs_graph")
+    stems.append(base + suffix + "_graph")
     if model.type == "lineage":
-        candidates.insert(0, base + "_rank_" + str(min(model.ranks))
-                          + "_graph" + GRAPH_SUFFIX)
+        stems.insert(0, base + "_rank_" + str(min(model.ranks)) + "_graph")
+    # native format first, then the reference's graph-tool .gt so published
+    # PopPUNK databases work as-is (PopPUNK/network.py:120-176)
+    candidates = [stem + ext for stem in stems
+                  for ext in (GRAPH_SUFFIX, ".gt")]
 
     network_file = next((c for c in candidates if os.path.isfile(c)), None)
     if network_file is None:

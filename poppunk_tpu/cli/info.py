@@ -74,8 +74,10 @@ def main(arg_list=None):
                 })
 
     if not args.simple:
-        network_file = args.network_file or (
-            os.path.join(db, os.path.basename(db) + "_graph" + GRAPH_SUFFIX))
+        stem = os.path.join(db, os.path.basename(db) + "_graph")
+        network_file = args.network_file or next(
+            (stem + ext for ext in (GRAPH_SUFFIX, ".gt")
+             if os.path.isfile(stem + ext)), stem + GRAPH_SUFFIX)
         G = None
         if os.path.isfile(network_file):
             if (network_file.endswith(".npz")

@@ -136,6 +136,26 @@ class Graph:
                 data["weights"] if "weights" in data else None,
             )
 
+    def save_gt(self, path):
+        """graph-tool binary format (reference default,
+        PopPUNK/network.py:1855-1874) — see gt_format.py."""
+        from .gt_format import write_gt
+
+        write_gt(path, self.n_vertices, self.edges, self.weights)
+
+    @classmethod
+    def load_gt(cls, path):
+        """Load a graph-tool .gt file (e.g. a published PopPUNK
+        database's _graph.gt, PopPUNK/network.py:120-176)."""
+        from .gt_format import read_gt
+
+        n, edges, directed, props = read_gt(path)
+        weights = None
+        for (key_type, name), values in props.items():
+            if key_type == 2 and name == "weight":
+                weights = np.asarray(values, dtype=np.float64)
+        return cls(n, edges, weights)
+
     def save_graphml(self, path, vertex_labels=None):
         """GraphML export (interop with the reference's graphml outputs)."""
         esc = xml.sax.saxutils.escape
@@ -193,9 +213,13 @@ class Graph:
 GRAPH_SUFFIX = ".graph.npz"
 
 
-def save_network(G, prefix=None, suffix=None, use_graphml=False, vertex_labels=None):
+def save_network(G, prefix=None, suffix=None, use_graphml=False,
+                 vertex_labels=None, use_gt=False):
     """Save with the reference's naming convention
-    (PopPUNK/network.py:1855-1884): ``<prefix>/<basename><suffix>``."""
+    (PopPUNK/network.py:1855-1884): ``<prefix>/<basename><suffix>``.
+
+    use_gt additionally writes the reference's graph-tool binary format
+    (its default) so outputs load in reference tooling."""
     file_name = os.path.join(prefix, os.path.basename(prefix))
     if suffix is not None:
         file_name += suffix
@@ -203,6 +227,9 @@ def save_network(G, prefix=None, suffix=None, use_graphml=False, vertex_labels=N
     if use_graphml:
         G.save_graphml(file_name + ".graphml", vertex_labels)
         return file_name + ".graphml"
+    if use_gt:
+        G.save_gt(file_name + ".gt")
+        return file_name + ".gt"
     G.save(file_name + GRAPH_SUFFIX)
     return file_name + GRAPH_SUFFIX
 
@@ -210,6 +237,8 @@ def save_network(G, prefix=None, suffix=None, use_graphml=False, vertex_labels=N
 def load_network_file(fn):
     if fn.endswith(".graphml"):
         return Graph.load_graphml(fn)
+    if fn.endswith(".gt"):
+        return Graph.load_gt(fn)
     return Graph.load(fn)
 
 

@@ -228,3 +228,62 @@ class TestPersistence:
         assert G2.n_vertices == G.n_vertices
         assert G2.vertex_labels == labels
         assert np.array_equal(np.sort(G2.edges, axis=0), np.sort(G.edges, axis=0))
+
+
+class TestGtFormat:
+    """graph-tool .gt binary interop (PopPUNK/network.py:120-176,
+    1855-1874 — the reference's default network format)."""
+
+    def test_gt_roundtrip(self, tmp_path):
+        G = random_graph(25, 0.2, weights=True)
+        fn = save_network(G, prefix=str(tmp_path / "db"), suffix="_graph",
+                          use_gt=True)
+        assert fn.endswith(".gt")
+        G2 = load_network_file(fn)
+        assert G2.n_vertices == G.n_vertices
+        # edge set equal regardless of per-vertex grouping order
+        want = {tuple(sorted(e)) for e in G.edges.tolist()}
+        got = {tuple(sorted(e)) for e in G2.edges.tolist()}
+        assert got == want
+        # weights follow their edges
+        w_want = {tuple(sorted(e)): w
+                  for e, w in zip(G.edges.tolist(), G.weights)}
+        w_got = {tuple(sorted(e)): w
+                 for e, w in zip(G2.edges.tolist(), G2.weights)}
+        for k in want:
+            assert abs(w_want[k] - w_got[k]) < 1e-12
+
+    def test_gt_matches_npz_twin(self, tmp_path):
+        G = random_graph(40, 0.1, weights=False)
+        fn_gt = save_network(G, prefix=str(tmp_path / "a"), suffix="_graph",
+                             use_gt=True)
+        fn_npz = save_network(G, prefix=str(tmp_path / "b"), suffix="_graph")
+        G_gt = load_network_file(fn_gt)
+        G_npz = load_network_file(fn_npz)
+        assert G_gt.n_vertices == G_npz.n_vertices
+        assert ({tuple(sorted(e)) for e in G_gt.edges.tolist()}
+                == {tuple(sorted(e)) for e in G_npz.edges.tolist()})
+
+    def test_gt_wide_vertex_ids(self, tmp_path):
+        # index width switches at 256 vertices (u1 -> u2)
+        from poppunk_tpu.network.graph import Graph
+
+        edges = np.array([[0, 300], [299, 300], [1, 2]])
+        G = Graph(400, edges)
+        fn = str(tmp_path / "wide.gt")
+        G.save_gt(fn)
+        G2 = Graph.load_gt(fn)
+        assert G2.n_vertices == 400
+        assert ({tuple(sorted(e)) for e in G2.edges.tolist()}
+                == {tuple(sorted(e)) for e in edges.tolist()})
+
+    def test_bad_magic_rejected(self, tmp_path):
+        fn = str(tmp_path / "x.gt")
+        with open(fn, "wb") as f:
+            f.write(b"not a gt file")
+        import pytest
+
+        from poppunk_tpu.network.graph import Graph
+
+        with pytest.raises(ValueError, match="magic"):
+            Graph.load_gt(fn)
