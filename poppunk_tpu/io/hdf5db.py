@@ -9,10 +9,15 @@ read in PopPUNK/sketchlib.py:125-142):
                                   base_freq, reads (optional)
     /sketches/<sample>/<k>        uint64[sketchsize64*bbits] dataset,
                                   attr kmer-size
-    /random                       random-match marker group (our model is
-                                  computed per pair from lengths/base_freq;
-                                  see sketch/random_match.py). attrs:
-                                  use_rc, model ("pair-bernoulli-v1")
+    /random                       random-match model. attrs: use_rc, model
+                                  ("pair-bernoulli-v1"), k_min, k_max;
+                                  datasets table_keys/table_values (sample
+                                  -> composition cluster), cluster_centroids,
+                                  matches/<k> ([n_clusters, n_clusters]
+                                  chances) — the reference-style RandomMC
+                                  table. Our compute path corrects exactly
+                                  per pair (sketch/random_match.py); the
+                                  table is for interop.
 
 Functions mirror the reference sketchlib wrapper surface
 (PopPUNK/sketchlib.py): createDatabaseDir, getSketchSize,
@@ -218,22 +223,94 @@ def remove_from_db(db_name, out_name, remove_seqs, full_names=False):
     return out_file
 
 
-def _write_random_group(db, use_rc=True):
+# Number of base-composition clusters for the persisted random-match
+# table (pp-sketchlib's RandomMC clusters samples by composition before
+# tabulating per-cluster-pair chances).
+RANDOM_N_CLUSTERS = 2
+
+
+def _kmeans_freqs(freqs, n_clusters, n_iter=25, seed=1):
+    """Tiny deterministic k-means over base-frequency vectors.
+
+    Returns (assignments uint16[n], centroids float64[n_clusters, 4])."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    n = freqs.shape[0]
+    n_clusters = min(n_clusters, n)
+    rng = np.random.default_rng(seed)
+    centroids = freqs[rng.choice(n, size=n_clusters, replace=False)]
+    assign = np.zeros(n, dtype=np.int64)
+    for it in range(n_iter):
+        d2 = ((freqs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+        new_assign = d2.argmin(axis=1)
+        if np.array_equal(new_assign, assign) and it > 0:
+            break
+        assign = new_assign
+        for c in range(n_clusters):
+            members = freqs[assign == c]
+            if members.shape[0]:
+                centroids[c] = members.mean(axis=0)
+    return assign.astype(np.uint16), centroids
+
+
+def _write_random_group(db, use_rc=True, klist=None):
+    """Persist the random-match model.
+
+    Two layers:
+    - marker attrs (model, use_rc) — our compute path corrects exactly
+      per pair from stored lengths/base frequencies
+      (sketch/random_match.py), so nothing else is *needed*;
+    - the reference-style clustered Bernoulli table (pp-sketchlib's
+      RandomMC, persisted by its addRandom — PopPUNK/sketchlib.py:
+      278-322 copies the group verbatim on join/remove): samples
+      k-means-clustered by base composition (`table_keys`/`table_values`),
+      per-cluster centroids, and per-k [n_clusters, n_clusters] random
+      match chances under `matches/<k>`. pp-sketchlib's exact dataset
+      naming is unverifiable in this checkout (source absent — see
+      PARITY.md); the layout here follows its documented structure.
+    """
     if "random" in db:
         del db["random"]
     grp = db.create_group("random")
     grp.attrs["model"] = RANDOM_MODEL
     grp.attrs["use_rc"] = use_rc
 
+    sketches = db["sketches"]
+    names = sorted(sketches.keys())
+    if klist is None:
+        klist = sorted(int(k) for k in np.asarray(sketches[names[0]].attrs["kmers"]))
+    lengths = np.array([sketches[s].attrs["length"] for s in names], dtype=np.float64)
+    freqs = np.stack([np.asarray(sketches[s].attrs["base_freq"]) for s in names])
+
+    from ..sketch.random_match import random_jaccard
+
+    assign, centroids = _kmeans_freqs(freqs, RANDOM_N_CLUSTERS)
+    n_clusters = centroids.shape[0]
+    # representative length per cluster (mean member length)
+    c_len = np.array([lengths[assign == c].mean() for c in range(n_clusters)])
+
+    grp.attrs["k_min"] = int(min(klist))
+    grp.attrs["k_max"] = int(max(klist))
+    grp.create_dataset("table_keys",
+                       data=np.array(names, dtype=h5py.string_dtype()))
+    grp.create_dataset("table_values", data=assign)
+    grp.create_dataset("cluster_centroids", data=centroids)
+    matches = grp.create_group("matches")
+    c1 = np.repeat(np.arange(n_clusters), n_clusters)
+    c2 = np.tile(np.arange(n_clusters), n_clusters)
+    for k in klist:
+        table = random_jaccard(int(k), c_len[c1], c_len[c2],
+                               centroids[c1], centroids[c2],
+                               use_rc=use_rc).reshape(n_clusters, n_clusters)
+        matches.create_dataset(str(int(k)), data=table.astype(np.float32))
+
 
 def add_random(db_prefix, sequence_names=None, klist=None, strand_preserved=False,
                overwrite=False, threads=1):
-    """Mark the DB as random-corrected.
+    """Add random-match chances to the DB (PopPUNK/sketchlib.py:437-473).
 
-    The reference computes and stores a clustered random-match table here
-    (PopPUNK/sketchlib.py:437-473); our correction is computed exactly per
-    pair at query time from stored lengths/base frequencies, so this only
-    records the marker (and the strand convention).
+    Persists both the marker attrs our exact per-pair correction needs
+    and the reference-schema clustered Bernoulli table (see
+    _write_random_group).
     """
     if sequence_names is not None and len(sequence_names) <= 2:
         sys.stderr.write("Cannot add random match chances with this few genomes\n")
@@ -242,7 +319,7 @@ def add_random(db_prefix, sequence_names=None, klist=None, strand_preserved=Fals
         if "random" in db and not overwrite:
             sys.stderr.write("Using existing random match chances in DB\n")
             return
-        _write_random_group(db, use_rc=not strand_preserved)
+        _write_random_group(db, use_rc=not strand_preserved, klist=klist)
 
 
 def has_random(db_prefix):
