@@ -120,6 +120,25 @@ class DBSCANFit(ClusterFit):
             outs.append(self.hdb.approximate_predict(chunk)[0])
         return np.concatenate(outs).astype(int)
 
+    def decision_grid(self, resolution=1024, pad_frac=1.0):
+        """Quantised approximate_predict over scaled distance space, for
+        the fused serving path (serve.py): labels int8[res, res] at cell
+        centres, plus the (x0, dx, y0, dy) affine mapping a scaled point
+        to its cell. Exact wherever a pair sits more than half a cell from
+        a decision boundary; the grid extends pad_frac beyond the fitted
+        range so out-of-range points resolve like far points (noise)."""
+        hi = np.asarray(self.hdb._X).max(axis=0) * (1.0 + pad_frac)
+        lo = np.zeros(2)
+        dx = (hi[0] - lo[0]) / resolution
+        dy = (hi[1] - lo[1]) / resolution
+        xc = lo[0] + (np.arange(resolution) + 0.5) * dx
+        yc = lo[1] + (np.arange(resolution) + 0.5) * dy
+        xx, yy = np.meshgrid(xc, yc, indexing="ij")
+        pts = np.stack([xx.ravel(), yy.ravel()], axis=1)
+        labels = self.hdb.approximate_predict(pts)[0]
+        grid = labels.reshape(resolution, resolution).astype(np.int8)
+        return grid, float(lo[0]), float(dx), float(lo[1]), float(dy)
+
     def save(self):
         if not self.fitted:
             raise RuntimeError("Trying to save unfitted model")

@@ -101,17 +101,51 @@ def _post_bgmm(dists, params, static):
         dists.shape[:-1])
 
 
+def _dbscan_grid_label(dists, params):
+    """Cluster label per pair from the quantised approximate_predict grid
+    (DBSCANFit.decision_grid): scale, locate cell, gather."""
+    grid, x0, dx, y0, dy, scale = params
+    res = grid.shape[0]
+    Xs = dists.reshape(-1, 2) / scale
+    ix = jnp.clip(((Xs[:, 0] - x0) / dx).astype(jnp.int32), 0, res - 1)
+    iy = jnp.clip(((Xs[:, 1] - y0) / dy).astype(jnp.int32), 0, res - 1)
+    return grid[ix, iy]
+
+
+def _post_dbscan(dists, params, static):
+    """Predicted HDBSCAN cluster per pair (reference
+    PopPUNK/models.py:192 approximate_predict semantics, grid-quantised).
+    Output int8, shape = dists.shape[:-1]."""
+    return _dbscan_grid_label(dists, params).reshape(dists.shape[:-1])
+
+
+def _post_dbscan_stable(dists, params, static):
+    """Fused --stable serving for DBSCAN models: (nn_index, within_flag)
+    per query; within = the nearest pair's grid label equals the model's
+    within label."""
+    dist_col, within_label = static
+    lab = _dbscan_grid_label(dists, params).reshape(dists.shape[:-1])
+    rect = dists[..., dist_col]
+    nn = jnp.argmin(rect, axis=-1)
+    within = jnp.take_along_axis(lab, nn[..., None], axis=-1)[..., 0] \
+        == within_label
+    return jnp.stack([nn.astype(jnp.int32), within.astype(jnp.int32)],
+                     axis=-1)
+
+
 POST_FNS = {
     "boundary": _post_boundary,
     "boundary_stable": _post_boundary_stable,
     "bgmm": _post_bgmm,
     "bgmm_stable": _post_bgmm_stable,
+    "dbscan": _post_dbscan,
+    "dbscan_stable": _post_dbscan_stable,
 }
 
 
 def stable_post_spec(model, dist_col):
     """(name, static, params) for the fused --stable serving post
-    (1-NN + within check on device) — refine/threshold and BGMM."""
+    (1-NN + within check on device) — refine/threshold, BGMM and DBSCAN."""
     base = model_post_spec(model)
     if base is None:
         return None
@@ -120,6 +154,9 @@ def stable_post_spec(model, dist_col):
         return ("boundary_stable", (static[0], int(dist_col)), params)
     if name == "bgmm":
         return ("bgmm_stable", (int(dist_col), int(model.within_label)),
+                params)
+    if name == "dbscan":
+        return ("dbscan_stable", (int(dist_col), int(model.within_label)),
                 params)
     return None
 
@@ -153,6 +190,15 @@ def model_post_spec(model, slope=None):
             jnp.asarray(model.scale, jnp.float32),
         )
         return ("bgmm", (), params)
+    if getattr(model, "type", None) == "dbscan" and hasattr(model, "hdb"):
+        grid, x0, dx, y0, dy = model.decision_grid()
+        params = (
+            jnp.asarray(grid),
+            jnp.float32(x0), jnp.float32(dx),
+            jnp.float32(y0), jnp.float32(dy),
+            jnp.asarray(model.scale, jnp.float32),
+        )
+        return ("dbscan", (), params)
     return None
 
 

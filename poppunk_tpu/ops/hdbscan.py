@@ -373,17 +373,26 @@ class HDBSCAN:
         mr = np.maximum(np.maximum(nn_dist, core_y), self._core[nn])
         labels = self.labels_[nn].copy()
         probs = np.zeros(Y.shape[0])
-        for i in range(Y.shape[0]):
-            lab = labels[i]
-            if lab < 0:
-                continue
-            max_lam = self._cluster_max_lambda.get(int(lab), 0.0)
-            birth = self._cluster_birth_lambda.get(int(lab), 0.0)
-            lam = 1.0 / mr[i] if mr[i] > 0 else np.inf
+        n_labels = int(labels.max()) + 1 if labels.size and labels.max() >= 0 else 0
+        max_lam_arr = np.array(
+            [self._cluster_max_lambda.get(lab, 0.0) for lab in range(n_labels)])
+        birth_arr = np.array(
+            [self._cluster_birth_lambda.get(lab, 0.0) for lab in range(n_labels)])
+        with np.errstate(divide="ignore"):
+            lam = np.where(mr > 0, 1.0 / np.maximum(mr, 1e-300), np.inf)
+        assigned = labels >= 0
+        if n_labels:
+            birth = np.where(assigned, birth_arr[np.maximum(labels, 0)], 0.0)
+            max_lam = np.where(assigned, max_lam_arr[np.maximum(labels, 0)], 0.0)
             # a point whose join-lambda is below the cluster's birth would
             # not have been part of it -> noise
-            if np.isfinite(birth) and lam < birth:
-                labels[i] = -1
-            else:
-                probs[i] = min(lam, max_lam) / max_lam if max_lam > 0 else 1.0
+            to_noise = assigned & np.isfinite(birth) & (lam < birth)
+            labels[to_noise] = -1
+            keep = assigned & ~to_noise
+            probs[keep] = np.where(
+                max_lam[keep] > 0,
+                np.minimum(lam[keep], max_lam[keep])
+                / np.maximum(max_lam[keep], 1e-300),
+                1.0,
+            )
         return labels, probs

@@ -19,9 +19,14 @@ upload). ``AssignSession`` pays those costs once:
 Semantics match ``poppunk_assign --stable {core,accessory}``
 (reference assign.py:663-693): each query takes its nearest reference's
 cluster iff that pair is within-strain, else "NA". Sessions serve
-refine/threshold and BGMM models (DBSCAN's approximate_predict needs a
-per-pair kNN against the fitted point set — costlier than the distance
-kernel itself — so it stays on the two-pass CLI route).
+refine/threshold, BGMM and DBSCAN models. DBSCAN's approximate_predict
+(reference PopPUNK/models.py:192) needs a per-pair kNN against the fitted
+point set — costlier than the distance kernel itself — so at construction
+the decision function is quantised onto a 1024^2 grid over scaled distance
+space (DBSCANFit.decision_grid, evaluated with the exact host predictor)
+and serving classifies each pair with one device gather; exact for any
+pair more than half a cell (~1e-3 of the distance range) from a decision
+boundary.
 """
 
 import os
@@ -48,10 +53,10 @@ class AssignSession:
         model_prefix = (model_dir or ref_db).rstrip("/")
         base = _file_base(model_prefix)
         self.model = load_cluster_fit(base + "_fit.pkl", base + "_fit.npz")
-        if self.model.type not in ("refine", "bgmm"):
+        if self.model.type not in ("refine", "bgmm", "dbscan"):
             raise RuntimeError(
-                "AssignSession serves refine/threshold/bgmm models; got "
-                + self.model.type)
+                "AssignSession serves refine/threshold/bgmm/dbscan models; "
+                "got " + self.model.type)
         if stable not in ("core", "accessory"):
             raise ValueError("stable must be 'core' or 'accessory'")
         self.stable = stable

@@ -118,3 +118,47 @@ def test_session_bgmm_matches_cli_stable(population, population_dir,
         open(os.path.join(out, "bg_cli_clusters.csv")))}
     session = AssignSession(db, stable="core")
     assert session.assign_files(qfile) == cli
+
+
+def test_session_dbscan_matches_cli_stable(population, population_dir,
+                                           tmp_path):
+    """DBSCAN sessions (grid-quantised approximate_predict on device)
+    agree with the CLI two-pass --stable route."""
+    from poppunk_tpu.serve import AssignSession
+
+    d, rfile = population_dir
+    db = str(tmp_path / "dbdb")
+    poppunk_main(["--create-db", "--r-files", rfile, "--output", db] + KARGS)
+    poppunk_main(["--fit-model", "dbscan", "--ref-db", db, "--output", db,
+                  "--no-plot"])
+    qfile = _query_rfile(population, population_dir, tmp_path)
+    out = str(tmp_path / "db_cli")
+    assign_main(["--db", db, "--query", qfile, "--output", out,
+                 "--stable", "core"])
+    cli = {r["Taxon"]: r["Cluster"] for r in csv.DictReader(
+        open(os.path.join(out, "db_cli_clusters.csv")))}
+    session = AssignSession(db, stable="core")
+    assert session.assign_files(qfile) == cli
+
+
+def test_dbscan_grid_matches_exact_predict():
+    """The quantised decision grid reproduces the exact host
+    approximate_predict away from decision boundaries."""
+    from poppunk_tpu.models.dbscan import DBSCANFit
+
+    rng = np.random.default_rng(5)
+    within = rng.normal([0.02, 0.05], 0.005, size=(300, 2))
+    between = rng.normal([0.15, 0.3], 0.01, size=(400, 2))
+    X = np.abs(np.vstack([within, between]))
+    model = DBSCANFit("/tmp/unused_prefix", assign_points=False)
+    model.fit(X, max_num_clusters=4, min_cluster_prop=0.01)
+    grid, x0, dx, y0, dy = model.decision_grid(resolution=512)
+
+    pts = np.abs(rng.normal([0.02, 0.05], 0.004, size=(200, 2)))
+    exact = model.assign(pts, progress=False)
+    Xs = pts / model.scale
+    ix = np.clip(((Xs[:, 0] - x0) / dx).astype(int), 0, 511)
+    iy = np.clip(((Xs[:, 1] - y0) / dy).astype(int), 0, 511)
+    quant = grid[ix, iy]
+    # identical for all but boundary-grazing points
+    assert (quant == exact).mean() > 0.97
