@@ -74,9 +74,11 @@ def new_network_score(s, sample_names, dist_mat, mean0, mean1, gradient,
     else:
         x_max, y_max = 0, new_intercept[1]
     edges = bops.edge_iterate(dist_mat, slope, x_max, y_max)
-    net = IncrementalNetwork(len(sample_names))
-    net.add_edges(edges[:, 0], edges[:, 1])
-    return -net.score(score_idx, betweenness_sample, rng=rng)
+    scores = grow_network_scores(
+        len(sample_names), edges[:, 0], edges[:, 1],
+        np.zeros(edges.shape[0], dtype=np.int64), 1, score_idx,
+        betweenness_sample, rng=rng)
+    return scores[0]
 
 
 def check_search_range(scale, mean0, mean1, lower_s, upper_s):

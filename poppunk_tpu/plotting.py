@@ -18,7 +18,6 @@ instead of gt.sfdp_layout. Output filenames match the reference exactly
   (plot.py:512-1005).
 """
 
-import itertools
 import os
 import sys
 from collections import defaultdict
@@ -138,55 +137,62 @@ def plot_fit(klist, raw_matching, raw_fit, corrected_matching, corrected_fit,
     plt.close()
 
 
-def plot_results(X, Y, means, covariances, scale, title, out_prefix):
-    """BGMM fit: scatter coloured by component + covariance ellipses
-    (plot.py:182-235)."""
-    color_iter = itertools.cycle(
-        ["navy", "c", "cornflowerblue", "gold", "darkorange"]
-    )
-    fig = plt.figure(figsize=(11, 8), dpi=160, facecolor="w", edgecolor="k")
-    splot = plt.subplot(1, 1, 1)
-    for i, (mean, covar, color) in enumerate(zip(means, covariances, color_iter)):
-        scaled_covar = np.diag(scale) @ covar @ np.diag(scale).T
-        v, w = np.linalg.eigh(scaled_covar)
-        v = 2.0 * np.sqrt(2.0) * np.sqrt(v)
-        u = w[0] / np.linalg.norm(w[0])
-        if not np.any(Y == i):
-            continue
-        plt.scatter(X[Y == i, 0], X[Y == i, 1], 0.4, color=color)
-        angle = 180.0 * np.arctan(u[1] / u[0]) / np.pi
-        ell = matplotlib.patches.Ellipse(
-            mean * scale, v[0], v[1], angle=180.0 + angle, color=color
-        )
-        ell.set_clip_box(splot.bbox)
-        ell.set_alpha(0.5)
-        splot.add_artist(ell)
+_COMPONENT_PALETTE = ["navy", "c", "cornflowerblue", "gold", "darkorange"]
 
-    plt.title(title)
-    plt.xlabel("Core distance (" + r"$\pi$" + ")")
-    plt.ylabel("Accessory distance (" + r"$a$" + ")")
-    plt.savefig(out_prefix + ".png")
-    plt.close()
+
+def _sigma_ellipse(centre, cov, colour, n_sigma2=2.0):
+    """Ellipse patch covering n_sigma2 * variance of a 2x2 covariance:
+    axes 2*sqrt(n_sigma2 * eigval), tilted along the first eigenvector."""
+    vals, vecs = np.linalg.eigh(cov)
+    theta = np.degrees(np.arctan2(vecs[1, 0], vecs[0, 0]))
+    width, height = 2.0 * np.sqrt(n_sigma2 * np.maximum(vals, 0.0))
+    return matplotlib.patches.Ellipse(
+        centre, width, height, angle=theta, color=colour, alpha=0.5
+    )
+
+
+def _dist_axes(ax, title):
+    ax.set_title(title)
+    ax.set_xlabel("Core distance (" + r"$\pi$" + ")")
+    ax.set_ylabel("Accessory distance (" + r"$a$" + ")")
+
+
+def plot_results(X, Y, means, covariances, scale, title, out_prefix):
+    """BGMM fit: per-component scatter plus 2-sigma covariance ellipses
+    in unscaled distance space (same output contract as the reference's
+    plot_results, plot.py:182-235)."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    S = np.diag(scale)
+    fig, ax = plt.subplots(figsize=(11, 8), dpi=160)
+    occupied = [k for k in range(len(means)) if np.any(Y == k)]
+    for idx, k in enumerate(occupied):
+        colour = _COMPONENT_PALETTE[idx % len(_COMPONENT_PALETTE)]
+        pts = X[Y == k]
+        ax.scatter(pts[:, 0], pts[:, 1], s=0.4, color=colour)
+        ell = _sigma_ellipse(means[k] * scale, S @ covariances[k] @ S, colour)
+        ell.set_clip_box(ax.bbox)
+        ax.add_artist(ell)
+    _dist_axes(ax, title)
+    fig.savefig(out_prefix + ".png")
+    plt.close(fig)
 
 
 def plot_dbscan_results(X, y, n_clusters, out_prefix):
-    """(plot.py:237-283)."""
-    unique_labels = set(np.asarray(y).tolist())
-    colours = [plt.cm.Spectral(each)
-               for each in np.linspace(0, 1, len(unique_labels))]
-    plt.figure(figsize=(11, 8), dpi=160, facecolor="w", edgecolor="k")
-    for k in unique_labels:
-        if k == -1:
-            ptsize, col = 1, "k"
-        else:
-            ptsize, col = 2, tuple(colours.pop())
-        xy = X[np.asarray(y) == k]
-        plt.plot(xy[:, 0], xy[:, 1], ".", color=col, markersize=ptsize)
-    plt.title("HDBSCAN – estimated number of spatial clusters: %d" % n_clusters)
-    plt.xlabel("Core distance (" + r"$\pi$" + ")")
-    plt.ylabel("Accessory distance (" + r"$a$" + ")")
-    plt.savefig(out_prefix + ".png")
-    plt.close()
+    """HDBSCAN fit: noise in black, clusters over a spectral colormap in
+    two vectorised scatter calls (output contract of the reference's
+    plot_dbscan_results, plot.py:237-283)."""
+    X = np.asarray(X)
+    y = np.asarray(y)
+    fig, ax = plt.subplots(figsize=(11, 8), dpi=160)
+    noise = y == -1
+    ax.scatter(X[noise, 0], X[noise, 1], s=1, color="k", marker=".")
+    ax.scatter(X[~noise, 0], X[~noise, 1], s=2, c=y[~noise],
+               cmap="Spectral", marker=".")
+    _dist_axes(ax,
+               "HDBSCAN – estimated number of spatial clusters: %d" % n_clusters)
+    fig.savefig(out_prefix + ".png")
+    plt.close(fig)
 
 
 def plot_refined_results(X, Y, x_boundary, y_boundary, core_boundary,
