@@ -6,7 +6,10 @@ equivalent, reference PopPUNK/sketchlib.py:528-537) timed at production
 sketch geometry (sketch size 9984 -> sketchsize64=156, bbits=14, 6 k-mer
 lengths: the reference's bundled-dataset settings, test/run_test.py:21),
 against an optimised OpenMP+popcount CPU baseline (native/cpu_baseline.cpp,
-the stand-in for pp-sketchlib's CPU path).
+the stand-in for pp-sketchlib's CPU path). The baseline times the bin-match
+counting only (no Jaccard correction / curve fit) on a 512x1024 tile, while
+the device number includes the whole fused pipeline — the comparison is
+conservative in the baseline's favour.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
@@ -217,9 +220,97 @@ def bench_serving(nq=256, nr=4096, iters=3):
     }))
 
 
+def kernel_ceiling(pairs_per_s, wp):
+    """Speed-of-light for the popcount formulation on one v5e VPU.
+
+    Per (pair, k-mer) the kernel executes, on Wp padded u32 lanes:
+      - XOR + OR-accumulate over bbits planes: (2*bbits - 1) * Wp ops
+      - native population_count:                Wp ops
+      - lane-sum reduction:                    ~Wp ops
+    The v5e VPU is 8x128-lane vregs with 4 independent ALUs; the clock
+    follows from the published peak (197 bf16 TFLOPs over 4 MXUs of
+    128x128: 197e12 / (2*128*128*4) ~= 1.5 GHz), giving ~6.1e12 u32
+    lane-ops/s. Everything else in the fused pipeline (Jaccard
+    correction, k-mer curve fit) is O(nq*nr*K) scalars, ~1% of the
+    bin-match lane work, and overlaps under the same jit.
+    """
+    vpu_ops = 1024 * 4 * 1.5e9
+    ops_per_pair = len(KLIST) * wp * ((2 * BBITS - 1) + 1 + 1)
+    ceiling = vpu_ops / ops_per_pair
+    frac = pairs_per_s / ceiling
+    sys.stderr.write(
+        f"roofline: {ops_per_pair} u32 lane-ops/pair -> VPU ceiling "
+        f"{ceiling / 1e6:.1f} Mpairs/s; achieved {pairs_per_s / 1e6:.1f} "
+        f"= {frac:.0%} of speed-of-light\n")
+    return ceiling, frac
+
+
+def bench_scale(n=20480):
+    """End-to-end pipeline at realistic N, everything device-resident.
+
+    synth sketches -> condensed dists + fused lineage kNN -> BGMM on a
+    100k-pair subsample -> refine boundary (device sweep + native sparse
+    scorer) -> network -> clusters, with per-stage wall clock. Asserts the
+    host never holds an O(n^2) allocation (the condensed matrix at n=20480
+    is 1.7 GB; peak-RSS growth must stay an order below it).
+    """
+    import resource
+
+    import jax
+
+    try:
+        jax.devices()
+    except Exception as e:
+        sys.stderr.write(f"backend init failed ({e}); forcing CPU\n")
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from poppunk_tpu.scale import run_scale_pipeline
+
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        n = min(n, 1024)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on Linux
+    out = run_scale_pipeline(n=n, chunk=512)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    grown_mb = (rss1 - rss0) / 1024
+    limit_mb = 800
+    sys.stderr.write(f"peak host RSS growth {grown_mb:.0f} MiB "
+                     f"(limit {limit_mb}; condensed would be "
+                     f"{out['n_pairs'] * 8 / 2**20:.0f} MiB)\n")
+    assert grown_mb < limit_mb, \
+        f"host RSS grew {grown_mb:.0f} MiB — an O(n^2) host allocation?"
+
+    try:
+        lib = _build_baseline()
+        rng = np.random.default_rng(1)
+        planes64 = _synth_planes_u64(1024, rng)
+        cpu_rate = bench_cpu(lib, planes64, 512, 1024, os.cpu_count() or 1)
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"cpu baseline failed: {e}\n")
+        cpu_rate = float("nan")
+
+    stages = ", ".join(f"{k} {v:.1f}s" for k, v in out["timings"].items())
+    sys.stderr.write(f"stages: {stages}\n")
+    print(json.dumps({
+        "metric": f"end-to-end {n}-genome pipeline, device-resident "
+                  "(dists+kNN -> BGMM -> refine -> network; ARI "
+                  f"{out['ari']:.3f} vs planted strains, "
+                  f"total {out['total_s']:.1f}s)",
+        "value": round(out["pairs_per_s"], 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(out["pairs_per_s"] / cpu_rate, 2)
+        if cpu_rate == cpu_rate else None,
+    }))
+
+
 def main():
     if "--serve" in sys.argv:
         bench_serving()
+        return
+    if "--scale" in sys.argv:
+        pos = sys.argv.index("--scale")
+        n = int(sys.argv[pos + 1]) if len(sys.argv) > pos + 1 else 20480
+        bench_scale(n)
         return
     threads = os.cpu_count() or 1
     dev_rate, planes64, on_tpu = bench_device(nq=2048, nr=4096)
@@ -232,14 +323,21 @@ def main():
         sys.stderr.write(f"cpu baseline failed: {e}\n")
         cpu_rate = float("nan")
 
-    print(json.dumps({
+    out = {
         "metric": "pairwise core/accessory dists/sec/chip "
                   "(sketchsize 9984, bbits 14, 6 k-mer lengths)",
         "value": round(dev_rate, 1),
         "unit": "pairs/s",
         "vs_baseline": round(dev_rate / cpu_rate, 2)
         if cpu_rate == cpu_rate else None,
-    }))
+    }
+    if on_tpu:
+        from poppunk_tpu.ops.distances import plane_geometry
+
+        _, wp, _ = plane_geometry(SS64, BBITS)
+        _, frac = kernel_ceiling(dev_rate, wp)
+        out["ceiling_frac"] = round(frac, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

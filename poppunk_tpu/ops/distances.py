@@ -255,7 +255,7 @@ def condensed_self_block(planes, lengths, freqs, klist, sketchsize64, bbits,
             planes[start:stop], planes, lengths[start:stop], lengths,
             freqs[start:stop], freqs, klist, sketchsize64, bbits,
             random_correct, use_rc, jaccard, use_pallas, chunk=chunk,
-            use_mesh=False if n * (stop - start) < 1 << 16 else None,
+            use_mesh=False if n * (stop - start) < _SHARD_MIN_PAIRS else None,
             post_spec=post_spec)
         if post_spec is not None:
             block, extra = block

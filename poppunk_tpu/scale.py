@@ -1,0 +1,587 @@
+"""Device-resident condensed distance pipeline for large populations.
+
+The CLI path (ops/distances.condensed_self_block) streams chunk rows back
+to the host — right when artefacts must be written, but at 20k+ genomes
+the full condensed matrix (1.7 GB at n=20480) has no business on the host
+at all: every consumer (model subsample, lineage kNN, boundary sweep,
+network edges) needs either O(n) or sparse data. This module keeps the
+condensed matrix in HBM end to end and streams only O(n + E) results out
+— the scale story the reference cannot tell (its refineFit hands the
+whole host matrix to every scoring process, PopPUNK/refine.py:147-166).
+
+Layout — the "folded" condensed buffer. Row chunks alone give ragged
+upper-triangle slices (scatter-heavy on TPU); instead each device pass
+computes two row blocks, rows [s, s+c) and their mirrors [n-s-c, n-s),
+and folds row i with row i' = n-1-i into one fixed-width line of n-1
+pairs:
+
+    fold row r = i:   positions [0, n-1-i)   <- pairs (i, j), j = q+i+1
+                      positions [n-1-i, n-1) <- pairs (i', j), j = q+1
+
+so the buffer is a dense [n//2, n-1, 2] array written with pure
+dynamic_update_slice (no scatter), holding each unordered pair exactly
+once. fold_index/fold_inverse map (i < j) <-> flat positions. The same
+pass top-ks every full row for lineage kNN, so the mirror block's
+lower-triangle values are consumed, not wasted.
+
+Consumers (all chunked over the buffer, nothing O(n^2) on the host):
+  - subsample_pairs: random gather for model fitting (O(S));
+  - kNN (fused in the fill pass): per-sample k nearest (O(n k));
+  - sweep_first_offsets: the 1-D boundary sweep's (i, j, first-offset,
+    d0) for pairs inside the widest boundary, computed on device and
+    fetched sparse — the scale twin of
+    ops/boundary.threshold_iterate_1d_fast, feeding the native sparse
+    scorer (network/incremental.py) for every score index;
+  - run_scale_pipeline: the full create-db -> fit -> network flow over a
+    synthetic device population, with per-stage wall clock.
+"""
+
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.distances import (core_accessory, corrected_jaccards,
+                            match_counts_xla, plane_geometry)
+
+
+def fold_rows(n):
+    if n % 2:
+        raise ValueError("folded condensed buffer requires even n")
+    return n // 2
+
+
+def fold_index(i, j, n):
+    """Flat folded position of pair(s) i < j (host numpy)."""
+    i = np.asarray(i, np.int64)
+    j = np.asarray(j, np.int64)
+    first = i < n - 1 - i
+    r = np.where(first, i, n - 1 - i)
+    q = np.where(first, j - i - 1, j - 1)
+    return r * (n - 1) + q
+
+
+def fold_inverse(pos, n):
+    """(i, j) of flat folded position(s) (host numpy)."""
+    pos = np.asarray(pos, np.int64)
+    r = pos // (n - 1)
+    q = pos % (n - 1)
+    first = q < n - 1 - r
+    i = np.where(first, r, n - 1 - r)
+    j = np.where(first, q + r + 1, q + 1)
+    return i, j
+
+
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("c", "klist", "sketchsize64", "bbits", "pad_bits",
+                          "knn", "dist_col", "use_pallas"))
+def _fill_step(buf, planes, lengths, freqs, s, c, klist, sketchsize64,
+               bbits, pad_bits, knn, dist_col, use_pallas):
+    """One pass: rows [s, s+c) + mirror rows, folded into buf[s:s+c].
+
+    Returns (buf, (row_ids, knn_idx, knn_dist)) — the kNN of every full
+    row computed in the same dispatch.
+    """
+    n = planes.shape[0]
+
+    def rows(a, start):
+        return jax.lax.dynamic_slice_in_dim(a, start, c, axis=0)
+
+    pq = jnp.concatenate([rows(planes, s), rows(planes, n - s - c)], axis=0)
+    lq = jnp.concatenate([rows(lengths, s), rows(lengths, n - s - c)])
+    fq = jnp.concatenate([rows(freqs, s), rows(freqs, n - s - c)], axis=0)
+
+    if use_pallas:
+        from .ops.pallas_jaccard import match_counts_pallas
+
+        matches = match_counts_pallas(pq, planes, pad_bits)
+    else:
+        matches = match_counts_xla(pq, planes, pad_bits)
+    j = corrected_jaccards(matches, klist, lq, lengths, fq, freqs,
+                           sketchsize64, bbits, True, True)
+    d = core_accessory(j, klist)  # [2c, n, 2]
+
+    i_vec = s + jnp.arange(c)  # global ids of the low block
+    block_lo, block_hi = d[:c], d[c:]
+    q = jnp.arange(n - 1)
+    idx_lo = (q[None, :] + i_vec[:, None] + 1) % n  # [c, n-1]
+    lo_part = jnp.take_along_axis(block_lo, idx_lo[..., None], axis=1)
+    hi_rev = block_hi[::-1]  # row r of hi_rev = genome n-1-(s+r)
+    first_len = (n - 1 - i_vec)[:, None]
+    folded = jnp.where((q[None, :] < first_len)[..., None],
+                       lo_part, hi_rev[:, 1:, :])
+    buf = jax.lax.dynamic_update_slice(buf, folded, (s, 0, 0))
+
+    # fused lineage kNN over the full rows
+    row_ids = jnp.concatenate([i_vec, n - s - c + jnp.arange(c)])
+    col = d[..., dist_col]
+    col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
+    neg_top, top_idx = jax.lax.top_k(-col, knn)
+    return buf, (row_ids, top_idx.astype(jnp.int32), -neg_top)
+
+
+class CondensedDevice:
+    """The folded condensed buffer plus its O(n) side products."""
+
+    def __init__(self, buf, n, knn_row, knn_col, knn_dist):
+        self.buf = buf  # [n//2, n-1, 2] f32, folded layout
+        self.n = n
+        self.n_pairs = n * (n - 1) // 2
+        self.knn_row = knn_row
+        self.knn_col = knn_col
+        self.knn_dist = knn_dist
+
+    def max_scale(self):
+        """Column maxima over every pair (the model preprocessing scale)."""
+        return np.asarray(jnp.max(self.buf, axis=(0, 1)))
+
+    def subsample_pairs(self, size, seed=42):
+        """Random pair subsample for model fitting — O(size) host."""
+        rng = np.random.default_rng(seed)
+        pos = rng.choice(self.n_pairs, size=min(size, self.n_pairs),
+                         replace=False)
+        flat = self.buf.reshape(-1, 2)
+        return np.asarray(flat[jnp.asarray(np.sort(pos))])
+
+    def knn_sparse(self):
+        """(row, col, dist) grouped by row, each row's neighbours in
+        ascending-distance order (like ops/sparse_knn.knn_from_condensed).
+        knn_col/knn_dist are indexed by row id already."""
+        n, k = self.knn_col.shape
+        rows = np.repeat(np.arange(n, dtype=np.int64), k)
+        return rows, self.knn_col.ravel().astype(np.int64), \
+            self.knn_dist.ravel()
+
+
+def fill_condensed_device(planes, lengths, freqs, klist, sketchsize64,
+                          bbits, chunk=512, knn=5, dist_col=0,
+                          use_pallas=None, progress=None):
+    """Compute all pairwise distances into a device condensed buffer.
+
+    One pass over n//2 folded rows; each step computes 2*chunk full rows
+    (upper triangles fill the buffer, full rows feed the fused kNN).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = planes.shape[0]
+    half = fold_rows(n)
+    if half % chunk:
+        raise ValueError(f"n//2 ({half}) must be a multiple of chunk ({chunk})")
+    _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+    knn = min(knn, n - 1)
+
+    buf = jnp.zeros((half, n - 1, 2), jnp.float32)
+    planes = jnp.asarray(planes)
+    lengths = jnp.asarray(lengths)
+    freqs = jnp.asarray(freqs)
+    knn_row = np.empty(n, np.int64)
+    knn_col = np.empty((n, knn), np.int64)
+    knn_dist = np.empty((n, knn), np.float32)
+    done = 0
+    for s in range(0, half, chunk):
+        buf, (row_ids, top_idx, top_d) = _fill_step(
+            buf, planes, lengths, freqs, jnp.int32(s), int(chunk),
+            tuple(int(k) for k in klist), int(sketchsize64), int(bbits),
+            int(pad_bits), int(knn), int(dist_col), bool(use_pallas))
+        r = np.asarray(row_ids)
+        knn_row[done:done + r.shape[0]] = r
+        knn_col[r] = np.asarray(top_idx)
+        knn_dist[r] = np.asarray(top_d)
+        done += r.shape[0]
+        if progress:
+            progress(s + chunk, half)
+    return CondensedDevice(buf, n, knn_row[:done], knn_col, knn_dist)
+
+
+# ---------------------------------------------------------------------------
+# Boundary sweep over the device buffer
+
+
+def _line_d0_params(offsets, slope, x0, y0, x1, y1):
+    """Thresholds t[o] such that a pair is inside offset o's boundary iff
+    d0 <= t[o], with d0 the signed distance at the first offset — exactly
+    ops/boundary.threshold_iterate_1d_fast's construction. Also returns
+    the reference boundary (xm0, ym0) that defines d0."""
+    from .ops.boundary import _boundary_params, line_dist
+
+    x_max, y_max = _boundary_params(offsets, slope, x0, y0, x1, y1)
+    if slope == 1:
+        bpts = np.stack([np.zeros_like(y_max), y_max], axis=1)
+    else:
+        bpts = np.stack([x_max, np.zeros_like(x_max)], axis=1)
+    t = line_dist(bpts.astype(np.float32), float(x_max[0]),
+                  float(y_max[0]), slope)
+    return float(x_max[0]), float(y_max[0]), np.maximum.accumulate(t)
+
+
+@partial(jax.jit, static_argnames=("slope",))
+def _d0_chunk(chunk_x, scale, xm0, ym0, slope):
+    """Signed distance of each pair to the d0 reference boundary."""
+    Xs = chunk_x / scale
+    x, y = Xs[..., 0], Xs[..., 1]
+    if slope == 2:
+        linear = y * xm0 + x * ym0 - xm0 * ym0
+        return jnp.where(xm0 * ym0 == 0, jnp.sqrt(x * x + y * y), linear)
+    return x - xm0 if slope == 0 else y - ym0
+
+
+@partial(jax.jit, static_argnames=("slope",))
+def _sweep_gather(chunk_x, scale, t, xm0, ym0, slope):
+    """For one buffer chunk: sorted in-chunk positions of pairs inside the
+    widest boundary (padded with m), their first offsets, d0, and count."""
+    d0 = _d0_chunk(chunk_x, scale, xm0, ym0, slope)
+    idx = jnp.searchsorted(t, d0, side="left")
+    active = idx < t.shape[0]
+    m = chunk_x.shape[0]
+    pos = jnp.sort(jnp.where(active, jnp.arange(m), m))
+    safe = jnp.clip(pos, 0, m - 1)
+    return pos, jnp.take(idx, safe), jnp.take(d0, safe), active.sum()
+
+
+def _bucket_pow2(k, lo=1024):
+    b = lo
+    while b < k:
+        b *= 2
+    return b
+
+
+def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
+                        chunk_rows=1024):
+    """Device twin of threshold_iterate_1d_fast over the folded buffer.
+
+    Returns (i, j, first_offset, d0) host arrays for pairs inside the
+    widest boundary — the native sparse scorer's input, plus each pair's
+    signed distance d0 for re-thresholding at arbitrary offsets (the
+    local-optimisation step) without touching the buffer again. Fetches
+    O(E), never the buffer.
+    """
+    xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
+    t_dev = jnp.asarray(t, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    xm0_dev = jnp.float32(xm0)
+    ym0_dev = jnp.float32(ym0)
+    half = cd.buf.shape[0]
+    pos_out, idx_out, d0_out = [], [], []
+    for s in range(0, half, chunk_rows):
+        rows = min(chunk_rows, half - s)
+        chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
+        m = chunk_x.shape[0]
+        pos, idx, d0, count = _sweep_gather(chunk_x, scale_dev, t_dev,
+                                            xm0_dev, ym0_dev, int(slope))
+        k = int(count)
+        if k == 0:
+            continue
+        # fetch a power-of-two bucket (few distinct slice programs), trim
+        b = min(_bucket_pow2(k), m)
+        base = s * (cd.n - 1)
+        pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
+        idx_out.append(np.asarray(idx[:b][:k], np.int64))
+        d0_out.append(np.asarray(d0[:b][:k], np.float32))
+    if not pos_out:
+        z = np.zeros(0, np.int64)
+        return z, z, z, np.zeros(0, np.float32)
+    pos = np.concatenate(pos_out)
+    i, j = fold_inverse(pos, cd.n)
+    return i, j, np.concatenate(idx_out), np.concatenate(d0_out)
+
+
+def offset_threshold(s_value, offsets, slope, x0, y0, x1, y1):
+    """t(s) comparable against the d0 returned by sweep_first_offsets:
+    a pair is inside the boundary at line offset s iff d0 <= t(s)."""
+    _, _, t = _line_d0_params(
+        np.array([offsets[0], s_value]), slope, x0, y0, x1, y1)
+    return t[1]
+
+
+# ---------------------------------------------------------------------------
+# Matmul sweep: score every offset on device, fetch O(1)
+#
+# For score_idx 0 the refine score is transitivity * (1 - density) —
+# triangles and degrees, nothing else. Both ride the MXU: with the signed
+# distance d0 held as a dense [n, n] square in HBM, each offset's
+# adjacency is a compare, 6*triangles = sum(A * (A@A)), wedges from row
+# sums (exact in f32: all counts < 2^24 at the n <= 32768 cap). Unlike
+# sweep_first_offsets -> native scorer, NOTHING of size O(E) ever crosses
+# the host link — the sweep's widest boundary at production scale holds
+# ~n^2/2 pairs (gigabytes through this sandbox's ~10 MB/s tunnel), which
+# is the reference's memory cliff too (its thresholdIterate materialises
+# every in-boundary pair as host tuples, PopPUNK/refine.py:197-202).
+
+
+# Dense [n, n] f32 d0 square + two scratch buffers; above this the HBM
+# budget says use the sparse host path instead.
+MATMUL_SWEEP_MAX_N = 32768
+
+
+@partial(jax.jit, static_argnames=("n", "c"))
+def _unfold_block(d0_flat, s, n, c):
+    """Rows [s, s+c) of the dense d0 square, gathered from the folded
+    flat buffer (diagonal = +inf so self-pairs never join a network)."""
+    i = (s + jnp.arange(c))[:, None]
+    j = jnp.arange(n)[None, :]
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    first = lo < n - 1 - lo
+    r = jnp.where(first, lo, n - 1 - lo)
+    q = jnp.where(first, hi - lo - 1, hi - 1)
+    vals = jnp.take(d0_flat, r * (n - 1) + q)
+    return jnp.where(i == j, jnp.inf, vals)
+
+
+def build_d0_square(cd, scale, slope, x0, y0, x1, y1, offsets,
+                    block_rows=2048):
+    """Dense symmetric [n, n] f32 of per-pair signed boundary distances,
+    entirely on device. Returns (d0_sq, thresholds t for the offsets)."""
+    xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
+    d0_fold = _d0_chunk(cd.buf, jnp.asarray(scale, jnp.float32),
+                        jnp.float32(xm0), jnp.float32(ym0), int(slope))
+    d0_flat = d0_fold.reshape(-1)
+    n = cd.n
+    sq = jnp.zeros((n, n), jnp.float32)
+    for s in range(0, n, block_rows):
+        c = min(block_rows, n - s)
+        sq = jax.lax.dynamic_update_slice(
+            sq, _unfold_block(d0_flat, jnp.int32(s), n, int(c)), (s, 0))
+    return sq, t
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _matmul_sweep_scores(d0_sq, ts, n):
+    """-(transitivity * (1 - density)) and edge count per threshold."""
+    possible = 0.5 * n * (n - 1)
+
+    def score(_, t):
+        A = (d0_sq <= t).astype(jnp.float32)
+        deg = A.sum(axis=1)
+        n_edges = deg.sum() / 2.0
+        density = n_edges / possible
+        wedges2 = (deg * (deg - 1.0)).sum()
+        # bf16 operands double the MXU rate and stay exact: entries are
+        # 0/1, accumulation is f32, row counts < 2^24
+        Ab = A.astype(jnp.bfloat16)
+        paths = (A * jnp.dot(Ab, Ab,
+                             preferred_element_type=jnp.float32)).sum()
+        trans = jnp.where(wedges2 > 0, paths / wedges2, 0.0)
+        return None, (-(trans * (1.0 - density)), n_edges)
+
+    _, out = jax.lax.scan(score, None, ts)
+    return out
+
+
+def matmul_sweep_scores(d0_sq, thresholds):
+    """Host wrapper: scores + edge counts for a threshold grid."""
+    s, e = _matmul_sweep_scores(d0_sq, jnp.asarray(thresholds, jnp.float32),
+                                int(d0_sq.shape[0]))
+    return np.asarray(s, np.float64), np.asarray(e, np.int64)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _components_device(d0_sq, t, n):
+    """Connected-component labels of the thresholded graph by min-label
+    propagation (converged while_loop); also the edge count."""
+    A = d0_sq <= t
+    # int32 is safe: n_pairs at the 32768 cap is 5.4e8 < 2^31
+    n_edges = A.sum(dtype=jnp.int32) // 2
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        labels, _ = state
+        cand = jnp.where(A, labels[None, :], n).min(axis=1)
+        new = jnp.minimum(labels, cand)
+        return new, (new != labels).any()
+
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    return labels, n_edges
+
+
+def components_device(d0_sq, threshold):
+    """Cluster labels (compacted to 0..k-1) + edge count at a boundary."""
+    labels, n_edges = _components_device(
+        d0_sq, jnp.float32(threshold), int(d0_sq.shape[0]))
+    labels = np.asarray(labels)
+    _, compact = np.unique(labels, return_inverse=True)
+    return compact, int(n_edges)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end scale pipeline (synthetic device population)
+
+
+def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
+                      score_idx=0, betweenness_sample=100, seed=42,
+                      n_grid=40):
+    """Global + local 1-D boundary refinement over the device buffer.
+
+    Mirrors models/refine.refine_fit (slope 2, constrained): 40-point
+    global sweep then a bounded scalar local optimisation. score_idx 0
+    runs the matmul sweep — every offset scored on device, O(1) fetched
+    (see build_d0_square); the betweenness scores (idx 1/2) fetch the
+    sparse in-boundary pairs once and score them with the native engine.
+    Returns (optimal_x, optimal_y, s_opt, sweep_data); sweep_data is
+    ("device", d0_sq, s_range, params) or
+    ("sparse", i, j, idx, d0, s_range, params).
+    """
+    import scipy.optimize
+
+    from .utils import decision_boundary, transform_line
+
+    rng = np.random.default_rng(seed)
+    gradient = (mean1[1] - mean0[1]) / (mean1[0] - mean0[0])
+    search_length = max_move + float(np.sqrt(((mean1 - mean0) ** 2).sum()))
+    s_range = np.linspace(-min_move, search_length, num=n_grid)
+    line = (mean0[0], mean0[1], mean1[0], mean1[1])
+
+    use_matmul = score_idx == 0 and cd.n <= MATMUL_SWEEP_MAX_N
+    if use_matmul:
+        d0_sq, t_grid = build_d0_square(cd, scale, 2, *line, s_range)
+        global_s, edge_counts = matmul_sweep_scores(d0_sq, t_grid)
+        if edge_counts[-1] == cd.n_pairs:
+            raise RuntimeError("Boundary range includes all points")
+    else:
+        from .network.incremental import grow_network_scores
+
+        i, j, idx, d0 = sweep_first_offsets(cd, scale, s_range, 2, *line)
+        if len(i) == cd.n_pairs:
+            raise RuntimeError("Boundary range includes all points")
+        global_s = grow_network_scores(cd.n, i, j, idx, n_grid, score_idx,
+                                       betweenness_sample, rng=rng)
+    global_s[np.isnan(global_s)] = 1
+    min_idx = int(np.argmin(global_s))
+
+    if 0 < min_idx < n_grid - 1:
+        if use_matmul:
+            def local_score(s_val):
+                t_s = offset_threshold(float(s_val), s_range, 2, *line)
+                return matmul_sweep_scores(d0_sq, [t_s])[0][0]
+        else:
+            from .network.incremental import grow_network_scores
+
+            def local_score(s_val):
+                t_s = offset_threshold(float(s_val), s_range, 2, *line)
+                mask = d0 <= t_s
+                return grow_network_scores(
+                    cd.n, i[mask], j[mask],
+                    np.zeros(int(mask.sum()), np.int64), 1, score_idx,
+                    betweenness_sample, rng=rng)[0]
+
+        res = scipy.optimize.minimize_scalar(
+            local_score, bounds=[s_range[min_idx - 1], s_range[min_idx + 1]],
+            method="Bounded", options={"disp": False})
+        s_opt = float(res.x)
+    else:
+        s_opt = float(s_range[min_idx])
+
+    optimal_x, optimal_y = decision_boundary(
+        transform_line(s_opt, mean0, mean1), gradient)
+    if optimal_x < 0 or optimal_y < 0:
+        raise RuntimeError("Optimisation produced a boundary outside range")
+    if use_matmul:
+        sweep_data = ("device", d0_sq, s_range, line)
+    else:
+        sweep_data = ("sparse", i, j, idx, d0, s_range, line)
+    return optimal_x, optimal_y, s_opt, sweep_data
+
+
+def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
+                       sketchsize64=156, bbits=14, n_strains=20, chunk=512,
+                       knn=5, subsample=100000, score_idx=0, seed=2,
+                       max_move=0.25, use_pallas=None, synth_kwargs=None,
+                       log=lambda msg: sys.stderr.write(msg)):
+    """Full pipeline on a synthetic device population, timing each stage.
+
+    synth -> condensed dists + fused kNN (device) -> BGMM on subsample ->
+    refine boundary (device sweep + native scorer) -> network ->
+    clusters vs true strains. Returns a dict of stage seconds and
+    results; the host never holds an O(n^2) array.
+    """
+    from .models.bgmm import BGMMFit
+    from .network.graph import Graph
+    from .network.components import connected_components
+    from .synth import synthetic_population_device
+
+    timings = {}
+    out = {"n": n, "n_pairs": n * (n - 1) // 2}
+
+    t0 = time.perf_counter()
+    pop = synthetic_population_device(
+        n, klist, sketchsize64, bbits, n_strains=n_strains, seed=seed,
+        chunk=max(chunk, 512), **(synth_kwargs or {}))
+    np.asarray(pop.planes[-1, -1, -1, -1])  # sync (see CLAUDE.md)
+    timings["synth"] = time.perf_counter() - t0
+    log(f"synth: {n} genomes on device in {timings['synth']:.1f}s\n")
+
+    t0 = time.perf_counter()
+    cd = fill_condensed_device(pop.planes, pop.lengths, pop.freqs, klist,
+                               sketchsize64, bbits, chunk=chunk, knn=knn,
+                               use_pallas=use_pallas)
+    np.asarray(cd.buf[-1, -1, -1])
+    timings["dists+knn"] = time.perf_counter() - t0
+    out["pairs_per_s"] = out["n_pairs"] / timings["dists+knn"]
+    log(f"dists+knn: {out['n_pairs']} pairs in {timings['dists+knn']:.1f}s "
+        f"= {out['pairs_per_s'] / 1e6:.1f} Mpairs/s (+ kNN k={knn} fused)\n")
+
+    t0 = time.perf_counter()
+    sub = cd.subsample_pairs(subsample, seed=seed)
+    model = BGMMFit("", max_samples=subsample)
+    model.fit(sub, max_components=2)
+    timings["bgmm"] = time.perf_counter() - t0
+    log(f"bgmm: fit on {sub.shape[0]} subsampled pairs in "
+        f"{timings['bgmm']:.1f}s\n")
+
+    t0 = time.perf_counter()
+    mean0 = model.means[model.within_label]
+    mean1 = model.means[model.between_label]
+    # the synthetic between-blob has no outliers, so a generous max_move
+    # can put every pair inside the widest boundary (the reference-faithful
+    # guard in refine_fit_device raises); back off until the sweep bites
+    while True:
+        try:
+            opt_x, opt_y, s_opt, sweep = refine_fit_device(
+                cd, model.scale, mean0, mean1, max_move=max_move,
+                score_idx=score_idx, seed=seed)
+            break
+        except RuntimeError:
+            max_move /= 4
+            if max_move < 1e-3:
+                raise
+            log(f"refine: sweep saturated, retrying max_move={max_move}\n")
+    timings["refine"] = time.perf_counter() - t0
+    log(f"refine: boundary ({opt_x * model.scale[0]:.4f}, "
+        f"{opt_y * model.scale[1]:.4f}) via {sweep[0]} sweep in "
+        f"{timings['refine']:.1f}s\n")
+
+    t0 = time.perf_counter()
+    if sweep[0] == "device":
+        _, d0_sq, s_range, line = sweep
+        t_final = offset_threshold(s_opt, s_range, 2, *line)
+        # components by device label propagation; only O(n) labels fetched
+        labels, n_edges = components_device(d0_sq, t_final)
+        out["n_edges"] = n_edges
+    else:
+        _, i, j, idx, d0, s_range, line = sweep
+        t_final = offset_threshold(s_opt, s_range, 2, *line)
+        mask = d0 <= t_final
+        edges = np.stack([i[mask], j[mask]], axis=1)
+        G = Graph(n, edges)
+        labels = connected_components(G)[0]
+        out["n_edges"] = int(edges.shape[0])
+    timings["network"] = time.perf_counter() - t0
+    out["n_clusters"] = int(labels.max()) + 1
+    log(f"network: {out['n_edges']} edges, {out['n_clusters']} clusters "
+        f"in {timings['network']:.1f}s\n")
+
+    # cluster quality vs planted strains
+    from sklearn.metrics import adjusted_rand_score
+
+    out["ari"] = float(adjusted_rand_score(pop.strain, labels))
+    out["timings"] = timings
+    out["total_s"] = sum(timings.values())
+    log(f"ARI vs planted strains: {out['ari']:.4f}; "
+        f"total {out['total_s']:.1f}s\n")
+    return out

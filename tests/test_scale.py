@@ -1,0 +1,172 @@
+"""Device-resident scale pipeline (poppunk_tpu/scale.py, synth.py).
+
+Small-n equality against the host streaming path — the semantics the 20k+
+TPU run (bench.py --scale) relies on. Every consumer of the folded device
+buffer is checked against its host oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from poppunk_tpu.ops.boundary import threshold_iterate_1d_fast
+from poppunk_tpu.ops.distances import condensed_self_block
+from poppunk_tpu.ops.sparse_knn import knn_from_condensed
+from poppunk_tpu.scale import (
+    CondensedDevice, build_d0_square, components_device,
+    fill_condensed_device, fold_index, fold_inverse, matmul_sweep_scores,
+    run_scale_pipeline, sweep_first_offsets)
+from poppunk_tpu.synth import synthetic_population_device
+
+N = 64
+KLIST = (13, 17, 21)
+SS64 = 4
+BBITS = 8
+
+
+@pytest.fixture(scope="module")
+def pop():
+    return synthetic_population_device(
+        N, KLIST, SS64, BBITS, n_strains=3, seed=7, chunk=32,
+        core_div=(0.0005, 0.002), strain_div=(0.03, 0.05))
+
+
+@pytest.fixture(scope="module")
+def cd(pop):
+    return fill_condensed_device(pop.planes, pop.lengths, pop.freqs,
+                                 KLIST, SS64, BBITS, chunk=8, knn=5)
+
+
+@pytest.fixture(scope="module")
+def host_condensed(pop):
+    return condensed_self_block(
+        np.asarray(pop.planes), np.asarray(pop.lengths),
+        np.asarray(pop.freqs), KLIST, SS64, BBITS)
+
+
+class TestFoldIndex:
+    def test_roundtrip_all_pairs(self):
+        n = 20
+        i, j = np.triu_indices(n, 1)
+        pos = fold_index(i, j, n)
+        # bijective onto [0, n_pairs)
+        assert sorted(pos) == list(range(n * (n - 1) // 2))
+        i2, j2 = fold_inverse(pos, n)
+        assert np.array_equal(i, i2) and np.array_equal(j, j2)
+
+
+class TestFilledBuffer:
+    def test_matches_host_condensed(self, cd, host_condensed):
+        """Folded device buffer == streaming host path, exactly."""
+        i, j = np.triu_indices(N, 1)
+        flat = np.asarray(cd.buf).reshape(-1, 2)
+        dev = flat[fold_index(i, j, N)]
+        # host condensed rows are in i<j order already
+        assert np.array_equal(dev, host_condensed)
+
+    def test_fused_knn_matches_host(self, cd, host_condensed):
+        rows, cols, dists = cd.knn_sparse()
+        h_rows, h_cols, h_dists = knn_from_condensed(
+            host_condensed[:, 0], N, 5)
+        assert np.array_equal(rows, h_rows)
+        # device kNN reads d(j, i) from row j's block; the host reads the
+        # condensed d(i, j) from row i — identical maths except the
+        # reverse-complement dot whose 4-term sum runs in opposite order,
+        # so values may differ in the last ulp and epsilon-ties may swap
+        np.testing.assert_allclose(dists, h_dists, rtol=1e-5, atol=1e-7)
+        assert (cols == h_cols).mean() > 0.9
+
+    def test_subsample_values(self, cd, host_condensed):
+        sub = cd.subsample_pairs(200, seed=3)
+        assert sub.shape == (200, 2)
+        # every subsampled row exists in the condensed matrix
+        allrows = {tuple(r) for r in host_condensed.tolist()}
+        assert all(tuple(r) in allrows for r in sub.tolist())
+
+    def test_max_scale(self, cd, host_condensed):
+        np.testing.assert_allclose(cd.max_scale(),
+                                   host_condensed.max(axis=0), rtol=1e-6)
+
+
+class TestDeviceSweep:
+    def test_matches_host_fast_sweep(self, cd, host_condensed):
+        scale = host_condensed.max(axis=0)
+        Xs = host_condensed / scale
+        mean0 = np.array([0.1, 0.1])
+        mean1 = np.array([0.7, 0.7])
+        offsets = np.linspace(0.0, 0.5, 20)
+        hi, hj, hidx = threshold_iterate_1d_fast(
+            Xs, offsets, 2, mean0[0], mean0[1], mean1[0], mean1[1])
+        di, dj, didx, dd0 = sweep_first_offsets(
+            cd, scale, offsets, 2, mean0[0], mean0[1], mean1[0], mean1[1])
+        host = sorted(zip(hi, hj, hidx))
+        dev = sorted(zip(di, dj, didx))
+        assert host == dev
+        assert len(dd0) == len(di)
+
+
+class TestMatmulSweep:
+    """The all-on-device scorer vs the host sparse scorer, exactly."""
+
+    LINE = (0.1, 0.1, 0.7, 0.7)
+
+    def test_scores_match_host_scorer(self, cd, host_condensed):
+        from poppunk_tpu.network.incremental import grow_network_scores
+
+        scale = host_condensed.max(axis=0)
+        offsets = np.linspace(0.0, 0.5, 12)
+        d0_sq, t = build_d0_square(cd, scale, 2, *self.LINE, offsets)
+        scores, edges = matmul_sweep_scores(d0_sq, t)
+
+        hi, hj, hidx, _ = sweep_first_offsets(cd, scale, offsets, 2,
+                                              *self.LINE)
+        host_scores = grow_network_scores(N, hi, hj, hidx, len(offsets), 0,
+                                          100, rng=np.random.default_rng(1))
+        np.testing.assert_allclose(scores, host_scores, rtol=1e-5,
+                                   atol=1e-7)
+        for o in range(len(offsets)):
+            assert edges[o] == (hidx <= o).sum()
+
+    def test_components_match_host(self, cd, host_condensed):
+        from poppunk_tpu.network.components import connected_components
+        from poppunk_tpu.network.graph import Graph
+
+        scale = host_condensed.max(axis=0)
+        offsets = np.linspace(0.0, 0.5, 12)
+        d0_sq, t = build_d0_square(cd, scale, 2, *self.LINE, offsets)
+        hi, hj, hidx, _ = sweep_first_offsets(cd, scale, offsets, 2,
+                                              *self.LINE)
+        for o in (3, 7, 11):
+            labels, n_edges = components_device(d0_sq, t[o])
+            mask = hidx <= o
+            assert n_edges == mask.sum()
+            host_labels = connected_components(
+                Graph(N, np.stack([hi[mask], hj[mask]], axis=1)))[0]
+            # identical partitions (label names may differ)
+            for lab in (labels, host_labels):
+                assert lab.shape == (N,)
+            pairs = {(a, b) for a, b in zip(labels, host_labels)}
+            assert len(pairs) == len(set(labels)) == len(set(host_labels))
+
+
+class TestEndToEnd:
+    def test_mini_pipeline_recovers_strains(self, tmp_path):
+        # >=10 strains: with few strains the correct boundary's network is
+        # dense (density ~ 1/n_strains), which PopPUNK's transitivity *
+        # (1 - density) score genuinely penalises — a property of the
+        # reference score, not this pipeline (host refine picks the same
+        # boundary; see test_matches_host_fast_sweep)
+        out = run_scale_pipeline(
+            n=256, klist=(13, 15, 17, 19, 21, 23), sketchsize64=64,
+            bbits=8, n_strains=10, chunk=32, knn=3, subsample=5000, seed=5,
+            synth_kwargs=dict(core_div=(0.0005, 0.002),
+                              strain_div=(0.04, 0.06),
+                              accessory_within=(0.93, 0.97),
+                              accessory_strain=(0.70, 0.80)),
+            log=lambda m: None)
+        assert out["n"] == 256
+        assert out["pairs_per_s"] > 0
+        # well-separated synthetic strains must come back as the clusters
+        assert out["ari"] > 0.99
+        assert out["n_clusters"] == 10
