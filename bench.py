@@ -295,7 +295,7 @@ def bench_scale(n=20480):
         "metric": f"end-to-end {n}-genome pipeline, device-resident "
                   "(dists+kNN -> BGMM -> refine -> network; ARI "
                   f"{out['ari']:.3f} vs planted strains, "
-                  f"total {out['total_s']:.1f}s)",
+                  f"pipeline {out['pipeline_s']:.1f}s)",
         "value": round(out["pairs_per_s"], 1),
         "unit": "pairs/s",
         "vs_baseline": round(out["pairs_per_s"] / cpu_rate, 2)

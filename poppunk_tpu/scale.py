@@ -75,52 +75,78 @@ def fold_inverse(pos, n):
     return i, j
 
 
-@partial(jax.jit, donate_argnums=(0,),
-         static_argnames=("c", "klist", "sketchsize64", "bbits", "pad_bits",
-                          "knn", "dist_col", "use_pallas"))
-def _fill_step(buf, planes, lengths, freqs, s, c, klist, sketchsize64,
-               bbits, pad_bits, knn, dist_col, use_pallas):
-    """One pass: rows [s, s+c) + mirror rows, folded into buf[s:s+c].
+@partial(jax.jit, static_argnames=("c", "klist", "sketchsize64", "bbits",
+                                   "pad_bits", "knn", "dist_col",
+                                   "use_pallas"))
+def _fill_all(planes, lengths, freqs, c, klist, sketchsize64, bbits,
+              pad_bits, knn, dist_col, use_pallas):
+    """All passes in ONE dispatch: lax.scan over row chunks.
 
-    Returns (buf, (row_ids, knn_idx, knn_dist)) — the kNN of every full
-    row computed in the same dispatch.
+    Each scan step computes rows [s, s+c) + their mirrors as full rows,
+    folds the upper triangles into the condensed buffer and top-ks every
+    row for the fused lineage kNN. A single device program matters on
+    this sandbox's tunnelled backend, where every dispatch pays ~0.4 s of
+    round-trip/serialisation — at 20 chunks that doubled the wall clock.
     """
     n = planes.shape[0]
+    half = n // 2
 
-    def rows(a, start):
-        return jax.lax.dynamic_slice_in_dim(a, start, c, axis=0)
+    def step(carry, s):
+        buf, knn_idx_buf, knn_d_buf = carry
 
-    pq = jnp.concatenate([rows(planes, s), rows(planes, n - s - c)], axis=0)
-    lq = jnp.concatenate([rows(lengths, s), rows(lengths, n - s - c)])
-    fq = jnp.concatenate([rows(freqs, s), rows(freqs, n - s - c)], axis=0)
+        def rows(a, start):
+            return jax.lax.dynamic_slice_in_dim(a, start, c, axis=0)
 
-    if use_pallas:
-        from .ops.pallas_jaccard import match_counts_pallas
+        pq = jnp.concatenate([rows(planes, s), rows(planes, n - s - c)],
+                             axis=0)
+        lq = jnp.concatenate([rows(lengths, s), rows(lengths, n - s - c)])
+        fq = jnp.concatenate([rows(freqs, s), rows(freqs, n - s - c)],
+                             axis=0)
 
-        matches = match_counts_pallas(pq, planes, pad_bits)
-    else:
-        matches = match_counts_xla(pq, planes, pad_bits)
-    j = corrected_jaccards(matches, klist, lq, lengths, fq, freqs,
-                           sketchsize64, bbits, True, True)
-    d = core_accessory(j, klist)  # [2c, n, 2]
+        if use_pallas:
+            from .ops.pallas_jaccard import match_counts_pallas
 
-    i_vec = s + jnp.arange(c)  # global ids of the low block
-    block_lo, block_hi = d[:c], d[c:]
-    q = jnp.arange(n - 1)
-    idx_lo = (q[None, :] + i_vec[:, None] + 1) % n  # [c, n-1]
-    lo_part = jnp.take_along_axis(block_lo, idx_lo[..., None], axis=1)
-    hi_rev = block_hi[::-1]  # row r of hi_rev = genome n-1-(s+r)
-    first_len = (n - 1 - i_vec)[:, None]
-    folded = jnp.where((q[None, :] < first_len)[..., None],
-                       lo_part, hi_rev[:, 1:, :])
-    buf = jax.lax.dynamic_update_slice(buf, folded, (s, 0, 0))
+            matches = match_counts_pallas(pq, planes, pad_bits)
+        else:
+            matches = match_counts_xla(pq, planes, pad_bits)
+        j = corrected_jaccards(matches, klist, lq, lengths, fq, freqs,
+                               sketchsize64, bbits, True, True)
+        d = core_accessory(j, klist)  # [2c, n, 2]
 
-    # fused lineage kNN over the full rows
-    row_ids = jnp.concatenate([i_vec, n - s - c + jnp.arange(c)])
-    col = d[..., dist_col]
-    col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
-    neg_top, top_idx = jax.lax.top_k(-col, knn)
-    return buf, (row_ids, top_idx.astype(jnp.int32), -neg_top)
+        i_vec = s + jnp.arange(c)  # global ids of the low block
+        block_lo, block_hi = d[:c], d[c:]
+        q = jnp.arange(n - 1)
+        idx_lo = (q[None, :] + i_vec[:, None] + 1) % n  # [c, n-1]
+        lo_part = jnp.take_along_axis(block_lo, idx_lo[..., None], axis=1)
+        hi_rev = block_hi[::-1]  # row r of hi_rev = genome n-1-(s+r)
+        first_len = (n - 1 - i_vec)[:, None]
+        folded = jnp.where((q[None, :] < first_len)[..., None],
+                           lo_part, hi_rev[:, 1:, :])
+        buf = jax.lax.dynamic_update_slice(buf, folded, (s, 0, 0))
+
+        # fused lineage kNN over the full rows, accumulated on device
+        row_ids = jnp.concatenate([i_vec, n - s - c + jnp.arange(c)])
+        col = d[..., dist_col]
+        col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
+        neg_top, top_idx = jax.lax.top_k(-col, knn)
+        top_idx = top_idx.astype(jnp.int32)
+        top_d = -neg_top
+        knn_idx_buf = jax.lax.dynamic_update_slice(
+            knn_idx_buf, top_idx[:c], (s, 0))
+        knn_idx_buf = jax.lax.dynamic_update_slice(
+            knn_idx_buf, top_idx[c:], (n - s - c, 0))
+        knn_d_buf = jax.lax.dynamic_update_slice(
+            knn_d_buf, top_d[:c], (s, 0))
+        knn_d_buf = jax.lax.dynamic_update_slice(
+            knn_d_buf, top_d[c:], (n - s - c, 0))
+        return (buf, knn_idx_buf, knn_d_buf), None
+
+    init = (jnp.zeros((half, n - 1, 2), jnp.float32),
+            jnp.zeros((n, knn), jnp.int32),
+            jnp.zeros((n, knn), jnp.float32))
+    starts = jnp.arange(0, half, c, dtype=jnp.int32)
+    (buf, knn_idx_buf, knn_d_buf), _ = jax.lax.scan(step, init, starts)
+    return buf, knn_idx_buf, knn_d_buf
 
 
 class CondensedDevice:
@@ -173,27 +199,17 @@ def fill_condensed_device(planes, lengths, freqs, klist, sketchsize64,
     _, _, pad_bits = plane_geometry(sketchsize64, bbits)
     knn = min(knn, n - 1)
 
-    buf = jnp.zeros((half, n - 1, 2), jnp.float32)
-    planes = jnp.asarray(planes)
-    lengths = jnp.asarray(lengths)
-    freqs = jnp.asarray(freqs)
-    knn_row = np.empty(n, np.int64)
-    knn_col = np.empty((n, knn), np.int64)
-    knn_dist = np.empty((n, knn), np.float32)
-    done = 0
-    for s in range(0, half, chunk):
-        buf, (row_ids, top_idx, top_d) = _fill_step(
-            buf, planes, lengths, freqs, jnp.int32(s), int(chunk),
-            tuple(int(k) for k in klist), int(sketchsize64), int(bbits),
-            int(pad_bits), int(knn), int(dist_col), bool(use_pallas))
-        r = np.asarray(row_ids)
-        knn_row[done:done + r.shape[0]] = r
-        knn_col[r] = np.asarray(top_idx)
-        knn_dist[r] = np.asarray(top_d)
-        done += r.shape[0]
-        if progress:
-            progress(s + chunk, half)
-    return CondensedDevice(buf, n, knn_row[:done], knn_col, knn_dist)
+    buf, knn_idx_buf, knn_d_buf = _fill_all(
+        jnp.asarray(planes), jnp.asarray(lengths), jnp.asarray(freqs),
+        int(chunk), tuple(int(k) for k in klist), int(sketchsize64),
+        int(bbits), int(pad_bits), int(knn), int(dist_col),
+        bool(use_pallas))
+    if progress:
+        progress(half, half)
+    knn_col = np.asarray(knn_idx_buf).astype(np.int64)
+    knn_dist = np.asarray(knn_d_buf)
+    return CondensedDevice(buf, n, np.arange(n, dtype=np.int64), knn_col,
+                           knn_dist)
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +527,7 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     t0 = time.perf_counter()
     pop = synthetic_population_device(
         n, klist, sketchsize64, bbits, n_strains=n_strains, seed=seed,
-        chunk=max(chunk, 512), **(synth_kwargs or {}))
+        chunk=max(chunk, min(n, 2048)), **(synth_kwargs or {}))
     np.asarray(pop.planes[-1, -1, -1, -1])  # sync (see CLAUDE.md)
     timings["synth"] = time.perf_counter() - t0
     log(f"synth: {n} genomes on device in {timings['synth']:.1f}s\n")
@@ -582,6 +598,11 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     out["ari"] = float(adjusted_rand_score(pop.strain, labels))
     out["timings"] = timings
     out["total_s"] = sum(timings.values())
+    # synth is bench-fixture generation, not pipeline; its wall clock is
+    # dominated by this sandbox's remote program-load cost (20-90 s per
+    # process even when disk-cached) and is excluded from the pipeline time
+    out["pipeline_s"] = out["total_s"] - timings["synth"]
     log(f"ARI vs planted strains: {out['ari']:.4f}; "
-        f"total {out['total_s']:.1f}s\n")
+        f"pipeline {out['pipeline_s']:.1f}s (+ synth fixture "
+        f"{timings['synth']:.1f}s)\n")
     return out
