@@ -6,9 +6,10 @@ Replaces the external ``hdbscan`` package the reference depends on
 1. core distances: distance to the min_samples-th nearest neighbour
    (self included, matching sklearn/hdbscan conventions) via cKDTree;
 2. mutual reachability mr(a,b) = max(core_a, core_b, d(a,b));
-3. exact MST of the complete mutual-reachability graph via Prim's algorithm
-   with O(n) memory (distances to the growing tree updated row-by-row —
-   no n x n matrix is materialised);
+3. exact MST of the complete mutual-reachability graph with O(n) memory
+   (no n x n matrix is materialised): device Boruvka for n >= 4096 — per
+   round one jitted tiled min-outgoing-edge sweep, O(log n) dispatches —
+   with a host Prim loop as the small-n path and oracle;
 4. single-linkage dendrogram (union-find over MST edges sorted ascending);
 5. condensed tree with min_cluster_size, stability, excess-of-mass cluster
    selection, labels + membership probabilities;
@@ -28,26 +29,24 @@ from scipy.spatial import cKDTree
 def core_distances(X, min_samples):
     tree = cKDTree(X)
     k = min(min_samples, X.shape[0])
-    dists, _ = tree.query(X, k=k)
+    dists, _ = tree.query(X, k=k, workers=-1)
     if k == 1:
         return np.zeros(X.shape[0]), tree
     return dists[:, -1], tree
 
 
 def mutual_reachability_mst(X, core, n_jobs=1):
-    """Prim's MST over the complete mutual reachability graph.
+    """MST over the complete mutual reachability graph.
 
     Returns edges [(u, v, w)] sorted ascending by w, length n-1.
-    O(n) memory (never materialises the n x n matrix); the sequential
-    scan runs on device for large n (no per-step host dispatch).
+    O(n) memory (never materialises the n x n matrix). Large inputs use
+    Boruvka with the per-round min-outgoing-edge sweep on device
+    (O(log n) dispatches); small ones a host Prim loop (its oracle).
     """
-    import jax
-
     n = X.shape[0]
-    if n >= 4096 and jax.default_backend() != "cpu":
-        edges = np.asarray(_prim_mst_device(
-            np.asarray(X, dtype=np.float32), np.asarray(core, np.float32),
-            n), dtype=np.float64)
+    if n >= 4096:
+        edges = boruvka_mst_device(
+            np.asarray(X, dtype=np.float32), np.asarray(core, np.float32))
     else:
         in_tree = np.zeros(n, dtype=bool)
         best_dist = np.full(n, np.inf)
@@ -70,37 +69,113 @@ def mutual_reachability_mst(X, core, n_jobs=1):
     return edges[order]
 
 
-def _prim_mst_device(X, core, n):
-    """Device twin of the Prim loop (lax.scan, one vector update/step)."""
+def _boruvka_round(X, core, comp, n, tile):
+    """One Boruvka round on device: for every vertex, the minimum
+    mutual-reachability edge leaving its component.
+
+    X/core are padded to a multiple of ``tile``; padded rows/columns are
+    masked to +inf. A lax.scan over row tiles keeps peak memory at one
+    [tile, n_pad] block (XLA fuses the broadcast + reduction), and the
+    whole round is a single dispatch — the point of Boruvka here: O(log n)
+    dispatches total instead of Prim's n sequential scan steps.
+    """
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n_",))
-    def run(Xd, cored, n_):
+    @partial(jax.jit, static_argnames=("n_", "tile_"))
+    def run(Xd, cored, compd, n_, tile_):
         inf = jnp.float32(3.4e38)
+        n_pad = Xd.shape[0]
+        col_pad = jnp.arange(n_pad) >= n_
 
-        def step(carry, _):
-            in_tree, best_dist, best_from, current = carry
-            d = jnp.sqrt(((Xd - Xd[current]) ** 2).sum(axis=1))
-            mr = jnp.maximum(jnp.maximum(d, cored), cored[current])
-            update = mr < best_dist
-            best_dist = jnp.where(update, mr, best_dist)
-            best_from = jnp.where(update, current, best_from)
-            masked = jnp.where(in_tree, inf, best_dist)
-            nxt = jnp.argmin(masked).astype(jnp.int32)
-            edge = jnp.stack([best_from[nxt].astype(jnp.float32),
-                              nxt.astype(jnp.float32), best_dist[nxt]])
-            in_tree = in_tree.at[nxt].set(True)
-            return (in_tree, best_dist, best_from, nxt), edge
+        def row_tile(_, s):
+            xq = jax.lax.dynamic_slice_in_dim(Xd, s, tile_, axis=0)
+            cq = jax.lax.dynamic_slice_in_dim(cored, s, tile_)
+            gq = jax.lax.dynamic_slice_in_dim(compd, s, tile_)
+            d2 = ((xq[:, None, :] - Xd[None, :, :]) ** 2).sum(-1)
+            mr = jnp.maximum(jnp.sqrt(d2),
+                             jnp.maximum(cq[:, None], cored[None, :]))
+            same = gq[:, None] == compd[None, :]
+            mr = jnp.where(same | col_pad[None, :], inf, mr)
+            w = mr.min(axis=1)
+            j = mr.argmin(axis=1).astype(jnp.int32)
+            return None, (w, j)
 
-        in_tree0 = jnp.zeros(n_, bool).at[0].set(True)
-        carry0 = (in_tree0, jnp.full(n_, inf, jnp.float32),
-                  jnp.zeros(n_, jnp.int32), jnp.int32(0))
-        _, edges = jax.lax.scan(step, carry0, None, length=n_ - 1)
-        return edges
+        starts = jnp.arange(n_pad // tile_, dtype=jnp.int32) * tile_
+        _, (w, j) = jax.lax.scan(row_tile, None, starts)
+        return w.reshape(-1), j.reshape(-1)
 
-    return run(jnp.asarray(X), jnp.asarray(core), int(n))
+    return run(X, core, comp, int(n), int(tile))
+
+
+def boruvka_mst_device(X, core, tile=1024):
+    """Exact MST of the complete mutual-reachability graph via Boruvka.
+
+    Device does the O(n^2) min-outgoing-edge sweep each round; the host
+    does the O(n) component bookkeeping (union-find over at most one
+    candidate edge per component — any per-component minimum edge is in
+    some MST by the cut property, and single-linkage heights depend only
+    on the weight multiset, which is identical across MSTs).
+
+    Returns float64 edges [(u, v, w)], unsorted, length n-1.
+    """
+    import jax.numpy as jnp
+
+    n = X.shape[0]
+    n_pad = -(-n // tile) * tile
+    Xp = np.zeros((n_pad, 2), np.float32)
+    Xp[:n] = X
+    corep = np.full(n_pad, 3.4e38, np.float32)
+    corep[:n] = core
+
+    Xd = jnp.asarray(Xp)
+    cored = jnp.asarray(corep)
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    comp = np.arange(n, dtype=np.int32)
+    edges = np.empty((n - 1, 3))
+    n_edges = 0
+    while n_edges < n - 1:
+        compp = np.full(n_pad, -1, np.int32)
+        compp[:n] = comp
+        w, j = _boruvka_round(Xd, cored, jnp.asarray(compp), n, tile)
+        w = np.asarray(w)[:n]
+        j = np.asarray(j)[:n]
+        # per-component minimum outgoing edge (first vertex achieving it)
+        cids, cinv = np.unique(comp, return_inverse=True)
+        best = np.full(cids.shape[0], np.inf)
+        np.minimum.at(best, cinv, w)
+        idxs = np.flatnonzero(w == best[cinv])
+        first = idxs[np.unique(cinv[idxs], return_index=True)[1]]
+        for u in first:
+            u = int(u)
+            v = int(j[u])
+            ru, rv = find(u), find(v)
+            if ru == rv:  # mutual pick already merged this round
+                continue
+            edges[n_edges] = (u, v, w[u])
+            n_edges += 1
+            parent[ru] = rv
+        # pointer-jump all vertices to their roots in O(log n) passes
+        p = parent[np.arange(n)]
+        while True:
+            pp = parent[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        parent[np.arange(n)] = p  # full path compression
+        comp = p.astype(np.int32)
+    return edges
 
 
 def single_linkage(mst_edges, n):
@@ -363,7 +438,8 @@ class HDBSCAN:
         reachability to that neighbour exceeds the cluster's persistence
         range (then noise)."""
         Y = np.asarray(Y, dtype=np.float64)
-        d, idx = self._tree.query(Y, k=min(self.min_samples, self._X.shape[0]))
+        d, idx = self._tree.query(Y, k=min(self.min_samples, self._X.shape[0]),
+                                  workers=-1)
         if d.ndim == 1:
             d = d[:, None]
             idx = idx[:, None]

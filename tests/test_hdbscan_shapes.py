@@ -63,3 +63,30 @@ def test_approximate_predict_consistency():
     far = X.max(axis=0) + 50.0
     pred_far, _ = model.approximate_predict(far[None, :])
     assert pred_far[0] == -1
+
+
+def test_boruvka_matches_prim():
+    """Device Boruvka MST (the n >= 4096 path) must produce the same
+    mutual-reachability MST weight multiset — and the same clustering —
+    as the host Prim oracle, including under exact duplicate points."""
+    from poppunk_tpu.ops import hdbscan as H
+
+    rng = np.random.default_rng(3)
+    n = 1200
+    centers = np.array([[0.02, 0.05], [0.12, 0.25], [0.3, 0.5]])
+    X = np.abs(centers[rng.integers(0, 3, n)] + rng.normal(0, 0.012, (n, 2)))
+    X[100:150] = X[0:50]  # exact ties stress the cut-rule tie-breaking
+    core, _ = H.core_distances(X, 10)
+
+    prim = H.mutual_reachability_mst(X, core)  # n < 4096 -> host Prim
+    bor = H.boruvka_mst_device(X.astype(np.float32), core.astype(np.float32))
+    assert bor.shape == prim.shape
+    assert np.allclose(np.sort(bor[:, 2]), np.sort(prim[:, 2]), atol=1e-5)
+
+    def labels_from(mst):
+        order = np.argsort(mst[:, 2], kind="stable")
+        merges = H.single_linkage(mst[order], n)
+        ct = H.condense_tree(merges, n, 15)
+        return H.labels_from_selection(ct, n, H.select_clusters_eom(ct, n))[0]
+
+    assert adjusted_rand_score(labels_from(prim), labels_from(bor)) > 0.999
