@@ -136,6 +136,48 @@ class Graph:
                 data["weights"] if "weights" in data else None,
             )
 
+    def save_csv_gz(self, path):
+        """Gzipped edge-list CSV — the reference's cugraph network format
+        (PopPUNK/network.py:1875-1877, to_pandas_edgelist().to_csv)."""
+        import gzip
+
+        with gzip.open(path, "wt") as f:
+            if self.weights is not None:
+                f.write("source,destination,weights\n")
+                for (u, v), w in zip(self.edges, self.weights):
+                    f.write(f"{u},{v},{w}\n")
+            else:
+                f.write("source,destination\n")
+                for u, v in self.edges:
+                    f.write(f"{u},{v}\n")
+
+    @classmethod
+    def load_csv_gz(cls, path):
+        """Read a cugraph-written edge list (PopPUNK/network.py:138-146).
+        Accepts both src/dst and source/destination headers; vertices are
+        the implied 0..max range (the CSV records no isolated vertices —
+        the reference has the same property)."""
+        import csv
+        import gzip
+
+        with gzip.open(path, "rt") as f:
+            reader = csv.DictReader(f)
+            cols = {c.lower(): c for c in reader.fieldnames}
+            s = cols.get("source", cols.get("src"))
+            d = cols.get("destination", cols.get("dst"))
+            w = cols.get("weights", cols.get("weight"))
+            if s is None or d is None:
+                raise ValueError(f"{path}: no source/destination columns")
+            edges, weights = [], []
+            for row in reader:
+                edges.append((int(row[s]), int(row[d])))
+                if w is not None:
+                    weights.append(float(row[w]))
+        edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        n = int(edges.max()) + 1 if edges.size else 0
+        return cls(n, edges,
+                   np.asarray(weights) if w is not None else None)
+
     def save_gt(self, path):
         """graph-tool binary format (reference default,
         PopPUNK/network.py:1855-1874) — see gt_format.py."""
@@ -239,6 +281,8 @@ def load_network_file(fn):
         return Graph.load_graphml(fn)
     if fn.endswith(".gt"):
         return Graph.load_gt(fn)
+    if fn.endswith(".csv.gz"):
+        return Graph.load_csv_gz(fn)
     return Graph.load(fn)
 
 

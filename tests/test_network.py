@@ -287,3 +287,27 @@ class TestGtFormat:
 
         with pytest.raises(ValueError, match="magic"):
             Graph.load_gt(fn)
+
+
+class TestCsvGzFormat:
+    """cugraph edge-list .csv.gz interop (PopPUNK/network.py:138-146,
+    1875-1877 — the reference's GPU-mode network format)."""
+
+    def test_csv_gz_roundtrip(self, tmp_path):
+        G = random_graph(30, 0.2, weights=True)
+        fn = str(tmp_path / "db_graph.csv.gz")
+        G.save_csv_gz(fn)
+        G2 = load_network_file(fn)
+        assert np.array_equal(G2.edges, G.edges)
+        assert np.allclose(G2.weights, G.weights)
+
+    def test_reads_cugraph_src_dst_headers(self, tmp_path):
+        import gzip
+
+        fn = str(tmp_path / "g_graph.csv.gz")
+        with gzip.open(fn, "wt") as f:
+            f.write("src,dst\n0,1\n1,2\n")
+        G = load_network_file(fn)
+        assert G.n_vertices == 3
+        assert G.weights is None
+        assert {tuple(e) for e in G.edges.tolist()} == {(0, 1), (1, 2)}
