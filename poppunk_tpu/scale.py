@@ -75,6 +75,63 @@ def fold_inverse(pos, n):
     return i, j
 
 
+def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
+                pad_bits, knn, dist_col, use_pallas):
+    """One fill step: distances for folded rows [s, s+c).
+
+    Computes the 2c full rows (genomes s..s+c-1 and their mirrors
+    n-s-c..n-s-1), folds their upper triangles into a [c, n-1, 2] block
+    and top-ks every full row. Returns (folded, top_idx, top_d) with the
+    kNN arrays ordered [low rows asc | mirror rows asc by genome id].
+    """
+    n = planes.shape[0]
+
+    def rows(a, start):
+        return jax.lax.dynamic_slice_in_dim(a, start, c, axis=0)
+
+    pq = jnp.concatenate([rows(planes, s), rows(planes, n - s - c)],
+                         axis=0)
+    lq = jnp.concatenate([rows(lengths, s), rows(lengths, n - s - c)])
+    fq = jnp.concatenate([rows(freqs, s), rows(freqs, n - s - c)],
+                         axis=0)
+
+    if use_pallas:
+        from .ops.pallas_jaccard import match_counts_pallas
+
+        matches = match_counts_pallas(pq, planes, pad_bits)
+    else:
+        matches = match_counts_xla(pq, planes, pad_bits)
+    j = corrected_jaccards(matches, klist, lq, lengths, fq, freqs,
+                           sketchsize64, bbits, True, True)
+    d = core_accessory(j, klist)  # [2c, n, 2]
+
+    i_vec = s + jnp.arange(c)  # global ids of the low block
+    block_lo, block_hi = d[:c], d[c:]
+    q = jnp.arange(n - 1)
+    idx_lo = (q[None, :] + i_vec[:, None] + 1) % n  # [c, n-1]
+    lo_part = jnp.take_along_axis(block_lo, idx_lo[..., None], axis=1)
+    hi_rev = block_hi[::-1]  # row r of hi_rev = genome n-1-(s+r)
+    first_len = (n - 1 - i_vec)[:, None]
+    folded = jnp.where((q[None, :] < first_len)[..., None],
+                       lo_part, hi_rev[:, 1:, :])
+
+    # fused lineage kNN over the full rows. k successive min/argmin
+    # extractions instead of lax.top_k: for small k the VPU reduction
+    # passes are free next to the match kernel (measured equal to a
+    # kNN-less fill at n=20480; top_k's sort network costs ~5% there),
+    # and results are identical (both resolve ties to the lowest index).
+    row_ids = jnp.concatenate([i_vec, n - s - c + jnp.arange(c)])
+    col = d[..., dist_col]
+    col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
+    tops_d, tops_i = [], []
+    for _ in range(knn):
+        a = col.argmin(axis=1).astype(jnp.int32)
+        tops_d.append(jnp.take_along_axis(col, a[:, None], axis=1)[:, 0])
+        tops_i.append(a)
+        col = col.at[jnp.arange(2 * c), a].set(jnp.inf)
+    return folded, jnp.stack(tops_i, axis=1), jnp.stack(tops_d, axis=1)
+
+
 @partial(jax.jit, static_argnames=("c", "klist", "sketchsize64", "bbits",
                                    "pad_bits", "knn", "dist_col",
                                    "use_pallas"))
@@ -93,44 +150,10 @@ def _fill_all(planes, lengths, freqs, c, klist, sketchsize64, bbits,
 
     def step(carry, s):
         buf, knn_idx_buf, knn_d_buf = carry
-
-        def rows(a, start):
-            return jax.lax.dynamic_slice_in_dim(a, start, c, axis=0)
-
-        pq = jnp.concatenate([rows(planes, s), rows(planes, n - s - c)],
-                             axis=0)
-        lq = jnp.concatenate([rows(lengths, s), rows(lengths, n - s - c)])
-        fq = jnp.concatenate([rows(freqs, s), rows(freqs, n - s - c)],
-                             axis=0)
-
-        if use_pallas:
-            from .ops.pallas_jaccard import match_counts_pallas
-
-            matches = match_counts_pallas(pq, planes, pad_bits)
-        else:
-            matches = match_counts_xla(pq, planes, pad_bits)
-        j = corrected_jaccards(matches, klist, lq, lengths, fq, freqs,
-                               sketchsize64, bbits, True, True)
-        d = core_accessory(j, klist)  # [2c, n, 2]
-
-        i_vec = s + jnp.arange(c)  # global ids of the low block
-        block_lo, block_hi = d[:c], d[c:]
-        q = jnp.arange(n - 1)
-        idx_lo = (q[None, :] + i_vec[:, None] + 1) % n  # [c, n-1]
-        lo_part = jnp.take_along_axis(block_lo, idx_lo[..., None], axis=1)
-        hi_rev = block_hi[::-1]  # row r of hi_rev = genome n-1-(s+r)
-        first_len = (n - 1 - i_vec)[:, None]
-        folded = jnp.where((q[None, :] < first_len)[..., None],
-                           lo_part, hi_rev[:, 1:, :])
+        folded, top_idx, top_d = _fold_block(
+            planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
+            pad_bits, knn, dist_col, use_pallas)
         buf = jax.lax.dynamic_update_slice(buf, folded, (s, 0, 0))
-
-        # fused lineage kNN over the full rows, accumulated on device
-        row_ids = jnp.concatenate([i_vec, n - s - c + jnp.arange(c)])
-        col = d[..., dist_col]
-        col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
-        neg_top, top_idx = jax.lax.top_k(-col, knn)
-        top_idx = top_idx.astype(jnp.int32)
-        top_d = -neg_top
         knn_idx_buf = jax.lax.dynamic_update_slice(
             knn_idx_buf, top_idx[:c], (s, 0))
         knn_idx_buf = jax.lax.dynamic_update_slice(
@@ -208,6 +231,107 @@ def fill_condensed_device(planes, lengths, freqs, klist, sketchsize64,
         progress(half, half)
     knn_col = np.asarray(knn_idx_buf).astype(np.int64)
     knn_dist = np.asarray(knn_d_buf)
+    return CondensedDevice(buf, n, np.arange(n, dtype=np.int64), knn_col,
+                           knn_dist)
+
+
+def fill_condensed_sharded(planes, lengths, freqs, klist, sketchsize64,
+                           bbits, mesh=None, chunk=512, knn=5, dist_col=0,
+                           use_pallas=None):
+    """The sharded twin of fill_condensed_device: the folded condensed
+    buffer lives row-sharded across every device of the mesh.
+
+    Each device owns half/n_dev contiguous folded rows and runs the same
+    lax.scan fill over its shard (sketch planes replicated — at the 50k
+    tier they are ~5 GB vs the 10 GB buffer, so sharding the buffer is
+    what unlocks the memory ceiling: per-device buffer drops to
+    10 GB / n_dev while consumers keep streaming O(n + E)). The fused
+    kNN is accumulated per-device in folded layout [half_loc, 2, k]
+    (row i and its mirror n-1-i share a folded row) so every output
+    shard is contiguous — no cross-device scatter. The reference has no
+    analogue (single host matrix, PopPUNK/refine.py:147-166).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import get_mesh
+
+    if mesh is None:
+        mesh = get_mesh()
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = planes.shape[0]
+    half = fold_rows(n)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    r_size = mesh.shape["r"]
+    if half % n_dev:
+        raise ValueError(f"n//2 ({half}) must be a multiple of the device "
+                         f"count ({n_dev})")
+    half_loc = half // n_dev
+    chunk = min(chunk, half_loc)
+    if half_loc % chunk:
+        raise ValueError(f"per-device rows ({half_loc}) must be a multiple "
+                         f"of chunk ({chunk})")
+    _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+    knn = min(knn, n - 1)
+
+    c = int(chunk)
+    klist_t = tuple(int(k) for k in klist)
+
+    def local_fill(planes, lengths, freqs):
+        dev = jax.lax.axis_index("q") * r_size + jax.lax.axis_index("r")
+        start0 = dev * half_loc
+
+        def step(carry, s_loc):
+            buf, ki, kd = carry
+            folded, top_idx, top_d = _fold_block(
+                planes, lengths, freqs, start0 + s_loc, c, klist_t,
+                int(sketchsize64), int(bbits), int(pad_bits), knn,
+                int(dist_col), bool(use_pallas))
+            buf = jax.lax.dynamic_update_slice(buf, folded, (s_loc, 0, 0))
+            # folded kNN layout: [:, 0] = low row s, [:, 1] = mirror
+            # n-1-s. top_d[c:] row r is genome n-s-c+r -> folded row
+            # s+c-1-r, hence the reversal.
+            ki = jax.lax.dynamic_update_slice(
+                ki, jnp.stack([top_idx[:c], top_idx[c:][::-1]], axis=1),
+                (s_loc, 0, 0))
+            kd = jax.lax.dynamic_update_slice(
+                kd, jnp.stack([top_d[:c], top_d[c:][::-1]], axis=1),
+                (s_loc, 0, 0))
+            return (buf, ki, kd), None
+
+        # carry becomes device-varying once start0 enters; mark the zero
+        # init as varying over the mesh so scan's carry types match
+        init = jax.lax.pcast(
+            (jnp.zeros((half_loc, n - 1, 2), jnp.float32),
+             jnp.zeros((half_loc, 2, knn), jnp.int32),
+             jnp.zeros((half_loc, 2, knn), jnp.float32)),
+            ("q", "r"), to="varying")
+        starts = jnp.arange(0, half_loc, c, dtype=jnp.int32)
+        (buf, ki, kd), _ = jax.lax.scan(step, init, starts)
+        return buf, ki, kd
+
+    fill = jax.jit(jax.shard_map(
+        local_fill,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(("q", "r"), None, None), P(("q", "r"), None, None),
+                   P(("q", "r"), None, None)),
+    ))
+    rep = NamedSharding(mesh, P())
+    with mesh:
+        buf, ki, kd = fill(jax.device_put(jnp.asarray(planes), rep),
+                           jax.device_put(jnp.asarray(lengths), rep),
+                           jax.device_put(jnp.asarray(freqs), rep))
+
+    # unfold the folded-layout kNN to per-genome rows (O(n k) host)
+    ki_h = np.asarray(ki)
+    kd_h = np.asarray(kd)
+    knn_col = np.empty((n, knn), np.int64)
+    knn_dist = np.empty((n, knn), np.float32)
+    knn_col[:half] = ki_h[:, 0]
+    knn_col[half:] = ki_h[::-1, 1]
+    knn_dist[:half] = kd_h[:, 0]
+    knn_dist[half:] = kd_h[::-1, 1]
     return CondensedDevice(buf, n, np.arange(n, dtype=np.int64), knn_col,
                            knn_dist)
 
@@ -508,6 +632,7 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                        sketchsize64=156, bbits=14, n_strains=20, chunk=512,
                        knn=5, subsample=100000, score_idx=0, seed=2,
                        max_move=0.25, use_pallas=None, synth_kwargs=None,
+                       sharded=None,
                        log=lambda msg: sys.stderr.write(msg)):
     """Full pipeline on a synthetic device population, timing each stage.
 
@@ -532,10 +657,19 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     timings["synth"] = time.perf_counter() - t0
     log(f"synth: {n} genomes on device in {timings['synth']:.1f}s\n")
 
+    n_dev = len(jax.devices())
+    if sharded is None:
+        sharded = n_dev > 1 and (n // 2) % n_dev == 0
     t0 = time.perf_counter()
-    cd = fill_condensed_device(pop.planes, pop.lengths, pop.freqs, klist,
-                               sketchsize64, bbits, chunk=chunk, knn=knn,
-                               use_pallas=use_pallas)
+    if sharded:
+        cd = fill_condensed_sharded(pop.planes, pop.lengths, pop.freqs,
+                                    klist, sketchsize64, bbits, chunk=chunk,
+                                    knn=knn, use_pallas=use_pallas)
+        log(f"dists: folded buffer sharded over {n_dev} devices\n")
+    else:
+        cd = fill_condensed_device(pop.planes, pop.lengths, pop.freqs,
+                                   klist, sketchsize64, bbits, chunk=chunk,
+                                   knn=knn, use_pallas=use_pallas)
     np.asarray(cd.buf[-1, -1, -1])
     timings["dists+knn"] = time.perf_counter() - t0
     out["pairs_per_s"] = out["n_pairs"] / timings["dists+knn"]

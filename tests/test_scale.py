@@ -170,3 +170,52 @@ class TestEndToEnd:
         # well-separated synthetic strains must come back as the clusters
         assert out["ari"] > 0.99
         assert out["n_clusters"] == 10
+
+
+class TestShardedFill:
+    """fill_condensed_sharded over the 8-device mesh == single-device fill."""
+
+    def test_matches_single_device(self, pop, cd):
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import fill_condensed_sharded
+
+        mesh = get_mesh(len(jax.devices()))
+        cds = fill_condensed_sharded(pop.planes, pop.lengths, pop.freqs,
+                                     KLIST, SS64, BBITS, mesh=mesh,
+                                     chunk=4, knn=5)
+        assert np.array_equal(np.asarray(cds.buf), np.asarray(cd.buf))
+        assert np.array_equal(cds.knn_col, cd.knn_col)
+        assert np.array_equal(cds.knn_dist, cd.knn_dist)
+
+    def test_consumers_on_sharded_buffer(self, pop, cd):
+        """sweep_first_offsets / max_scale work unchanged on the sharded
+        buffer (shard-transparent consumers)."""
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import fill_condensed_sharded
+
+        mesh = get_mesh(len(jax.devices()))
+        cds = fill_condensed_sharded(pop.planes, pop.lengths, pop.freqs,
+                                     KLIST, SS64, BBITS, mesh=mesh,
+                                     chunk=4, knn=5)
+        np.testing.assert_allclose(cds.max_scale(), cd.max_scale())
+        scale = cd.max_scale()
+        offsets = np.linspace(0.0, 0.5, 8)
+        args = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
+        di, dj, didx, dd0 = sweep_first_offsets(cd, *args)
+        si, sj, sidx, sd0 = sweep_first_offsets(cds, *args)
+        assert sorted(zip(di, dj, didx)) == sorted(zip(si, sj, sidx))
+
+    def test_rejects_indivisible(self, pop):
+        import pytest as _pytest
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import fill_condensed_sharded
+
+        mesh = get_mesh(3)
+        with _pytest.raises(ValueError, match="multiple of the device"):
+            fill_condensed_sharded(pop.planes, pop.lengths, pop.freqs,
+                                   KLIST, SS64, BBITS, mesh=mesh)
