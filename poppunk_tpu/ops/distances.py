@@ -98,10 +98,16 @@ def match_counts_xla(planes_q, planes_r, pad_bits):
 
 def _random_jaccard_jnp(k, len_q, len_r, freq_q, freq_r, use_rc=True):
     """Expected random Jaccard, jnp twin of sketch/random_match.py."""
-    m_f = freq_q @ freq_r.T  # [nq, nr]
+    # HIGHEST: the TPU MXU default (bf16 passes) injects ~4e-3 relative
+    # noise into the match probability, which the k-mer curve fit then
+    # amplifies; these dots are 4-wide — exact f32 is free
+    m_f = jnp.matmul(freq_q, freq_r.T,
+                     precision=jax.lax.Precision.HIGHEST)  # [nq, nr]
     p = m_f ** k
     if use_rc:
-        m_rc = freq_q @ freq_r[:, ::-1].T  # ACGT reversed = complement perm
+        # ACGT reversed = complement perm
+        m_rc = jnp.matmul(freq_q, freq_r[:, ::-1].T,
+                          precision=jax.lax.Precision.HIGHEST)
         p = p + m_rc ** k
     n1 = jnp.maximum(len_q.astype(jnp.float32) - k + 1, 1.0)[:, None]
     n2 = jnp.maximum(len_r.astype(jnp.float32) - k + 1, 1.0)[None, :]

@@ -337,6 +337,175 @@ def fill_condensed_sharded(planes, lengths, freqs, klist, sketchsize64,
 
 
 # ---------------------------------------------------------------------------
+# Streaming mode: NO O(n^2) tensor anywhere, at any n
+#
+# The folded buffer is 4 n^2 bytes of HBM (1.7 GB at n=20480, 17 GB at
+# n=65536): past ~40k genomes it cannot be resident on a 16 GB chip even
+# before the sketch planes. The reference hits the same wall earlier and
+# harder — its refineFit hands the whole HOST condensed matrix to every
+# scoring process (PopPUNK/refine.py:147-166). Streaming mode trades one
+# extra distance pass per boundary sweep for O(n * sketch) total memory:
+#   pass 1 (construction): the same one-dispatch lax.scan as _fill_all,
+#     but the folded chunk is reduced (fused kNN + column maxima) and
+#     DISCARDED — the only O(n^2)-derived object is the transient
+#     [chunk, n-1, 2] block inside the scan step;
+#   subsample: the drawn pairs are recomputed directly (O(S));
+#   pass 2 (per sweep): each folded chunk is recomputed on the fly and
+#     only in-boundary pairs are fetched, exactly like the buffered
+#     sweep_first_offsets.
+
+
+@partial(jax.jit, static_argnames=("c", "klist", "sketchsize64", "bbits",
+                                   "pad_bits", "knn", "dist_col",
+                                   "use_pallas"))
+def _stream_stats(planes, lengths, freqs, c, klist, sketchsize64, bbits,
+                  pad_bits, knn, dist_col, use_pallas):
+    """Pass 1 in ONE dispatch: fused kNN + column maxima, chunks dropped."""
+    n = planes.shape[0]
+    half = n // 2
+
+    def step(carry, s):
+        ki_buf, kd_buf, cmax = carry
+        folded, top_idx, top_d = _fold_block(
+            planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
+            pad_bits, knn, dist_col, use_pallas)
+        cmax = jnp.maximum(cmax, folded.max(axis=(0, 1)))
+        ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[:c], (s, 0))
+        ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[c:],
+                                              (n - s - c, 0))
+        kd_buf = jax.lax.dynamic_update_slice(kd_buf, top_d[:c], (s, 0))
+        kd_buf = jax.lax.dynamic_update_slice(kd_buf, top_d[c:],
+                                              (n - s - c, 0))
+        return (ki_buf, kd_buf, cmax), None
+
+    init = (jnp.zeros((n, knn), jnp.int32),
+            jnp.zeros((n, knn), jnp.float32),
+            jnp.full((2,), -jnp.inf, jnp.float32))
+    starts = jnp.arange(0, half, c, dtype=jnp.int32)
+    (ki, kd, cmax), _ = jax.lax.scan(step, init, starts)
+    return ki, kd, cmax
+
+
+@partial(jax.jit, static_argnames=("klist", "sketchsize64", "bbits",
+                                   "pad_bits"))
+def _pair_block_dists(planes, lengths, freqs, ii, jj, klist, sketchsize64,
+                      bbits, pad_bits):
+    """Distances for an explicit pair list: i32[c] x i32[c] -> f32[c, 2].
+
+    Elementwise per-pair twin of the all-vs-all kernel (same plane
+    AND-reduce + popcount; the correction and k-mer fit reuse the block
+    functions via vmap so the math cannot drift)."""
+    pi = planes[ii].astype(jnp.uint32)  # [c, K, P, Wp]
+    pj = planes[jj].astype(jnp.uint32)
+    agree = ~(pi ^ pj)
+    allp = jax.lax.reduce(agree, jnp.uint32(0xFFFFFFFF),
+                          jax.lax.bitwise_and, dimensions=(2,))
+    matches = jax.lax.population_count(allp).astype(jnp.int32).sum(
+        axis=-1) - pad_bits  # [c, K]
+
+    def one(m_k, li, lj, fi, fj):
+        jac = corrected_jaccards(m_k[None, None], klist, li[None], lj[None],
+                                 fi[None], fj[None], sketchsize64, bbits,
+                                 True, True)
+        return jac[0, 0]
+
+    jac = jax.vmap(one)(matches, lengths[ii], lengths[jj], freqs[ii],
+                        freqs[jj])
+    return core_accessory(jac, klist)  # [c, 2]
+
+
+class StreamingCondensed:
+    """CondensedDevice twin that never stores the condensed matrix.
+
+    Exposes the same consumer surface (n, n_pairs, knn_col/knn_dist,
+    max_scale, subsample_pairs, knn_sparse, sweep_first_offsets
+    dispatch); `buf` stays None, which routes refine_fit_device to the
+    sparse native scorer. Total HBM is planes + one transient chunk, so
+    a single 16 GB chip handles 65k+ genomes at production sketch
+    geometry (the resident buffer alone would be 17 GB there).
+    """
+
+    buf = None
+
+    def __init__(self, planes, lengths, freqs, klist, sketchsize64, bbits,
+                 chunk=256, knn=5, dist_col=0, use_pallas=None):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        n = planes.shape[0]
+        half = fold_rows(n)
+        chunk = min(chunk, half)
+        if half % chunk:
+            raise ValueError(
+                f"n//2 ({half}) must be a multiple of chunk ({chunk})")
+        self.planes = jnp.asarray(planes)
+        self.lengths = jnp.asarray(lengths)
+        self.freqs = jnp.asarray(freqs)
+        self.n = n
+        self.n_pairs = n * (n - 1) // 2
+        self.chunk = int(chunk)
+        self._klist = tuple(int(k) for k in klist)
+        self._ss64 = int(sketchsize64)
+        self._bbits = int(bbits)
+        _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+        self._pad_bits = int(pad_bits)
+        self._use_pallas = bool(use_pallas)
+        knn = min(knn, n - 1)
+        ki, kd, cmax = _stream_stats(
+            self.planes, self.lengths, self.freqs, self.chunk, self._klist,
+            self._ss64, self._bbits, self._pad_bits, int(knn),
+            int(dist_col), self._use_pallas)
+        self.knn_row = np.arange(n, dtype=np.int64)
+        self.knn_col = np.asarray(ki).astype(np.int64)
+        self.knn_dist = np.asarray(kd)
+        self._cmax = np.asarray(cmax)
+
+    def max_scale(self):
+        """Column maxima over every pair (accumulated in pass 1)."""
+        return self._cmax
+
+    def subsample_pairs(self, size, seed=42, block=8192):
+        """Same draw as CondensedDevice.subsample_pairs, recomputed
+        directly — O(size) compute and memory."""
+        rng = np.random.default_rng(seed)
+        pos = np.sort(rng.choice(self.n_pairs,
+                                 size=min(size, self.n_pairs),
+                                 replace=False))
+        i, j = fold_inverse(pos, self.n)
+        m = len(pos)
+        pad = (-m) % block
+        if pad:  # fixed block shape: one compiled program
+            i = np.concatenate([i, np.zeros(pad, np.int64)])
+            j = np.concatenate([j, np.ones(pad, np.int64)])
+        out = [np.asarray(_pair_block_dists(
+            self.planes, self.lengths, self.freqs,
+            jnp.asarray(i[s:s + block], jnp.int32),
+            jnp.asarray(j[s:s + block], jnp.int32),
+            self._klist, self._ss64, self._bbits, self._pad_bits))
+            for s in range(0, m + pad, block)]
+        return np.concatenate(out)[:m]
+
+    def knn_sparse(self):
+        """Same layout as CondensedDevice.knn_sparse."""
+        n, k = self.knn_col.shape
+        rows = np.repeat(np.arange(n, dtype=np.int64), k)
+        return rows, self.knn_col.ravel().astype(np.int64), \
+            self.knn_dist.ravel()
+
+
+@partial(jax.jit, static_argnames=("c", "klist", "sketchsize64", "bbits",
+                                   "pad_bits", "slope", "use_pallas"))
+def _stream_sweep_chunk(planes, lengths, freqs, s, scale, t, xm0, ym0, c,
+                        klist, sketchsize64, bbits, pad_bits, slope,
+                        use_pallas):
+    """Pass-2 step: recompute folded rows [s, s+c) and gather in-boundary
+    pairs (the kNN arm of _fold_block is dead code here, DCE'd)."""
+    folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                               sketchsize64, bbits, pad_bits, 1, 0,
+                               use_pallas)
+    return _sweep_gather(folded.reshape(-1, 2), scale, t, xm0, ym0, slope)
+
+
+# ---------------------------------------------------------------------------
 # Boundary sweep over the device buffer
 
 
@@ -396,21 +565,32 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
     widest boundary — the native sparse scorer's input, plus each pair's
     signed distance d0 for re-thresholding at arbitrary offsets (the
     local-optimisation step) without touching the buffer again. Fetches
-    O(E), never the buffer.
+    O(E), never the buffer. On a StreamingCondensed each chunk is
+    recomputed from the sketches instead of sliced from the buffer.
     """
+    streaming = cd.buf is None
     xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
     t_dev = jnp.asarray(t, jnp.float32)
     scale_dev = jnp.asarray(scale, jnp.float32)
     xm0_dev = jnp.float32(xm0)
     ym0_dev = jnp.float32(ym0)
-    half = cd.buf.shape[0]
+    half = fold_rows(cd.n)
+    if streaming:
+        chunk_rows = cd.chunk
     pos_out, idx_out, d0_out = [], [], []
     for s in range(0, half, chunk_rows):
         rows = min(chunk_rows, half - s)
-        chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
-        m = chunk_x.shape[0]
-        pos, idx, d0, count = _sweep_gather(chunk_x, scale_dev, t_dev,
-                                            xm0_dev, ym0_dev, int(slope))
+        if streaming:
+            m = rows * (cd.n - 1)
+            pos, idx, d0, count = _stream_sweep_chunk(
+                cd.planes, cd.lengths, cd.freqs, jnp.int32(s), scale_dev,
+                t_dev, xm0_dev, ym0_dev, int(rows), cd._klist, cd._ss64,
+                cd._bbits, cd._pad_bits, int(slope), cd._use_pallas)
+        else:
+            chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
+            m = chunk_x.shape[0]
+            pos, idx, d0, count = _sweep_gather(chunk_x, scale_dev, t_dev,
+                                                xm0_dev, ym0_dev, int(slope))
         k = int(count)
         if k == 0:
             continue
@@ -452,8 +632,11 @@ def offset_threshold(s_value, offsets, slope, x0, y0, x1, y1):
 
 
 # Dense [n, n] f32 d0 square + two scratch buffers; above this the HBM
-# budget says use the sparse host path instead.
-MATMUL_SWEEP_MAX_N = 32768
+# budget says use the sparse host path instead. The sweep's working set
+# is ~14 n^2 bytes (d0 square + A + bf16 A + matmul out) ON TOP of the
+# resident folded buffer (4 n^2) and planes: measured on the 16 GB v5e,
+# n=20480 fits, n=32768 is RESOURCE_EXHAUSTED.
+MATMUL_SWEEP_MAX_N = 20480
 
 
 @partial(jax.jit, static_argnames=("n", "c"))
@@ -577,7 +760,8 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     s_range = np.linspace(-min_move, search_length, num=n_grid)
     line = (mean0[0], mean0[1], mean1[0], mean1[1])
 
-    use_matmul = score_idx == 0 and cd.n <= MATMUL_SWEEP_MAX_N
+    use_matmul = (score_idx == 0 and cd.n <= MATMUL_SWEEP_MAX_N
+                  and cd.buf is not None)
     if use_matmul:
         d0_sq, t_grid = build_d0_square(cd, scale, 2, *line, s_range)
         global_s, edge_counts = matmul_sweep_scores(d0_sq, t_grid)
@@ -629,10 +813,10 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
 
 
 def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
-                       sketchsize64=156, bbits=14, n_strains=20, chunk=512,
+                       sketchsize64=156, bbits=14, n_strains=None, chunk=512,
                        knn=5, subsample=100000, score_idx=0, seed=2,
                        max_move=0.25, use_pallas=None, synth_kwargs=None,
-                       sharded=None,
+                       sharded=None, streaming=None,
                        log=lambda msg: sys.stderr.write(msg)):
     """Full pipeline on a synthetic device population, timing each stage.
 
@@ -640,6 +824,11 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     refine boundary (device sweep + native scorer) -> network ->
     clusters vs true strains. Returns a dict of stage seconds and
     results; the host never holds an O(n^2) array.
+
+    streaming=None auto-selects StreamingCondensed once the folded
+    buffer (4 n^2 bytes / device) would crowd a 16 GB chip; n_strains
+    defaults to 20 up to the 20480 tier, then grows as n/256 so the
+    in-boundary edge fetch stays O(n^2 / n_strains) ~ bounded.
     """
     from .models.bgmm import BGMMFit
     from .network.graph import Graph
@@ -648,6 +837,8 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
 
     timings = {}
     out = {"n": n, "n_pairs": n * (n - 1) // 2}
+    if n_strains is None:
+        n_strains = 20 if n <= 20480 else max(20, n // 256)
 
     t0 = time.perf_counter()
     pop = synthetic_population_device(
@@ -658,10 +849,21 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     log(f"synth: {n} genomes on device in {timings['synth']:.1f}s\n")
 
     n_dev = len(jax.devices())
+    if streaming is None:
+        streaming = 4.0 * n * n / max(n_dev, 1) > 6e9
     if sharded is None:
-        sharded = n_dev > 1 and (n // 2) % n_dev == 0
+        sharded = (not streaming and n_dev > 1
+                   and (n // 2) % n_dev == 0)
     t0 = time.perf_counter()
-    if sharded:
+    if streaming:
+        cd = StreamingCondensed(pop.planes, pop.lengths, pop.freqs, klist,
+                                sketchsize64, bbits,
+                                chunk=min(chunk, 256), knn=knn,
+                                use_pallas=use_pallas)
+        log("dists: streaming (no O(n^2) tensor; buffer would be "
+            f"{4.0 * n * n / 2**30:.1f} GiB)\n")
+        np.asarray(cd.knn_dist[-1, -1])
+    elif sharded:
         cd = fill_condensed_sharded(pop.planes, pop.lengths, pop.freqs,
                                     klist, sketchsize64, bbits, chunk=chunk,
                                     knn=knn, use_pallas=use_pallas)
@@ -670,7 +872,8 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         cd = fill_condensed_device(pop.planes, pop.lengths, pop.freqs,
                                    klist, sketchsize64, bbits, chunk=chunk,
                                    knn=knn, use_pallas=use_pallas)
-    np.asarray(cd.buf[-1, -1, -1])
+    if cd.buf is not None:
+        np.asarray(cd.buf[-1, -1, -1])
     timings["dists+knn"] = time.perf_counter() - t0
     out["pairs_per_s"] = out["n_pairs"] / timings["dists+knn"]
     log(f"dists+knn: {out['n_pairs']} pairs in {timings['dists+knn']:.1f}s "

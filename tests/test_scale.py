@@ -172,6 +172,66 @@ class TestEndToEnd:
         assert out["n_clusters"] == 10
 
 
+class TestStreamingCondensed:
+    """StreamingCondensed (no O(n^2) storage) == the buffered fill."""
+
+    @pytest.fixture(scope="class")
+    def sc(self, pop):
+        from poppunk_tpu.scale import StreamingCondensed
+
+        return StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=8, knn=5)
+
+    def test_knn_matches_buffered(self, sc, cd):
+        assert np.array_equal(sc.knn_col, cd.knn_col)
+        assert np.array_equal(sc.knn_dist, cd.knn_dist)
+
+    def test_max_scale_matches(self, sc, cd):
+        np.testing.assert_allclose(sc.max_scale(), cd.max_scale(),
+                                   rtol=1e-6)
+
+    def test_subsample_matches_buffered(self, sc, cd):
+        # same positions drawn (same rng stream); values recomputed
+        # per-pair instead of gathered — ulp-level reassociation in the
+        # correction is amplified by the k-mer curve fit, so tolerance
+        # is looser than elsewhere
+        s_sub = sc.subsample_pairs(200, seed=3, block=64)
+        b_sub = cd.subsample_pairs(200, seed=3)
+        np.testing.assert_allclose(s_sub, b_sub, rtol=5e-4, atol=1e-5)
+
+    def test_sweep_matches_buffered(self, sc, cd):
+        scale = cd.max_scale()
+        offsets = np.linspace(0.0, 0.5, 20)
+        args = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
+        bi, bj, bidx, bd0 = sweep_first_offsets(cd, *args)
+        si, sj, sidx, sd0 = sweep_first_offsets(sc, *args)
+        assert np.array_equal(si, bi)
+        assert np.array_equal(sj, bj)
+        assert np.array_equal(sidx, bidx)
+        np.testing.assert_allclose(sd0, bd0, rtol=1e-6, atol=1e-7)
+
+    def test_pipeline_streaming_equals_buffered(self):
+        kwargs = dict(
+            n=256, klist=(13, 15, 17, 19, 21, 23), sketchsize64=64,
+            bbits=8, n_strains=10, chunk=32, knn=3, subsample=5000, seed=5,
+            synth_kwargs=dict(core_div=(0.0005, 0.002),
+                              strain_div=(0.04, 0.06),
+                              accessory_within=(0.93, 0.97),
+                              accessory_strain=(0.70, 0.80)))
+        s_log, b_log = [], []
+        s_out = run_scale_pipeline(streaming=True, log=s_log.append,
+                                   **kwargs)
+        b_out = run_scale_pipeline(streaming=False, sharded=False,
+                                   log=b_log.append, **kwargs)
+        # no buffer => refine routes to the sparse native scorer; the
+        # buffered run (n <= MATMUL_SWEEP_MAX_N) takes the matmul sweep
+        assert any("via sparse sweep" in m for m in s_log)
+        assert any("via device sweep" in m for m in b_log)
+        assert s_out["ari"] == b_out["ari"] == 1.0
+        assert s_out["n_clusters"] == b_out["n_clusters"] == 10
+        assert s_out["n_edges"] == b_out["n_edges"]
+
+
 class TestShardedFill:
     """fill_condensed_sharded over the 8-device mesh == single-device fill."""
 
