@@ -101,6 +101,11 @@ def get_options(arg_list=None):
     model_group.add_argument("--D", type=int, default=100,
                              help="Maximum number of clusters in DBSCAN fitting")
     model_group.add_argument("--min-cluster-prop", type=float, default=0.0001)
+    model_group.add_argument("--dbscan-grid-assign", action="store_true",
+                             help="Assign pairs to DBSCAN clusters via the "
+                                  "quantised decision grid (~100x faster; "
+                                  "exact beyond half a grid cell from "
+                                  "decision boundaries)")
     model_group.add_argument("--threshold", type=float,
                              help="Cutoff if using --fit-model threshold")
 
@@ -339,6 +344,9 @@ def fit_model(args):
         model.set_threads(args.threads)
         if model.type == "lineage":
             model.fit(X)
+        elif model.type == "dbscan":
+            assignments = model.assign(
+                X, use_grid=args.dbscan_grid_assign)
         else:
             assignments = model.assign(X, *(
                 [args.assign_subsample] if model.type == "bgmm" else []))
@@ -353,7 +361,8 @@ def fit_model(args):
         sys.stderr.write("Fitting dbscan model\n")
         model = DBSCANFit(output, max_samples=args.model_subsample,
                           max_batch_size=args.assign_subsample,
-                          assign_points=not args.for_refine)
+                          assign_points=not args.for_refine,
+                          grid_assign=args.dbscan_grid_assign)
         model.set_threads(args.threads)
         assignments = model.fit(X, args.D, args.min_cluster_prop)
     elif args.fit_model == "refine":

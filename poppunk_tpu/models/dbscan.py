@@ -47,13 +47,15 @@ def evaluate_dbscan_clusters(model):
 
 class DBSCANFit(ClusterFit):
     def __init__(self, out_prefix, max_batch_size=5000, max_samples=100000,
-                 assign_points=True, seed=42, **_ignored):
+                 assign_points=True, seed=42, grid_assign=False,
+                 **_ignored):
         ClusterFit.__init__(self, out_prefix, seed=seed)
         self.type = "dbscan"
         self.preprocess = True
         self.max_batch_size = max_batch_size
         self.max_samples = max_samples
         self.assign_points = assign_points
+        self.grid_assign = grid_assign
 
     def fit(self, X, max_num_clusters, min_cluster_prop):
         ClusterFit.fit(self, X)
@@ -102,16 +104,44 @@ class DBSCANFit(ClusterFit):
             raise RuntimeError("Failed to find distinct clusters in this dataset")
 
         if self.assign_points:
-            y = self.assign(X, max_batch_size=self.max_batch_size)
+            y = self.assign(X, max_batch_size=self.max_batch_size,
+                            use_grid=self.grid_assign)
         else:
             y = self.assign(self.subsampled_X * self.scale,
-                            max_batch_size=self.max_batch_size)
+                            max_batch_size=self.max_batch_size,
+                            use_grid=self.grid_assign)
         return y
 
-    def assign(self, X, no_scale=False, progress=True, max_batch_size=5000):
+    def assign(self, X, no_scale=False, progress=True, max_batch_size=5000,
+               use_grid=False, grid_resolution=1024):
+        """Cluster label per pair (reference PopPUNK/models.py:192
+        approximate_predict semantics).
+
+        use_grid routes bulk assignment through the quantised decision
+        grid (decision_grid, the serving path's lookup): ~100x the exact
+        host predict, exact wherever a pair sits more than half a cell
+        from a decision boundary. Opt-in (--dbscan-grid-assign) because
+        labels can flip within that half-cell band."""
         if not self.fitted:
             raise RuntimeError("Trying to assign using an unfitted model")
         scale = np.array([1, 1], dtype=X.dtype) if no_scale else self.scale
+        if use_grid:
+            cached = getattr(self, "_grid_cache", None)
+            if cached is None or cached[0].shape[0] != grid_resolution:
+                cached = self.decision_grid(grid_resolution)
+                self._grid_cache = cached
+            grid, x0, dx, y0, dy = cached
+            if progress:
+                sys.stderr.write("Assigning distances with DBSCAN model "
+                                 f"(decision grid {grid_resolution})\n")
+            res = grid.shape[0]
+            Xs = X / scale
+            # same cell math as ops/fused_assign._dbscan_grid_label
+            ix = np.clip(((Xs[:, 0] - x0) / dx).astype(np.int64), 0,
+                         res - 1)
+            iy = np.clip(((Xs[:, 1] - y0) / dy).astype(np.int64), 0,
+                         res - 1)
+            return grid[ix, iy].astype(int)
         if progress:
             sys.stderr.write("Assigning distances with DBSCAN model\n")
         outs = []

@@ -120,6 +120,29 @@ class TestDBSCANFit:
         y2 = loaded.assign(X, max_batch_size=1000)
         assert np.array_equal(y, y2)
 
+    def test_grid_assign_matches_exact(self, tmp_path):
+        """Opt-in decision-grid bulk assign == exact approximate_predict
+        away from decision boundaries (the grid's documented contract)."""
+        from poppunk_tpu.models.dbscan import DBSCANFit
+
+        X = make_dist_cloud()
+        model = DBSCANFit(str(tmp_path / "dbscan_grid_db"))
+        y_exact = model.fit(X, max_num_clusters=3, min_cluster_prop=0.0001)
+        y_grid = model.assign(X, use_grid=True, grid_resolution=1024)
+        agree = (y_exact == y_grid).mean()
+        assert agree > 0.98
+        # disagreements must hug a label boundary: re-predicting each
+        # mismatched point's cell centre must give the grid's label
+        grid, x0, dx, y0, dy = model._grid_cache
+        Xs = X / model.scale
+        bad = np.where(y_exact != y_grid)[0]
+        for b in bad[:20]:
+            ix = min(int((Xs[b, 0] - x0) / dx), grid.shape[0] - 1)
+            iy = min(int((Xs[b, 1] - y0) / dy), grid.shape[0] - 1)
+            centre = np.array([[x0 + (ix + 0.5) * dx,
+                                y0 + (iy + 0.5) * dy]])
+            assert model.hdb.approximate_predict(centre)[0][0] == y_grid[b]
+
 
 class TestRefineFit:
     def _start_model(self, X, tmp_path):
