@@ -96,6 +96,32 @@ def match_counts_xla(planes_q, planes_r, pad_bits):
     return jax.lax.map(one_q, pq)  # [nq, nr, K]
 
 
+def match_counts_xla_t(planes_q, planes_r, pad_bits):
+    """Plane-major twin of match_counts_xla:
+    [K,P,nq,Wp] x [K,P,nr,Wp] -> i32[nq,nr,K].
+
+    The scale pipeline (poppunk_tpu/scale.py) keeps sketches resident in
+    the kernels' native plane-major layout so no per-call transpose of
+    the full reference tensor is ever materialised (at 65k genomes that
+    transpose is a second 8.4 GB copy — a measured RESOURCE_EXHAUSTED).
+    """
+    pq = planes_q.astype(jnp.uint32)
+    pr = planes_r.astype(jnp.uint32)
+
+    def one_q(q_planes):  # [K, P, Wp]
+        agree = ~(q_planes[:, :, None, :] ^ pr)  # [K, P, nr, Wp]
+        allp = jax.lax.reduce(
+            agree,
+            jnp.uint32(0xFFFFFFFF),
+            jax.lax.bitwise_and,
+            dimensions=(1,),
+        )  # [K, nr, Wp]
+        counts = jax.lax.population_count(allp).astype(jnp.int32)
+        return counts.sum(axis=-1).T - pad_bits  # [nr, K]
+
+    return jax.lax.map(one_q, pq.transpose(2, 0, 1, 3))  # [nq, nr, K]
+
+
 def _random_jaccard_jnp(k, len_q, len_r, freq_q, freq_r, use_rc=True):
     """Expected random Jaccard, jnp twin of sketch/random_match.py."""
     # HIGHEST: the TPU MXU default (bf16 passes) injects ~4e-3 relative

@@ -57,28 +57,49 @@ def _match_kernel(q_ref, r_ref, out_ref, *, bbits, pad_bits, tq, wp):
         out_ref[0, q, :] = total - counts.sum(axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("pad_bits", "tq", "tr", "interpret"))
+@functools.partial(jax.jit, static_argnames=("pad_bits", "tq", "tr",
+                                              "interpret", "plane_major"))
 def match_counts_pallas(planes_q, planes_r, pad_bits, tq=DEFAULT_TQ,
-                        tr=DEFAULT_TR, interpret=False):
+                        tr=DEFAULT_TR, interpret=False, plane_major=False):
     """[nq,K,P,Wp] x [nr,K,P,Wp] uint32 -> int32[nq,nr,K].
 
     nq/nr are padded up to tile multiples internally; the padded region is
     computed then sliced off (its values are garbage-free: zero-padded
     sketches simply yield full-match counts, discarded by the slice).
+
+    plane_major=True means the operands are ALREADY in the kernel's
+    [K, P, n, Wp] device layout and no transpose is materialised — the
+    scale pipeline keeps sketches resident this way, since transposing
+    the full reference tensor per call doubles its HBM footprint.
     """
-    nq, K, P, Wp = planes_q.shape
-    nr = planes_r.shape[0]
+    if plane_major:
+        K, P, nq, Wp = planes_q.shape
+        nr = planes_r.shape[2]
+    else:
+        nq, K, P, Wp = planes_q.shape
+        nr = planes_r.shape[0]
     nq_p = ((nq + tq - 1) // tq) * tq
     nr_p = ((nr + tr - 1) // tr) * tr
-    if nq_p != nq:
-        planes_q = jnp.pad(planes_q, ((0, nq_p - nq), (0, 0), (0, 0), (0, 0)))
-    if nr_p != nr:
-        planes_r = jnp.pad(planes_r, ((0, nr_p - nr), (0, 0), (0, 0), (0, 0)))
+    if plane_major:
+        if nq_p != nq:
+            planes_q = jnp.pad(
+                planes_q, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))
+        if nr_p != nr:
+            planes_r = jnp.pad(
+                planes_r, ((0, 0), (0, 0), (0, nr_p - nr), (0, 0)))
+        q_t, r_t = planes_q, planes_r
+    else:
+        if nq_p != nq:
+            planes_q = jnp.pad(
+                planes_q, ((0, nq_p - nq), (0, 0), (0, 0), (0, 0)))
+        if nr_p != nr:
+            planes_r = jnp.pad(
+                planes_r, ((0, nr_p - nr), (0, 0), (0, 0), (0, 0)))
 
-    # plane-major device layout [K, P, n, Wp]; the transpose is one HBM
-    # pass per call, negligible against the O(nq*nr) tile compute
-    q_t = planes_q.transpose(1, 2, 0, 3)
-    r_t = planes_r.transpose(1, 2, 0, 3)
+        # plane-major device layout [K, P, n, Wp]; the transpose is one
+        # HBM pass per call, negligible against the O(nq*nr) tile compute
+        q_t = planes_q.transpose(1, 2, 0, 3)
+        r_t = planes_r.transpose(1, 2, 0, 3)
 
     grid = (K, nq_p // tq, nr_p // tr)
     out = pl.pallas_call(

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.distances import (core_accessory, corrected_jaccards,
-                            match_counts_xla, plane_geometry)
+                            match_counts_xla_t, plane_geometry)
 
 
 def fold_rows(n):
@@ -79,18 +79,20 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
                 pad_bits, knn, dist_col, use_pallas):
     """One fill step: distances for folded rows [s, s+c).
 
+    planes is PLANE-MAJOR [K, P, n, Wp] (the kernels' native layout —
+    never transposed whole; see match_counts_pallas plane_major).
     Computes the 2c full rows (genomes s..s+c-1 and their mirrors
     n-s-c..n-s-1), folds their upper triangles into a [c, n-1, 2] block
     and top-ks every full row. Returns (folded, top_idx, top_d) with the
     kNN arrays ordered [low rows asc | mirror rows asc by genome id].
     """
-    n = planes.shape[0]
+    n = planes.shape[2]
 
-    def rows(a, start):
-        return jax.lax.dynamic_slice_in_dim(a, start, c, axis=0)
+    def rows(a, start, axis=0):
+        return jax.lax.dynamic_slice_in_dim(a, start, c, axis=axis)
 
-    pq = jnp.concatenate([rows(planes, s), rows(planes, n - s - c)],
-                         axis=0)
+    pq = jnp.concatenate([rows(planes, s, 2), rows(planes, n - s - c, 2)],
+                         axis=2)
     lq = jnp.concatenate([rows(lengths, s), rows(lengths, n - s - c)])
     fq = jnp.concatenate([rows(freqs, s), rows(freqs, n - s - c)],
                          axis=0)
@@ -98,9 +100,10 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
     if use_pallas:
         from .ops.pallas_jaccard import match_counts_pallas
 
-        matches = match_counts_pallas(pq, planes, pad_bits)
+        matches = match_counts_pallas(pq, planes, pad_bits,
+                                      plane_major=True)
     else:
-        matches = match_counts_xla(pq, planes, pad_bits)
+        matches = match_counts_xla_t(pq, planes, pad_bits)
     j = corrected_jaccards(matches, klist, lq, lengths, fq, freqs,
                            sketchsize64, bbits, True, True)
     d = core_accessory(j, klist)  # [2c, n, 2]
@@ -145,7 +148,7 @@ def _fill_all(planes, lengths, freqs, c, klist, sketchsize64, bbits,
     this sandbox's tunnelled backend, where every dispatch pays ~0.4 s of
     round-trip/serialisation — at 20 chunks that doubled the wall clock.
     """
-    n = planes.shape[0]
+    n = planes.shape[2]
     half = n // 2
 
     def step(carry, s):
@@ -215,7 +218,7 @@ def fill_condensed_device(planes, lengths, freqs, klist, sketchsize64,
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    n = planes.shape[0]
+    n = planes.shape[2]
     half = fold_rows(n)
     if half % chunk:
         raise ValueError(f"n//2 ({half}) must be a multiple of chunk ({chunk})")
@@ -259,7 +262,7 @@ def fill_condensed_sharded(planes, lengths, freqs, klist, sketchsize64,
         mesh = get_mesh()
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    n = planes.shape[0]
+    n = planes.shape[2]
     half = fold_rows(n)
     n_dev = int(np.prod(list(mesh.shape.values())))
     r_size = mesh.shape["r"]
@@ -361,7 +364,7 @@ def fill_condensed_sharded(planes, lengths, freqs, klist, sketchsize64,
 def _stream_stats(planes, lengths, freqs, c, klist, sketchsize64, bbits,
                   pad_bits, knn, dist_col, use_pallas):
     """Pass 1 in ONE dispatch: fused kNN + column maxima, chunks dropped."""
-    n = planes.shape[0]
+    n = planes.shape[2]
     half = n // 2
 
     def step(carry, s):
@@ -392,16 +395,17 @@ def _pair_block_dists(planes, lengths, freqs, ii, jj, klist, sketchsize64,
                       bbits, pad_bits):
     """Distances for an explicit pair list: i32[c] x i32[c] -> f32[c, 2].
 
-    Elementwise per-pair twin of the all-vs-all kernel (same plane
-    AND-reduce + popcount; the correction and k-mer fit reuse the block
-    functions via vmap so the math cannot drift)."""
-    pi = planes[ii].astype(jnp.uint32)  # [c, K, P, Wp]
-    pj = planes[jj].astype(jnp.uint32)
+    planes is plane-major [K, P, n, Wp]. Elementwise per-pair twin of
+    the all-vs-all kernel (same plane AND-reduce + popcount; the
+    correction and k-mer fit reuse the block functions via vmap so the
+    math cannot drift)."""
+    pi = planes[:, :, ii, :].astype(jnp.uint32)  # [K, P, c, Wp]
+    pj = planes[:, :, jj, :].astype(jnp.uint32)
     agree = ~(pi ^ pj)
     allp = jax.lax.reduce(agree, jnp.uint32(0xFFFFFFFF),
-                          jax.lax.bitwise_and, dimensions=(2,))
-    matches = jax.lax.population_count(allp).astype(jnp.int32).sum(
-        axis=-1) - pad_bits  # [c, K]
+                          jax.lax.bitwise_and, dimensions=(1,))  # [K,c,Wp]
+    matches = (jax.lax.population_count(allp).astype(jnp.int32).sum(
+        axis=-1) - pad_bits).T  # [c, K]
 
     def one(m_k, li, lj, fi, fj):
         jac = corrected_jaccards(m_k[None, None], klist, li[None], lj[None],
@@ -431,7 +435,7 @@ class StreamingCondensed:
                  chunk=256, knn=5, dist_col=0, use_pallas=None):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        n = planes.shape[0]
+        n = planes.shape[2]
         half = fold_rows(n)
         chunk = min(chunk, half)
         if half % chunk:

@@ -41,7 +41,7 @@ def cd(pop):
 @pytest.fixture(scope="module")
 def host_condensed(pop):
     return condensed_self_block(
-        np.asarray(pop.planes), np.asarray(pop.lengths),
+        np.asarray(pop.planes_gm), np.asarray(pop.lengths),
         np.asarray(pop.freqs), KLIST, SS64, BBITS)
 
 
