@@ -358,35 +358,67 @@ def fill_condensed_sharded(planes, lengths, freqs, klist, sketchsize64,
 #     sweep_first_offsets.
 
 
-@partial(jax.jit, static_argnames=("c", "klist", "sketchsize64", "bbits",
-                                   "pad_bits", "knn", "dist_col",
-                                   "use_pallas"))
-def _stream_stats(planes, lengths, freqs, c, klist, sketchsize64, bbits,
-                  pad_bits, knn, dist_col, use_pallas):
-    """Pass 1 in ONE dispatch: fused kNN + column maxima, chunks dropped."""
-    n = planes.shape[2]
-    half = n // 2
+# Full-row pair computations per device dispatch. The tunnelled backend
+# kills single program executions somewhere past ~1 minute (a 35 s pass
+# at n=32768 survives; the 140 s pass at 65536 dies ~85 s in), so both
+# streaming passes split their scan into dispatches of bounded work.
+PAIRS_PER_DISPATCH = 1.0e9
 
-    def step(carry, s):
-        ki_buf, kd_buf, cmax = carry
+
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "knn", "dist_col",
+                                   "use_pallas"),
+         donate_argnums=(3, 4, 5))
+def _stream_stats_range(planes, lengths, freqs, ki, kd, cmax, s0, c, steps,
+                        sub_loc, klist, sketchsize64, bbits, pad_bits, knn,
+                        dist_col, use_pallas):
+    """Pass-1 slice: `steps` folded chunks from row s0, carries donated
+    (kNN bufs + column maxima stay device-resident between dispatches).
+
+    sub_loc i32[steps, M]: per-chunk flat positions (within the chunk's
+    folded [c * (n-1)] block, padded with 0) of the model-subsample
+    pairs drawn for this population — each chunk's sampled distances are
+    gathered BEFORE the block is discarded and returned as [steps, M, 2].
+    Gathering the sketches for sampled pairs after the fact instead
+    (planes[:, :, ii, :]) makes XLA relayout-copy the whole planes
+    tensor (a measured 9 GB `copy` OOM at n=65536)."""
+    n = planes.shape[2]
+
+    def step(carry, xs):
+        s, loc = xs
+        ki_buf, kd_buf, cm = carry
         folded, top_idx, top_d = _fold_block(
             planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
             pad_bits, knn, dist_col, use_pallas)
-        cmax = jnp.maximum(cmax, folded.max(axis=(0, 1)))
+        cm = jnp.maximum(cm, folded.max(axis=(0, 1)))
+        sub_vals = folded.reshape(-1, 2)[loc]
         ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[:c], (s, 0))
         ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[c:],
                                               (n - s - c, 0))
         kd_buf = jax.lax.dynamic_update_slice(kd_buf, top_d[:c], (s, 0))
         kd_buf = jax.lax.dynamic_update_slice(kd_buf, top_d[c:],
                                               (n - s - c, 0))
-        return (ki_buf, kd_buf, cmax), None
+        return (ki_buf, kd_buf, cm), sub_vals
 
-    init = (jnp.zeros((n, knn), jnp.int32),
-            jnp.zeros((n, knn), jnp.float32),
-            jnp.full((2,), -jnp.inf, jnp.float32))
-    starts = jnp.arange(0, half, c, dtype=jnp.int32)
-    (ki, kd, cmax), _ = jax.lax.scan(step, init, starts)
-    return ki, kd, cmax
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    (ki, kd, cmax), sub_vals = jax.lax.scan(step, (ki, kd, cmax),
+                                            (starts, sub_loc))
+    return ki, kd, cmax, sub_vals
+
+
+def _dispatch_groups(half, chunk, n, cap_rows=None):
+    """(steps_per_dispatch, n_dispatches): uniform split of the half//chunk
+    scan steps so each dispatch computes <= PAIRS_PER_DISPATCH full-row
+    pairs (and <= cap_rows rows, for passes with per-row output buffers)."""
+    n_steps = half // chunk
+    rows_budget = max(chunk, int(PAIRS_PER_DISPATCH // (2 * n)))
+    if cap_rows is not None:
+        rows_budget = min(rows_budget, max(chunk, cap_rows))
+    steps_pd = max(1, min(n_steps, rows_budget // chunk))
+    n_groups = -(-n_steps // steps_pd)
+    while n_steps % n_groups:
+        n_groups += 1
+    return n_steps // n_groups, n_groups
 
 
 @partial(jax.jit, static_argnames=("klist", "sketchsize64", "bbits",
@@ -418,6 +450,156 @@ def _pair_block_dists(planes, lengths, freqs, ii, jj, klist, sketchsize64,
     return core_accessory(jac, klist)  # [c, 2]
 
 
+class _ShardedStream:
+    """jitted shard_map callables for the sharded streaming passes.
+
+    Device d owns folded rows [d*half_loc, (d+1)*half_loc); every
+    dispatch advances each device through `steps` of ITS chunks, so one
+    dispatch covers n_dev * steps * c rows. kNN carries live sharded in
+    the folded per-device layout of fill_condensed_sharded
+    ([half, 2, k] row-sharded, updated in place across dispatches — no
+    cross-device traffic at all); column maxima are per-device [1, 2]
+    rows max-combined on the host at the end.
+    """
+
+    def __init__(self, mesh, half_loc, c, steps, knn, klist, ss64, bbits,
+                 pad_bits, dist_col, use_pallas):
+        from jax.sharding import PartitionSpec as P
+
+        self.mesh = mesh
+        self.half_loc = half_loc
+        self.c = c
+        self.steps = steps
+        r_size = mesh.shape["r"]
+        cfg = (c, klist, ss64, bbits, pad_bits)
+
+        def dev_row0(g):
+            dev = (jax.lax.axis_index("q") * r_size
+                   + jax.lax.axis_index("r"))
+            return dev * half_loc + g * steps * c
+
+        def fold(planes, lengths, freqs, s, k):
+            return _fold_block(planes, lengths, freqs, s, c, klist, ss64,
+                               bbits, pad_bits, k, dist_col, use_pallas)
+
+        def stats_local(planes, lengths, freqs, ki, kd, cmax, g, sub_loc):
+            start0 = dev_row0(g)
+
+            def step(carry, xs):
+                s_idx, loc = xs
+                ki, kd, cm = carry
+                folded, top_idx, top_d = fold(
+                    planes, lengths, freqs, start0 + s_idx * c, knn)
+                cm = jnp.maximum(cm, folded.max(axis=(0, 1))[None])
+                sub_vals = folded.reshape(-1, 2)[loc]
+                row = g * steps * c + s_idx * c  # shard-local offset
+                ki = jax.lax.dynamic_update_slice(
+                    ki, jnp.stack([top_idx[:c], top_idx[c:][::-1]],
+                                  axis=1), (row, 0, 0))
+                kd = jax.lax.dynamic_update_slice(
+                    kd, jnp.stack([top_d[:c], top_d[c:][::-1]], axis=1),
+                    (row, 0, 0))
+                return (ki, kd, cm), sub_vals
+
+            xs = (jnp.arange(steps, dtype=jnp.int32), sub_loc[0])
+            (ki, kd, cmax), sub_vals = jax.lax.scan(step, (ki, kd, cmax),
+                                                    xs)
+            return ki, kd, cmax, sub_vals[None]
+
+        rep = P()
+        sh1 = P(("q", "r"))
+        sh2 = P(("q", "r"), None)
+        sh3 = P(("q", "r"), None, None)
+        self.stats = jax.jit(jax.shard_map(
+            stats_local, mesh=mesh,
+            in_specs=(rep, rep, rep, sh3, sh3, sh2, rep, sh3),
+            out_specs=(sh3, sh3, sh2, P(("q", "r"), None, None, None))),
+            donate_argnums=(3, 4, 5))
+
+        def make_counts(key):
+            slope, fsteps = key
+
+            def counts_local(planes, lengths, freqs, g, scale, t, xm0,
+                             ym0):
+                dev = (jax.lax.axis_index("q") * r_size
+                       + jax.lax.axis_index("r"))
+                start0 = dev * half_loc + g * fsteps * c
+
+                # int32 is safe per dispatch: the grouping bounds each
+                # dispatch's pairs under PAIRS_PER_DISPATCH < 2^31; the
+                # caller sums groups in int64 on the host
+                def body(cum, s_idx):
+                    folded, _, _ = fold(planes, lengths, freqs,
+                                        start0 + s_idx * c, 1)
+                    d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0,
+                                   ym0, slope)
+                    return cum + jax.vmap(
+                        lambda tv: (d0 <= tv).sum(dtype=jnp.int32))(t), \
+                        None
+
+                # the body is device-varying (start0); mark the zero
+                # init varying so scan's carry types match
+                init = jax.lax.pcast(jnp.zeros(t.shape[0], jnp.int32),
+                                     ("q", "r"), to="varying")
+                cum, _ = jax.lax.scan(
+                    body, init, jnp.arange(fsteps, dtype=jnp.int32))
+                return cum[None]
+
+            return jax.jit(jax.shard_map(
+                counts_local, mesh=mesh,
+                in_specs=(rep,) * 8, out_specs=sh2))
+
+        def make_fetch(key):
+            slope, fsteps = key
+
+            def fetch_local(planes, lengths, freqs, g, n_act, scale, t,
+                            xm0, ym0):
+                dev = (jax.lax.axis_index("q") * r_size
+                       + jax.lax.axis_index("r"))
+                start0 = dev * half_loc + g * fsteps * c
+
+                def body(_, s_idx):
+                    folded, _, _ = fold(planes, lengths, freqs,
+                                        start0 + s_idx * c, 1)
+                    d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0,
+                                   ym0, slope)
+                    return None, d0
+
+                _, d0 = jax.lax.scan(body, None,
+                                     jnp.arange(fsteps, dtype=jnp.int32))
+                d0 = d0.reshape(-1)
+                idx = jnp.searchsorted(t, d0,
+                                       side="left").astype(jnp.int32)
+                active = idx < n_act
+                m = d0.shape[0]
+                pos = jnp.sort(jnp.where(
+                    active, jnp.arange(m, dtype=jnp.int32), m))
+                safe = jnp.clip(pos, 0, m - 1)
+                return (pos[None], jnp.take(idx, safe)[None],
+                        jnp.take(d0, safe)[None], active.sum()[None])
+
+            return jax.jit(jax.shard_map(
+                fetch_local, mesh=mesh,
+                in_specs=(rep,) * 9, out_specs=(sh2, sh2, sh2, sh1)))
+
+        self._counts_cache = {}
+        self._fetch_cache = {}
+        self._make_counts = make_counts
+        self._make_fetch = make_fetch
+
+    def counts(self, slope, fsteps):
+        key = (slope, fsteps)
+        if key not in self._counts_cache:
+            self._counts_cache[key] = self._make_counts(key)
+        return self._counts_cache[key]
+
+    def fetch(self, slope, fsteps):
+        key = (slope, fsteps)
+        if key not in self._fetch_cache:
+            self._fetch_cache[key] = self._make_fetch(key)
+        return self._fetch_cache[key]
+
+
 class StreamingCondensed:
     """CondensedDevice twin that never stores the condensed matrix.
 
@@ -432,15 +614,29 @@ class StreamingCondensed:
     buf = None
 
     def __init__(self, planes, lengths, freqs, klist, sketchsize64, bbits,
-                 chunk=256, knn=5, dist_col=0, use_pallas=None):
+                 chunk=256, knn=5, dist_col=0, use_pallas=None,
+                 subsample=None, mesh=None):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         n = planes.shape[2]
         half = fold_rows(n)
-        chunk = min(chunk, half)
-        if half % chunk:
-            raise ValueError(
-                f"n//2 ({half}) must be a multiple of chunk ({chunk})")
+        self._mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            if half % n_dev:
+                raise ValueError(f"n//2 ({half}) must be a multiple of "
+                                 f"the device count ({n_dev})")
+            self._half_loc = half // n_dev
+            self._n_dev = n_dev
+            chunk = min(chunk, self._half_loc)
+            if self._half_loc % chunk:
+                raise ValueError(f"per-device rows ({self._half_loc}) "
+                                 f"must be a multiple of chunk ({chunk})")
+        else:
+            chunk = min(chunk, half)
+            if half % chunk:
+                raise ValueError(
+                    f"n//2 ({half}) must be a multiple of chunk ({chunk})")
         self.planes = jnp.asarray(planes)
         self.lengths = jnp.asarray(lengths)
         self.freqs = jnp.asarray(freqs)
@@ -454,10 +650,110 @@ class StreamingCondensed:
         self._pad_bits = int(pad_bits)
         self._use_pallas = bool(use_pallas)
         knn = min(knn, n - 1)
-        ki, kd, cmax = _stream_stats(
-            self.planes, self.lengths, self.freqs, self.chunk, self._klist,
-            self._ss64, self._bbits, self._pad_bits, int(knn),
-            int(dist_col), self._use_pallas)
+        n_steps = half // self.chunk
+
+        # pre-draw the model subsample so pass 1 can gather each chunk's
+        # sampled pairs before discarding the block (see
+        # _stream_stats_range); same rng stream as
+        # CondensedDevice.subsample_pairs
+        self._sub_spec = None
+        block_pairs = self.chunk * (n - 1)
+        if subsample is not None:
+            size, sseed = subsample
+            size = min(size, self.n_pairs)
+            rng = np.random.default_rng(sseed)
+            pos = np.sort(rng.choice(self.n_pairs, size=size,
+                                     replace=False))
+            g_of = pos // block_pairs
+            counts = np.bincount(g_of, minlength=n_steps)
+            M = max(8, int(counts.max()))
+            loc = np.zeros((n_steps, M), np.int32)
+            rank = np.arange(size) - np.concatenate(
+                [[0], np.cumsum(counts)])[g_of]
+            loc[g_of, rank] = (pos - g_of * block_pairs).astype(np.int32)
+            self._sub_spec = (size, sseed, g_of, rank)
+        else:
+            M = 8
+            loc = np.zeros((n_steps, M), np.int32)
+        loc_dev = jnp.asarray(loc)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self._n_dev
+            spc = self._half_loc // self.chunk
+            steps_pd, n_groups = _dispatch_groups(self._half_loc,
+                                                  self.chunk, n)
+            self._sh = _ShardedStream(
+                mesh, self._half_loc, self.chunk, steps_pd, knn,
+                self._klist, self._ss64, self._bbits, self._pad_bits,
+                int(dist_col), self._use_pallas)
+            rep = NamedSharding(mesh, P())
+            sh2 = NamedSharding(mesh, P(("q", "r"), None))
+            sh3 = NamedSharding(mesh, P(("q", "r"), None, None))
+            with mesh:
+                self.planes = jax.device_put(self.planes, rep)
+                self.lengths = jax.device_put(self.lengths, rep)
+                self.freqs = jax.device_put(self.freqs, rep)
+                ki = jax.device_put(jnp.zeros((half, 2, knn), jnp.int32),
+                                    sh3)
+                kd = jax.device_put(
+                    jnp.zeros((half, 2, knn), jnp.float32), sh3)
+                cmax = jax.device_put(
+                    jnp.full((n_dev, 2), -jnp.inf, jnp.float32), sh2)
+                # chunk (d, g, s) of device d = global chunk
+                # d * spc + g * steps_pd + s (shards are contiguous rows)
+                loc_resh = loc.reshape(n_dev, spc, M)
+                sub_parts = []
+                for g in range(n_groups):
+                    sub_slice = jax.device_put(
+                        jnp.asarray(np.ascontiguousarray(
+                            loc_resh[:, g * steps_pd:(g + 1) * steps_pd])),
+                        sh3)
+                    ki, kd, cmax, sv = self._sh.stats(
+                        self.planes, self.lengths, self.freqs, ki, kd,
+                        cmax, jnp.int32(g), sub_slice)
+                    sub_parts.append(np.asarray(sv))
+            if self._sub_spec is not None:
+                size, sseed, g_of, rank = self._sub_spec
+                sub_vals = np.empty((n_steps, M, 2), np.float32)
+                for g, sv in enumerate(sub_parts):
+                    idxs = (np.arange(n_dev)[:, None] * spc
+                            + g * steps_pd + np.arange(steps_pd)[None, :])
+                    sub_vals[idxs.reshape(-1)] = sv.reshape(-1, M, 2)
+                self._sub_vals = sub_vals[g_of, rank]
+            # unfold the folded-layout kNN (fill_condensed_sharded twin)
+            ki_h = np.asarray(ki)
+            kd_h = np.asarray(kd)
+            self.knn_col = np.empty((n, knn), np.int64)
+            self.knn_dist = np.empty((n, knn), np.float32)
+            self.knn_col[:half] = ki_h[:, 0]
+            self.knn_col[half:] = ki_h[::-1, 1]
+            self.knn_dist[:half] = kd_h[:, 0]
+            self.knn_dist[half:] = kd_h[::-1, 1]
+            self.knn_row = np.arange(n, dtype=np.int64)
+            self._cmax = np.asarray(cmax).max(axis=0)
+            return
+
+        ki = jnp.zeros((n, knn), jnp.int32)
+        kd = jnp.zeros((n, knn), jnp.float32)
+        cmax = jnp.full((2,), -jnp.inf, jnp.float32)
+        steps_pd, n_groups = _dispatch_groups(half, self.chunk, n)
+        sub_parts = []
+        for g in range(n_groups):
+            ki, kd, cmax, sv = _stream_stats_range(
+                self.planes, self.lengths, self.freqs, ki, kd, cmax,
+                jnp.int32(g * steps_pd * self.chunk), self.chunk,
+                int(steps_pd),
+                jax.lax.dynamic_slice_in_dim(loc_dev, g * steps_pd,
+                                             steps_pd, axis=0),
+                self._klist, self._ss64, self._bbits,
+                self._pad_bits, int(knn), int(dist_col), self._use_pallas)
+            sub_parts.append(np.asarray(sv))
+        if self._sub_spec is not None:
+            size, sseed, g_of, rank = self._sub_spec
+            sub_vals = np.concatenate(sub_parts)  # [n_steps, M, 2]
+            self._sub_vals = sub_vals[g_of, rank]
         self.knn_row = np.arange(n, dtype=np.int64)
         self.knn_col = np.asarray(ki).astype(np.int64)
         self.knn_dist = np.asarray(kd)
@@ -468,8 +764,15 @@ class StreamingCondensed:
         return self._cmax
 
     def subsample_pairs(self, size, seed=42, block=8192):
-        """Same draw as CondensedDevice.subsample_pairs, recomputed
-        directly — O(size) compute and memory."""
+        """Same draw as CondensedDevice.subsample_pairs. If the (size,
+        seed) spec was declared at construction the values were gathered
+        during pass 1 (no extra compute, bit-identical to the buffered
+        fill); otherwise the drawn pairs are recomputed directly —
+        O(size), but the sketch gather forces an extra planes copy in
+        HBM, so predeclare at large n."""
+        if (self._sub_spec is not None
+                and (min(size, self.n_pairs), seed) == self._sub_spec[:2]):
+            return self._sub_vals.copy()
         rng = np.random.default_rng(seed)
         pos = np.sort(rng.choice(self.n_pairs,
                                  size=min(size, self.n_pairs),
@@ -496,17 +799,62 @@ class StreamingCondensed:
             self.knn_dist.ravel()
 
 
-@partial(jax.jit, static_argnames=("c", "klist", "sketchsize64", "bbits",
-                                   "pad_bits", "slope", "use_pallas"))
-def _stream_sweep_chunk(planes, lengths, freqs, s, scale, t, xm0, ym0, c,
-                        klist, sketchsize64, bbits, pad_bits, slope,
-                        use_pallas):
-    """Pass-2 step: recompute folded rows [s, s+c) and gather in-boundary
-    pairs (the kNN arm of _fold_block is dead code here, DCE'd)."""
-    folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
-                               sketchsize64, bbits, pad_bits, 1, 0,
-                               use_pallas)
-    return _sweep_gather(folded.reshape(-1, 2), scale, t, xm0, ym0, slope)
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "slope",
+                                   "use_pallas"))
+def _stream_sweep_group(planes, lengths, freqs, s0, n_act, scale, t, xm0,
+                        ym0, c, steps, klist, sketchsize64, bbits, pad_bits,
+                        slope, use_pallas):
+    """Pass-2 dispatch: recompute `steps` folded chunks from row s0 and
+    compact their in-boundary pairs into ONE sorted bucket (the kNN arm
+    of _fold_block is dead code here, DCE'd). Only pairs whose first
+    offset is < n_act (traced, so no recompile per cap) are gathered.
+    Returns (pos, idx, d0, count) with pos flat within the dispatch's
+    row range."""
+
+    def body(_, s):
+        folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                                   sketchsize64, bbits, pad_bits, 1, 0,
+                                   use_pallas)
+        d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0, ym0, slope)
+        idx = jnp.searchsorted(t, d0, side="left").astype(jnp.int32)
+        return None, (d0, idx)
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    _, (d0, idx) = jax.lax.scan(body, None, starts)
+    d0 = d0.reshape(-1)
+    idx = idx.reshape(-1)
+    active = idx < n_act
+    m = d0.shape[0]
+    pos = jnp.sort(jnp.where(active, jnp.arange(m, dtype=jnp.int32), m))
+    safe = jnp.clip(pos, 0, m - 1)
+    return pos, jnp.take(idx, safe), jnp.take(d0, safe), active.sum()
+
+
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "slope",
+                                   "use_pallas"))
+def _stream_sweep_counts(planes, lengths, freqs, s0, scale, t, xm0, ym0, c,
+                         steps, klist, sketchsize64, bbits, pad_bits, slope,
+                         use_pallas):
+    """Histogram pass: cumulative in-boundary pair counts per offset for
+    `steps` chunks from row s0 — O(n_grid) ints fetched, NO pair lists.
+    Lets the sweep see each offset's density before deciding what to
+    fetch (the reference materialises every in-boundary tuple host-side
+    first, PopPUNK/refine.py:197-202 — at 65k genomes the widest offsets
+    hold ~1e9 pairs and that fetch is the memory cliff)."""
+
+    def body(_, s):
+        folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                                   sketchsize64, bbits, pad_bits, 1, 0,
+                                   use_pallas)
+        d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0, ym0, slope)
+        cum = jax.vmap(lambda tv: (d0 <= tv).sum(dtype=jnp.int32))(t)
+        return None, cum
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    _, cums = jax.lax.scan(body, None, starts)
+    return cums  # [steps, n_grid] i32, summed in int64 on the host
 
 
 # ---------------------------------------------------------------------------
@@ -561,8 +909,38 @@ def _bucket_pow2(k, lo=1024):
     return b
 
 
+def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
+    """Cumulative in-boundary pair count per offset (exact int64), no
+    pair fetch — the cheap pre-pass that sizes the real sweep."""
+    xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
+    t_dev = jnp.asarray(t, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    cum = np.zeros(len(t), np.int64)
+    if cd._mesh is not None:
+        steps_pd, n_groups = _dispatch_groups(cd._half_loc, cd.chunk,
+                                              cd.n)
+        fn = cd._sh.counts(int(slope), int(steps_pd))
+        for g in range(n_groups):
+            cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(g),
+                      scale_dev, t_dev, jnp.float32(xm0),
+                      jnp.float32(ym0))
+            cum += np.asarray(cums, np.int64).sum(axis=0)
+        return cum
+    half = fold_rows(cd.n)
+    steps_pd, n_groups = _dispatch_groups(half, cd.chunk, cd.n)
+    for g in range(n_groups):
+        cums = _stream_sweep_counts(
+            cd.planes, cd.lengths, cd.freqs,
+            jnp.int32(g * steps_pd * cd.chunk), scale_dev, t_dev,
+            jnp.float32(xm0), jnp.float32(ym0), cd.chunk, int(steps_pd),
+            cd._klist, cd._ss64, cd._bbits, cd._pad_bits, int(slope),
+            cd._use_pallas)
+        cum += np.asarray(cums, np.int64).sum(axis=0)
+    return cum
+
+
 def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
-                        chunk_rows=1024):
+                        chunk_rows=1024, _n_act=None):
     """Device twin of threshold_iterate_1d_fast over the folded buffer.
 
     Returns (i, j, first_offset, d0) host arrays for pairs inside the
@@ -579,16 +957,56 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
     xm0_dev = jnp.float32(xm0)
     ym0_dev = jnp.float32(ym0)
     half = fold_rows(cd.n)
-    if streaming:
-        chunk_rows = cd.chunk
     pos_out, idx_out, d0_out = [], [], []
+    if streaming and cd._mesh is not None:
+        # sharded fetch: every device compacts its own row range; host
+        # buckets are reassembled in (device, group) order = ascending
+        # global row order, matching the single-device path exactly
+        steps_pd, n_groups = _dispatch_groups(
+            cd._half_loc, cd.chunk, cd.n, cap_rows=int(1.5e9 / (9 * cd.n)))
+        n_act = len(t) if _n_act is None else _n_act
+        fn = cd._sh.fetch(int(slope), int(steps_pd))
+        m_loc = steps_pd * cd.chunk * (cd.n - 1)
+        parts = {}
+        for g in range(n_groups):
+            pos, idxs, d0s, counts = fn(
+                cd.planes, cd.lengths, cd.freqs, jnp.int32(g),
+                jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev)
+            counts_h = np.asarray(counts)
+            for d in range(cd._n_dev):
+                k = int(counts_h[d])
+                if k == 0:
+                    continue
+                b = min(_bucket_pow2(k), m_loc)
+                base = (d * cd._half_loc
+                        + g * steps_pd * cd.chunk) * (cd.n - 1)
+                parts[(d, g)] = (
+                    np.asarray(pos[d, :b][:k], np.int64) + base,
+                    np.asarray(idxs[d, :b][:k], np.int64),
+                    np.asarray(d0s[d, :b][:k], np.float32))
+        for d in range(cd._n_dev):
+            for g in range(n_groups):
+                if (d, g) in parts:
+                    p, ix, dd = parts[(d, g)]
+                    pos_out.append(p)
+                    idx_out.append(ix)
+                    d0_out.append(dd)
+        half = 0  # skip the single-device loop below
+    elif streaming:
+        # compaction buffers are ~9 bytes per pair in the dispatch's row
+        # range; cap rows so they stay ~1.5 GB alongside the planes
+        steps_pd, n_groups = _dispatch_groups(
+            half, cd.chunk, cd.n, cap_rows=int(1.5e9 / (9 * cd.n)))
+        chunk_rows = steps_pd * cd.chunk
     for s in range(0, half, chunk_rows):
         rows = min(chunk_rows, half - s)
         if streaming:
             m = rows * (cd.n - 1)
-            pos, idx, d0, count = _stream_sweep_chunk(
-                cd.planes, cd.lengths, cd.freqs, jnp.int32(s), scale_dev,
-                t_dev, xm0_dev, ym0_dev, int(rows), cd._klist, cd._ss64,
+            n_act = len(t) if _n_act is None else _n_act
+            pos, idx, d0, count = _stream_sweep_group(
+                cd.planes, cd.lengths, cd.freqs, jnp.int32(s),
+                jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev,
+                cd.chunk, int(rows // cd.chunk), cd._klist, cd._ss64,
                 cd._bbits, cd._pad_bits, int(slope), cd._use_pallas)
         else:
             chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
@@ -605,11 +1023,15 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
         idx_out.append(np.asarray(idx[:b][:k], np.int64))
         d0_out.append(np.asarray(d0[:b][:k], np.float32))
     if not pos_out:
-        z = np.zeros(0, np.int64)
+        z = np.zeros(0, np.int32)
         return z, z, z, np.zeros(0, np.float32)
     pos = np.concatenate(pos_out)
     i, j = fold_inverse(pos, cd.n)
-    return i, j, np.concatenate(idx_out), np.concatenate(d0_out)
+    # int32 host arrays: n < 2^31 always, the native scorer consumes
+    # int32, and at E ~ 1e7+ the fetch/RSS halves
+    return (i.astype(np.int32), j.astype(np.int32),
+            np.concatenate(idx_out).astype(np.int32),
+            np.concatenate(d0_out))
 
 
 def offset_threshold(s_value, offsets, slope, x0, y0, x1, y1):
@@ -742,7 +1164,7 @@ def components_device(d0_sq, threshold):
 
 def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                       score_idx=0, betweenness_sample=100, seed=42,
-                      n_grid=40):
+                      n_grid=40, max_sweep_fetch=40_000_000):
     """Global + local 1-D boundary refinement over the device buffer.
 
     Mirrors models/refine.refine_fit (slope 2, constrained): 40-point
@@ -753,6 +1175,16 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     Returns (optimal_x, optimal_y, s_opt, sweep_data); sweep_data is
     ("device", d0_sq, s_range, params) or
     ("sparse", i, j, idx, d0, s_range, params).
+
+    Streaming populations (no buffer) first run a counts-only histogram
+    pass, then fetch pairs only for offsets whose cumulative count is
+    <= max_sweep_fetch; denser offsets score 1 (worst). The widest grid
+    offsets sit past the between-strain mean and hold O(n_pairs/2)
+    pairs — fetching them is the reference's memory cliff
+    (PopPUNK/refine.py:197-202, a measured 21 GB host RSS here at 65k),
+    and a boundary capturing that fraction of all pairs is never the
+    transitivity*(1-density) optimum. If the argmin lands at the cap
+    edge the fetch is widened once so the local bracket stays exact.
     """
     import scipy.optimize
 
@@ -771,6 +1203,42 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         global_s, edge_counts = matmul_sweep_scores(d0_sq, t_grid)
         if edge_counts[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
+    elif cd.buf is None:
+        from .network.incremental import grow_network_scores
+
+        cum = sweep_counts_streaming(cd, scale, s_range, 2, *line)
+        if cum[-1] == cd.n_pairs:
+            raise RuntimeError("Boundary range includes all points")
+        fetchable = np.nonzero(cum <= max_sweep_fetch)[0]
+        if len(fetchable) == 0:
+            raise RuntimeError(
+                f"first sweep offset already holds {cum[0]} pairs "
+                f"(> max_sweep_fetch {max_sweep_fetch})")
+        o_star = int(fetchable.max())
+        if o_star < n_grid - 1:
+            sys.stderr.write(
+                f"refine: offsets {o_star + 1}..{n_grid - 1} hold "
+                f"{cum[o_star + 1]}..{cum[-1]} pairs (> max_sweep_fetch "
+                f"{max_sweep_fetch}); scored as 1\n")
+        for _ in range(3):
+            i, j, idx, d0 = sweep_first_offsets(
+                cd, scale, s_range, 2, *line, _n_act=o_star + 1)
+            global_s = np.ones(n_grid)
+            global_s[:o_star + 1] = grow_network_scores(
+                cd.n, i, j, idx, o_star + 1, score_idx,
+                betweenness_sample, rng=rng)
+            min_idx = int(np.argmin(global_s))
+            # the local bracket reaches min_idx + 1: widen the fetch if
+            # the argmin sits at the cap edge (pairs there must exist
+            # for the bounded scalar optimisation and final network)
+            if min_idx < o_star or o_star == n_grid - 1:
+                break
+            need = min(min_idx + 1, n_grid - 1)
+            if cum[need] > 2 * max_sweep_fetch:
+                raise RuntimeError(
+                    "sweep optimum sits in an offset denser than "
+                    "2 * max_sweep_fetch — lower max_move")
+            o_star = need
     else:
         from .network.incremental import grow_network_scores
 
@@ -795,12 +1263,17 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 mask = d0 <= t_s
                 return grow_network_scores(
                     cd.n, i[mask], j[mask],
-                    np.zeros(int(mask.sum()), np.int64), 1, score_idx,
+                    np.zeros(int(mask.sum()), np.int32), 1, score_idx,
                     betweenness_sample, rng=rng)[0]
 
+        lo, hi = s_range[min_idx - 1], s_range[min_idx + 1]
+        # boundary precision below 1% of a grid step changes nothing —
+        # each sparse local eval re-scores up to max_sweep_fetch edges
+        # in the native engine, so cap the Brent iteration count
         res = scipy.optimize.minimize_scalar(
-            local_score, bounds=[s_range[min_idx - 1], s_range[min_idx + 1]],
-            method="Bounded", options={"disp": False})
+            local_score, bounds=[lo, hi], method="Bounded",
+            options={"disp": False,
+                     "xatol": max(1e-7, (hi - lo) * 1e-2)})
         s_opt = float(res.x)
     else:
         s_opt = float(s_range[min_idx])
@@ -818,9 +1291,10 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
 
 def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                        sketchsize64=156, bbits=14, n_strains=None, chunk=512,
-                       knn=5, subsample=100000, score_idx=0, seed=2,
+                       knn=5, subsample=None, score_idx=0, seed=2,
                        max_move=0.25, use_pallas=None, synth_kwargs=None,
                        sharded=None, streaming=None,
+                       max_sweep_fetch=40_000_000,
                        log=lambda msg: sys.stderr.write(msg)):
     """Full pipeline on a synthetic device population, timing each stage.
 
@@ -842,7 +1316,24 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     timings = {}
     out = {"n": n, "n_pairs": n * (n - 1) // 2}
     if n_strains is None:
-        n_strains = 20 if n <= 20480 else max(20, n // 256)
+        # past the 20480 tier, scale strains so within-strain pairs
+        # (~n^2 / 2S — the refine optimum's edge count) stay ~2e7:
+        # fetchable sparse AND still ~1% of the model subsample
+        n_strains = 20 if n <= 20480 else max(20, n // 640)
+    if subsample is None:
+        # the reference's 100k fit cap is tuned for <= 20k genomes; at
+        # n/640 strains the within blob is ~1% of pairs, so the fit
+        # sample scales with n to keep ~5 * n / 640 within pairs in it
+        subsample = 100_000 if n <= 20480 else 5 * n
+    if synth_kwargs is None and n > 20480:
+        # separation margins must scale with the strain count: at 100+
+        # strains the default ranges' tails collide (closest strain
+        # pairs bridge in BOTH core and accessory — measured at 65k:
+        # refine genuinely prefers merging them, ARI 0.1). PopPUNK's
+        # model presumes separable strains; benching the pipeline means
+        # planting a population that HAS the bimodal structure
+        synth_kwargs = dict(strain_div=(0.015, 0.03),
+                            accessory_strain=(0.55, 0.75))
 
     t0 = time.perf_counter()
     pop = synthetic_population_device(
@@ -860,10 +1351,24 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                    and (n // 2) % n_dev == 0)
     t0 = time.perf_counter()
     if streaming:
+        from .parallel.mesh import get_mesh
+
+        # per-chunk transients are ~16 bytes * 2c * n * K across the
+        # match/correction/fit buffers; budget ~2.5 GB so planes + chunk
+        # both fit a 16 GB chip (c=256 at n=65536 crashed the worker)
+        c_max = max(32, int(2.5e9 / (2 * n * len(klist) * 16)))
+        c_stream = 1 << (c_max.bit_length() - 1)
+        while (n // 2) % c_stream:
+            c_stream //= 2
+        mesh = (get_mesh() if n_dev > 1 and (n // 2) % n_dev == 0
+                else None)
+        if mesh is not None:
+            log(f"dists: streaming sharded over {n_dev} devices\n")
         cd = StreamingCondensed(pop.planes, pop.lengths, pop.freqs, klist,
                                 sketchsize64, bbits,
-                                chunk=min(chunk, 256), knn=knn,
-                                use_pallas=use_pallas)
+                                chunk=min(chunk, c_stream), knn=knn,
+                                use_pallas=use_pallas,
+                                subsample=(subsample, seed), mesh=mesh)
         log("dists: streaming (no O(n^2) tensor; buffer would be "
             f"{4.0 * n * n / 2**30:.1f} GiB)\n")
         np.asarray(cd.knn_dist[-1, -1])
@@ -901,7 +1406,8 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         try:
             opt_x, opt_y, s_opt, sweep = refine_fit_device(
                 cd, model.scale, mean0, mean1, max_move=max_move,
-                score_idx=score_idx, seed=seed)
+                score_idx=score_idx, seed=seed,
+                max_sweep_fetch=max_sweep_fetch)
             break
         except RuntimeError:
             max_move /= 4

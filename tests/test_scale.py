@@ -199,6 +199,17 @@ class TestStreamingCondensed:
         b_sub = cd.subsample_pairs(200, seed=3)
         np.testing.assert_allclose(s_sub, b_sub, rtol=5e-4, atol=1e-5)
 
+    def test_predeclared_subsample_is_buffered_exact(self, pop, cd):
+        # subsample declared at construction is gathered from the SAME
+        # _fold_block outputs the buffered fill stores: bit-identical
+        from poppunk_tpu.scale import StreamingCondensed
+
+        sc2 = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                 KLIST, SS64, BBITS, chunk=8, knn=5,
+                                 subsample=(200, 3))
+        assert np.array_equal(sc2.subsample_pairs(200, seed=3),
+                              cd.subsample_pairs(200, seed=3))
+
     def test_sweep_matches_buffered(self, sc, cd):
         scale = cd.max_scale()
         offsets = np.linspace(0.0, 0.5, 20)
@@ -218,7 +229,7 @@ class TestStreamingCondensed:
                               strain_div=(0.04, 0.06),
                               accessory_within=(0.93, 0.97),
                               accessory_strain=(0.70, 0.80)))
-        s_log, b_log = [], []
+        s_log, b_log, c_log = [], [], []
         s_out = run_scale_pipeline(streaming=True, log=s_log.append,
                                    **kwargs)
         b_out = run_scale_pipeline(streaming=False, sharded=False,
@@ -230,6 +241,58 @@ class TestStreamingCondensed:
         assert s_out["ari"] == b_out["ari"] == 1.0
         assert s_out["n_clusters"] == b_out["n_clusters"] == 10
         assert s_out["n_edges"] == b_out["n_edges"]
+
+        # a tight fetch cap prunes the dense tail offsets (histogram
+        # pre-pass) without changing the chosen boundary or clusters
+        c_out = run_scale_pipeline(streaming=True, max_sweep_fetch=8000,
+                                   log=c_log.append, **kwargs)
+        assert c_out["ari"] == 1.0
+        assert c_out["n_clusters"] == 10
+        assert c_out["n_edges"] == s_out["n_edges"]
+
+
+class TestShardedStreaming:
+    """StreamingCondensed over the 8-device mesh == single-device."""
+
+    @pytest.fixture(scope="class")
+    def ssc(self, pop):
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import StreamingCondensed
+
+        mesh = get_mesh(len(jax.devices()))
+        return StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=4, knn=5,
+                                  subsample=(200, 3), mesh=mesh)
+
+    def test_knn_and_scale_match(self, ssc, cd):
+        assert np.array_equal(ssc.knn_col, cd.knn_col)
+        assert np.array_equal(ssc.knn_dist, cd.knn_dist)
+        np.testing.assert_allclose(ssc.max_scale(), cd.max_scale(),
+                                   rtol=1e-6)
+
+    def test_predeclared_subsample_matches(self, ssc, cd):
+        assert np.array_equal(ssc.subsample_pairs(200, seed=3),
+                              cd.subsample_pairs(200, seed=3))
+
+    def test_sweep_matches_single_device(self, ssc, pop, cd):
+        from poppunk_tpu.scale import (StreamingCondensed,
+                                       sweep_counts_streaming)
+
+        sc1 = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                 KLIST, SS64, BBITS, chunk=4, knn=5)
+        scale = cd.max_scale()
+        offsets = np.linspace(0.0, 0.5, 20)
+        args = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
+        assert np.array_equal(sweep_counts_streaming(ssc, *args),
+                              sweep_counts_streaming(sc1, *args))
+        si, sj, sidx, sd0 = sweep_first_offsets(sc1, *args)
+        mi, mj, midx, md0 = sweep_first_offsets(ssc, *args)
+        assert np.array_equal(mi, si)
+        assert np.array_equal(mj, sj)
+        assert np.array_equal(midx, sidx)
+        np.testing.assert_allclose(md0, sd0, rtol=1e-6, atol=1e-7)
 
 
 class TestShardedFill:
