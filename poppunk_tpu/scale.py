@@ -1439,10 +1439,24 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     log(f"network: {out['n_edges']} edges, {out['n_clusters']} clusters "
         f"in {timings['network']:.1f}s\n")
 
+    # lineage tier from the fused kNN (rank-k sparse graph components —
+    # PopPUNK's lineage clusters, models.py:1110): zero extra distance
+    # work, the kNN was accumulated inside the fill/stream pass
+    t0 = time.perf_counter()
+    rows, cols, _ = cd.knn_sparse()
+    lin_edges = np.stack([rows, cols], axis=1)
+    lin_labels = connected_components(Graph(n, lin_edges))[0]
+    timings["lineage"] = time.perf_counter() - t0
+    out["n_lineages"] = int(lin_labels.max()) + 1
+    log(f"lineage: rank-{cd.knn_col.shape[1]} graph -> "
+        f"{out['n_lineages']} lineages in {timings['lineage']:.1f}s\n")
+
     # cluster quality vs planted strains
     from sklearn.metrics import adjusted_rand_score
 
     out["ari"] = float(adjusted_rand_score(pop.strain, labels))
+    out["ari_lineage"] = float(adjusted_rand_score(pop.strain,
+                                                   lin_labels))
     out["timings"] = timings
     out["total_s"] = sum(timings.values())
     # synth is bench-fixture generation, not pipeline; its wall clock is

@@ -170,6 +170,13 @@ class TestEndToEnd:
         # well-separated synthetic strains must come back as the clusters
         assert out["ari"] > 0.99
         assert out["n_clusters"] == 10
+        # the fused-kNN lineage tier runs (its clustering is NOT
+        # asserted against strains: at this toy sketch size ~6% of
+        # genomes have 0-distance cross-strain neighbours, so rank-k
+        # graphs bridge — exactly as the reference's lineage mode
+        # would on the same distances)
+        assert 1 <= out["n_lineages"] <= out["n"]
+        assert 0.0 <= out["ari_lineage"] <= 1.0
 
 
 class TestStreamingCondensed:
