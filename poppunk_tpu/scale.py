@@ -471,7 +471,6 @@ class _ShardedStream:
         self.c = c
         self.steps = steps
         r_size = mesh.shape["r"]
-        cfg = (c, klist, ss64, bbits, pad_bits)
 
         def dev_row0(g):
             dev = (jax.lax.axis_index("q") * r_size
