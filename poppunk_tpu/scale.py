@@ -1249,7 +1249,35 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     global_s[np.isnan(global_s)] = 1
     min_idx = int(np.argmin(global_s))
 
-    if 0 < min_idx < n_grid - 1:
+    if 0 < min_idx < n_grid - 1 and cd.buf is None:
+        # micro-grid local refinement: the native engine scores a whole
+        # offset grid in ONE incremental pass, so two 16-point bisection
+        # levels (resolution ~grid_step/70) cost 2 passes over the edge
+        # set instead of ~15 sequential Brent evaluations of the same
+        # cost each (Brent was most of a measured 20-minute refine at
+        # 65k genomes)
+        from .network.incremental import grow_network_scores
+
+        lo, hi = s_range[min_idx - 1], s_range[min_idx + 1]
+        s_opt, best = float(s_range[min_idx]), global_s[min_idx]
+        for _level in range(2):
+            sub_s = np.linspace(lo, hi, 18)[1:-1]
+            t_sub = np.maximum.accumulate([
+                offset_threshold(float(s), s_range, 2, *line)
+                for s in sub_s])
+            keep = d0 <= t_sub[-1]  # the native engine clamps
+            # out-of-range offsets IN (prepare_edges), so exclude first
+            idx2 = np.searchsorted(t_sub, d0[keep],
+                                   side="left").astype(np.int32)
+            scores = grow_network_scores(cd.n, i[keep], j[keep], idx2,
+                                         len(sub_s), score_idx,
+                                         betweenness_sample, rng=rng)
+            k_min = int(np.argmin(scores))
+            if scores[k_min] < best:
+                best, s_opt = scores[k_min], float(sub_s[k_min])
+            lo = sub_s[k_min - 1] if k_min > 0 else lo
+            hi = sub_s[k_min + 1] if k_min < len(sub_s) - 1 else hi
+    elif 0 < min_idx < n_grid - 1:
         if use_matmul:
             def local_score(s_val):
                 t_s = offset_threshold(float(s_val), s_range, 2, *line)
@@ -1266,13 +1294,9 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                     betweenness_sample, rng=rng)[0]
 
         lo, hi = s_range[min_idx - 1], s_range[min_idx + 1]
-        # boundary precision below 1% of a grid step changes nothing —
-        # each sparse local eval re-scores up to max_sweep_fetch edges
-        # in the native engine, so cap the Brent iteration count
         res = scipy.optimize.minimize_scalar(
             local_score, bounds=[lo, hi], method="Bounded",
-            options={"disp": False,
-                     "xatol": max(1e-7, (hi - lo) * 1e-2)})
+            options={"disp": False})
         s_opt = float(res.x)
     else:
         s_opt = float(s_range[min_idx])
