@@ -258,6 +258,24 @@ class TestStreamingCondensed:
         assert c_out["n_edges"] == s_out["n_edges"]
 
 
+@pytest.mark.slow
+class TestManyStrainStreaming:
+    """The >20480-tier regime at CPU scale: many strains, capped sweep,
+    separable margins — the exact configuration the 65k TPU bench runs
+    (auto n_strains=n/640, subsample=5n, streaming, max_sweep_fetch)."""
+
+    def test_recovers_many_strains(self):
+        out = run_scale_pipeline(
+            n=1024, klist=(13, 15, 17, 19, 21, 23), sketchsize64=64,
+            bbits=8, n_strains=32, chunk=32, knn=3, subsample=5 * 1024,
+            seed=7, streaming=True, max_sweep_fetch=40_000,
+            synth_kwargs=dict(strain_div=(0.015, 0.03),
+                              accessory_strain=(0.55, 0.75)),
+            log=lambda m: None)
+        assert out["ari"] == 1.0
+        assert out["n_clusters"] == 32
+
+
 class TestShardedStreaming:
     """StreamingCondensed over the 8-device mesh == single-device."""
 
