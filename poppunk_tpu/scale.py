@@ -348,14 +348,16 @@ def fill_condensed_sharded(planes, lengths, freqs, klist, sketchsize64,
 # harder — its refineFit hands the whole HOST condensed matrix to every
 # scoring process (PopPUNK/refine.py:147-166). Streaming mode trades one
 # extra distance pass per boundary sweep for O(n * sketch) total memory:
-#   pass 1 (construction): the same one-dispatch lax.scan as _fill_all,
-#     but the folded chunk is reduced (fused kNN + column maxima) and
-#     DISCARDED — the only O(n^2)-derived object is the transient
-#     [chunk, n-1, 2] block inside the scan step;
-#   subsample: the drawn pairs are recomputed directly (O(S));
-#   pass 2 (per sweep): each folded chunk is recomputed on the fly and
-#     only in-boundary pairs are fetched, exactly like the buffered
-#     sweep_first_offsets.
+#   pass 1 (construction): the same scan as _fill_all, but the folded
+#     chunk is reduced (fused kNN + column maxima + the pre-drawn model
+#     subsample's pairs) and DISCARDED — the only O(n^2)-derived object
+#     is the transient [chunk, n-1, 2] block inside a scan step;
+#   pass 2 (per boundary sweep): a counts-only histogram pre-pass sees
+#     every offset's density, then folded chunks are recomputed and
+#     only in-boundary pairs for offsets under max_sweep_fetch cross to
+#     the host (refine_fit_device).
+# Both passes run as dispatches of bounded work, single-device or
+# sharded row-ranges over the ('q','r') mesh (_ShardedStream).
 
 
 # Full-row pair computations per device dispatch. The tunnelled backend
@@ -1328,8 +1330,10 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
 
     streaming=None auto-selects StreamingCondensed once the folded
     buffer (4 n^2 bytes / device) would crowd a 16 GB chip; n_strains
-    defaults to 20 up to the 20480 tier, then grows as n/256 so the
-    in-boundary edge fetch stays O(n^2 / n_strains) ~ bounded.
+    defaults to 20 up to the 20480 tier, then grows as n/640 so the
+    refine optimum's edge count (~n^2 / 2 n_strains) stays fetchable
+    under max_sweep_fetch while the within blob remains ~1% of the
+    (5n) fit subsample.
     """
     from .models.bgmm import BGMMFit
     from .network.graph import Graph
