@@ -307,9 +307,96 @@ def bench_scale(n=20480):
     }))
 
 
+def bench_fill_profile(n=20480):
+    """Localise the condensed-fill vs kernel-only gap at the fill's own
+    shapes: (a) match kernel alone, (b) + fold/correction/fit, (c) the
+    full stats step with fused kNN. Times a fixed 16-chunk slice, warm."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from poppunk_tpu.ops.distances import plane_geometry
+    from poppunk_tpu.ops.pallas_jaccard import match_counts_pallas
+    from poppunk_tpu.scale import _fold_block
+    from poppunk_tpu.synth import synthetic_population_device
+
+    c = 128 if n > 32768 else 256
+    steps = 16
+    pop = synthetic_population_device(n, KLIST, SS64, BBITS,
+                                      n_strains=max(20, n // 640), seed=2,
+                                      chunk=2048)
+    np.asarray(pop.planes[-1, -1, -1, -1])
+    _, _, pad_bits = plane_geometry(SS64, BBITS)
+    use_pallas = True
+
+    def rows2(planes, s):
+        lo = jax.lax.dynamic_slice_in_dim(planes, s, c, axis=2)
+        hi = jax.lax.dynamic_slice_in_dim(planes, n - s - c, c, axis=2)
+        return jnp.concatenate([lo, hi], axis=2)
+
+    @jax.jit
+    def kernel_only(planes):
+        def step(acc, s):
+            m = match_counts_pallas(rows2(planes, s), planes,
+                                    int(pad_bits), plane_major=True)
+            return acc + m.sum(dtype=jnp.int32), None
+
+        starts = jnp.arange(steps, dtype=jnp.int32) * c
+        acc, _ = jax.lax.scan(step, jnp.int32(0), starts)
+        return acc
+
+    def make_fold(consume_knn):
+        @jax.jit
+        def fold_pass(planes, lengths, freqs):
+            def step(acc, s):
+                folded, ti, td = _fold_block(
+                    planes, lengths, freqs, s, c, KLIST, SS64, BBITS,
+                    int(pad_bits), 5, 0, use_pallas)
+                a = folded.sum(dtype=jnp.float32)
+                if consume_knn:
+                    a = a + td.sum(dtype=jnp.float32) + ti.sum(
+                        dtype=jnp.int32).astype(jnp.float32)
+                return acc + a, None
+
+            starts = jnp.arange(steps, dtype=jnp.int32) * c
+            acc, _ = jax.lax.scan(step, jnp.float32(0), starts)
+            return acc
+
+        return fold_pass
+
+    pairs = 2 * c * steps * n  # full-row pair computations
+    results = {}
+    for name, fn, args in (
+            ("kernel", kernel_only, (pop.planes,)),
+            ("fold", make_fold(False),
+             (pop.planes, pop.lengths, pop.freqs)),
+            ("fold+knn", make_fold(True),
+             (pop.planes, pop.lengths, pop.freqs))):
+        np.asarray(fn(*args))  # compile + warm
+        t0 = time.time()
+        np.asarray(fn(*args))
+        dt = time.time() - t0
+        results[name] = pairs / dt
+        sys.stderr.write(f"{name}: {dt:.2f}s = "
+                         f"{pairs / dt / 1e6:.1f} M full-row pairs/s\n")
+    print(json.dumps({
+        "metric": f"fill profile n={n} c={c} (full-row pairs/s)",
+        "value": round(results["fold+knn"], 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(results["fold+knn"] / results["kernel"], 3),
+    }))
+
+
 def main():
     if "--serve" in sys.argv:
         bench_serving()
+        return
+    if "--fill-profile" in sys.argv:
+        pos = sys.argv.index("--fill-profile")
+        n = int(sys.argv[pos + 1]) if len(sys.argv) > pos + 1 else 20480
+        bench_fill_profile(n)
         return
     if "--scale" in sys.argv:
         pos = sys.argv.index("--scale")
