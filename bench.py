@@ -311,7 +311,6 @@ def bench_fill_profile(n=20480):
     """Localise the condensed-fill vs kernel-only gap at the fill's own
     shapes: (a) match kernel alone, (b) + fold/correction/fit, (c) the
     full stats step with fused kNN. Times a fixed 16-chunk slice, warm."""
-    from functools import partial
 
     import jax
     import jax.numpy as jnp
