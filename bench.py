@@ -59,6 +59,34 @@ def _u64_to_u32_planes(planes64, wp):
     return out
 
 
+def _ensure_live_backend(probe_timeout=150):
+    """Fall back to CPU if the tunnelled TPU backend HANGS (not errors).
+
+    A wedged axon worker blocks jax.devices()/the first dispatch forever
+    instead of raising (observed after worker crash loops), which would
+    hang the driver's bench capture. Probe in a subprocess under a hard
+    timeout BEFORE the parent initialises any jax backend."""
+    if os.environ.get("_POPPUNK_BENCH_BACKEND_OK"):
+        return os.environ["_POPPUNK_BENCH_BACKEND_OK"] == "tpu"
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np;"
+             "np.asarray(jax.numpy.ones((8, 8)).sum())"],
+            timeout=probe_timeout, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        os.environ["_POPPUNK_BENCH_BACKEND_OK"] = "tpu"
+        return True
+    except Exception:
+        sys.stderr.write(
+            "device backend probe failed/hung; falling back to CPU\n")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["_POPPUNK_BENCH_BACKEND_OK"] = "cpu"
+        return False
+
+
 def bench_cpu(lib, planes64, nq, nr, threads):
     out = np.zeros((nq, nr, len(KLIST)), dtype=np.int32)
     pq = np.ascontiguousarray(planes64[:nq])
@@ -389,6 +417,7 @@ def bench_fill_profile(n=20480):
 
 
 def main():
+    _ensure_live_backend()
     if "--serve" in sys.argv:
         bench_serving()
         return
