@@ -432,14 +432,22 @@ def _pair_block_dists(planes, lengths, freqs, ii, jj, klist, sketchsize64,
     planes is plane-major [K, P, n, Wp]. Elementwise per-pair twin of
     the all-vs-all kernel (same plane AND-reduce + popcount; the
     correction and k-mer fit reuse the block functions via vmap so the
-    math cannot drift)."""
-    pi = planes[:, :, ii, :].astype(jnp.uint32)  # [K, P, c, Wp]
-    pj = planes[:, :, jj, :].astype(jnp.uint32)
-    agree = ~(pi ^ pj)
-    allp = jax.lax.reduce(agree, jnp.uint32(0xFFFFFFFF),
-                          jax.lax.bitwise_and, dimensions=(1,))  # [K,c,Wp]
-    matches = (jax.lax.population_count(allp).astype(jnp.int32).sum(
-        axis=-1) - pad_bits).T  # [c, K]
+    math cannot drift). The sketch gather runs one k at a time: XLA
+    lowers a gather along axis 2 via a relayout COPY of its operand, so
+    gathering the whole tensor at once doubles planes in HBM (a
+    measured 9 GB OOM at 65k) while the per-k transient is bounded at
+    one k-slice."""
+    def per_k(k_planes):  # [P, n, Wp]
+        pi = k_planes[:, ii, :].astype(jnp.uint32)  # [P, c, Wp]
+        pj = k_planes[:, jj, :].astype(jnp.uint32)
+        agree = ~(pi ^ pj)
+        allp = jax.lax.reduce(agree, jnp.uint32(0xFFFFFFFF),
+                              jax.lax.bitwise_and,
+                              dimensions=(0,))  # [c, Wp]
+        return jax.lax.population_count(allp).astype(jnp.int32).sum(
+            axis=-1) - pad_bits  # [c]
+
+    matches = jax.lax.map(per_k, planes).T  # [c, K]
 
     def one(m_k, li, lj, fi, fj):
         jac = corrected_jaccards(m_k[None, None], klist, li[None], lj[None],
