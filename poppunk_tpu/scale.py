@@ -1000,8 +1000,8 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
                     pos_out.append(p)
                     idx_out.append(ix)
                     d0_out.append(dd)
-        half = 0  # skip the single-device loop below
-    elif streaming:
+        return _finalise_sweep(pos_out, idx_out, d0_out, cd.n)
+    if streaming:
         # compaction buffers are ~9 bytes per pair in the dispatch's row
         # range; cap rows so they stay ~1.5 GB alongside the planes
         steps_pd, n_groups = _dispatch_groups(
@@ -1031,13 +1031,19 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
         pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
         idx_out.append(np.asarray(idx[:b][:k], np.int64))
         d0_out.append(np.asarray(d0[:b][:k], np.float32))
+    return _finalise_sweep(pos_out, idx_out, d0_out, cd.n)
+
+
+def _finalise_sweep(pos_out, idx_out, d0_out, n):
+    """Folded flat positions -> (i, j, first_offset, d0) host arrays.
+
+    int32 outputs: n < 2^31 always, the native scorer consumes int32,
+    and at E ~ 1e7+ the fetch/RSS halves."""
     if not pos_out:
         z = np.zeros(0, np.int32)
         return z, z, z, np.zeros(0, np.float32)
     pos = np.concatenate(pos_out)
-    i, j = fold_inverse(pos, cd.n)
-    # int32 host arrays: n < 2^31 always, the native scorer consumes
-    # int32, and at E ~ 1e7+ the fetch/RSS halves
+    i, j = fold_inverse(pos, n)
     return (i.astype(np.int32), j.astype(np.int32),
             np.concatenate(idx_out).astype(np.int32),
             np.concatenate(d0_out))
