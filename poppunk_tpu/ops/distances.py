@@ -39,7 +39,8 @@ def plane_geometry(sketchsize64, bbits):
     return w32, wp, pad_bits
 
 
-def pack_planes(sketches, klist=None):
+def pack_planes(sketches, klist=None, plane_major=False,
+                pad_to_even=False):
     """Pack Sketch objects into the device plane tensor.
 
     Returns (planes uint32[n, K, P, Wp], lengths int32[n], freqs f32[n, 4]).
@@ -47,16 +48,27 @@ def pack_planes(sketches, klist=None):
     HDF5 usigs are uint64[sketchsize64 * bbits] in interleaved plane-minor
     layout (word w, plane p at index w*bbits + p); on device we use
     plane-major [P, W] with each uint64 split into (low32, high32).
+
+    plane_major=True emits [K, P, n, Wp] — the layout the scale pipeline
+    (poppunk_tpu/scale.py) keeps resident. pad_to_even appends one
+    all-zero pad genome when n is odd (the folded condensed layout needs
+    even n); StreamingCondensed masks it exactly via n_real.
     """
     ss64 = sketches[0].sketchsize64
     bbits = sketches[0].bbits
     if klist is None:
         klist = sorted(sketches[0].usigs.keys())
     w32, wp, _ = plane_geometry(ss64, bbits)
-    n = len(sketches)
-    planes = np.zeros((n, len(klist), bbits, wp), dtype=np.uint32)
+    n_real = len(sketches)
+    n = n_real + (n_real % 2 if pad_to_even else 0)
+    shape = ((len(klist), bbits, n, wp) if plane_major
+             else (n, len(klist), bbits, wp))
+    planes = np.zeros(shape, dtype=np.uint32)
     lengths = np.zeros(n, dtype=np.int32)
     freqs = np.zeros((n, 4), dtype=np.float32)
+    if n > n_real:  # pad genome: zero sketch, innocuous metadata
+        lengths[n_real:] = 2_000_000
+        freqs[n_real:] = 0.25
     for i, sk in enumerate(sketches):
         if sk.sketchsize64 != ss64 or sk.bbits != bbits:
             raise ValueError("Inconsistent sketch geometry")
@@ -69,7 +81,10 @@ def pack_planes(sketches, klist=None):
             interleaved = np.empty((bbits, w32), dtype=np.uint32)
             interleaved[:, 0::2] = lo
             interleaved[:, 1::2] = hi
-            planes[i, ki, :, :w32] = interleaved
+            if plane_major:
+                planes[ki, :, i, :w32] = interleaved
+            else:
+                planes[i, ki, :, :w32] = interleaved
     return planes, lengths, freqs
 
 

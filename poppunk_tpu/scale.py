@@ -76,7 +76,7 @@ def fold_inverse(pos, n):
 
 
 def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
-                pad_bits, knn, dist_col, use_pallas):
+                pad_bits, knn, dist_col, use_pallas, n_real=None):
     """One fill step: distances for folded rows [s, s+c).
 
     planes is PLANE-MAJOR [K, P, n, Wp] (the kernels' native layout —
@@ -85,6 +85,12 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
     n-s-c..n-s-1), folds their upper triangles into a [c, n-1, 2] block
     and top-ks every full row. Returns (folded, top_idx, top_d) with the
     kNN arrays ordered [low rows asc | mirror rows asc by genome id].
+
+    n_real < n marks genomes >= n_real as PADDING (odd populations pad
+    to even at pack time): their folded entries become +inf — excluded
+    from boundary sweeps (searchsorted puts +inf past every offset) and
+    masked out of the column maxima by the isinf check in
+    _stream_stats_range — and they never enter any real row's kNN.
     """
     n = planes.shape[2]
 
@@ -115,8 +121,16 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
     lo_part = jnp.take_along_axis(block_lo, idx_lo[..., None], axis=1)
     hi_rev = block_hi[::-1]  # row r of hi_rev = genome n-1-(s+r)
     first_len = (n - 1 - i_vec)[:, None]
-    folded = jnp.where((q[None, :] < first_len)[..., None],
-                       lo_part, hi_rev[:, 1:, :])
+    in_first = q[None, :] < first_len
+    folded = jnp.where(in_first[..., None], lo_part, hi_rev[:, 1:, :])
+    if n_real is not None and n_real < n:
+        # position q of folded row i holds pair (i, q+i+1) in the first
+        # segment, (n-1-i, q+1) in the second; the larger member is
+        # q+i+1 / q+1 respectively, so it alone decides pad membership
+        pad_pair = jnp.where(in_first,
+                             q[None, :] + i_vec[:, None] + 1 >= n_real,
+                             q[None, :] + 1 >= n_real)
+        folded = jnp.where(pad_pair[..., None], jnp.inf, folded)
 
     # fused lineage kNN over the full rows. k successive min/argmin
     # extractions instead of lax.top_k: for small k the VPU reduction
@@ -126,6 +140,8 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
     row_ids = jnp.concatenate([i_vec, n - s - c + jnp.arange(c)])
     col = d[..., dist_col]
     col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
+    if n_real is not None and n_real < n:
+        col = col.at[:, n_real:].set(jnp.inf)  # pads never neighbours
     tops_d, tops_i = [], []
     for _ in range(knn):
         a = col.argmin(axis=1).astype(jnp.int32)
@@ -369,11 +385,11 @@ PAIRS_PER_DISPATCH = 1.0e9
 
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
                                    "bbits", "pad_bits", "knn", "dist_col",
-                                   "use_pallas"),
+                                   "use_pallas", "n_real"),
          donate_argnums=(3, 4, 5))
 def _stream_stats_range(planes, lengths, freqs, ki, kd, cmax, s0, c, steps,
                         sub_loc, klist, sketchsize64, bbits, pad_bits, knn,
-                        dist_col, use_pallas):
+                        dist_col, use_pallas, n_real=None):
     """Pass-1 slice: `steps` folded chunks from row s0, carries donated
     (kNN bufs + column maxima stay device-resident between dispatches).
 
@@ -391,8 +407,9 @@ def _stream_stats_range(planes, lengths, freqs, ki, kd, cmax, s0, c, steps,
         ki_buf, kd_buf, cm = carry
         folded, top_idx, top_d = _fold_block(
             planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
-            pad_bits, knn, dist_col, use_pallas)
-        cm = jnp.maximum(cm, folded.max(axis=(0, 1)))
+            pad_bits, knn, dist_col, use_pallas, n_real)
+        finite = jnp.where(jnp.isinf(folded), -jnp.inf, folded)
+        cm = jnp.maximum(cm, finite.max(axis=(0, 1)))
         sub_vals = folded.reshape(-1, 2)[loc]
         ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[:c], (s, 0))
         ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[c:],
@@ -473,7 +490,7 @@ class _ShardedStream:
     """
 
     def __init__(self, mesh, half_loc, c, steps, knn, klist, ss64, bbits,
-                 pad_bits, dist_col, use_pallas):
+                 pad_bits, dist_col, use_pallas, n_real=None):
         from jax.sharding import PartitionSpec as P
 
         self.mesh = mesh
@@ -489,7 +506,8 @@ class _ShardedStream:
 
         def fold(planes, lengths, freqs, s, k):
             return _fold_block(planes, lengths, freqs, s, c, klist, ss64,
-                               bbits, pad_bits, k, dist_col, use_pallas)
+                               bbits, pad_bits, k, dist_col, use_pallas,
+                               n_real)
 
         def stats_local(planes, lengths, freqs, ki, kd, cmax, g, sub_loc):
             start0 = dev_row0(g)
@@ -499,7 +517,8 @@ class _ShardedStream:
                 ki, kd, cm = carry
                 folded, top_idx, top_d = fold(
                     planes, lengths, freqs, start0 + s_idx * c, knn)
-                cm = jnp.maximum(cm, folded.max(axis=(0, 1))[None])
+                finite = jnp.where(jnp.isinf(folded), -jnp.inf, folded)
+                cm = jnp.maximum(cm, finite.max(axis=(0, 1))[None])
                 sub_vals = folded.reshape(-1, 2)[loc]
                 row = g * steps * c + s_idx * c  # shard-local offset
                 ki = jax.lax.dynamic_update_slice(
@@ -624,10 +643,14 @@ class StreamingCondensed:
 
     def __init__(self, planes, lengths, freqs, klist, sketchsize64, bbits,
                  chunk=256, knn=5, dist_col=0, use_pallas=None,
-                 subsample=None, mesh=None):
+                 subsample=None, mesh=None, n_real=None):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        n = planes.shape[2]
+        n = planes.shape[2]  # PADDED count (even); see n_real
+        if n_real is None:
+            n_real = n
+        if not n_real <= n <= n_real + 1:
+            raise ValueError(f"n_real ({n_real}) must be n or n-1 ({n})")
         half = fold_rows(n)
         self._mesh = mesh
         if mesh is not None:
@@ -649,8 +672,10 @@ class StreamingCondensed:
         self.planes = jnp.asarray(planes)
         self.lengths = jnp.asarray(lengths)
         self.freqs = jnp.asarray(freqs)
-        self.n = n
-        self.n_pairs = n * (n - 1) // 2
+        self.n = int(n_real)
+        self._n_pad = n
+        self._n_real = int(n_real)
+        self.n_pairs = n_real * (n_real - 1) // 2
         self.chunk = int(chunk)
         self._klist = tuple(int(k) for k in klist)
         self._ss64 = int(sketchsize64)
@@ -658,7 +683,8 @@ class StreamingCondensed:
         _, _, pad_bits = plane_geometry(sketchsize64, bbits)
         self._pad_bits = int(pad_bits)
         self._use_pallas = bool(use_pallas)
-        knn = min(knn, n - 1)
+        knn = min(knn, n_real - 1)
+        self._knn_k = int(knn)
         n_steps = half // self.chunk
 
         # pre-draw the model subsample so pass 1 can gather each chunk's
@@ -673,13 +699,23 @@ class StreamingCondensed:
             rng = np.random.default_rng(sseed)
             pos = np.sort(rng.choice(self.n_pairs, size=size,
                                      replace=False))
-            g_of = pos // block_pairs
+            if n_real < n:
+                # padded layout: positions are drawn in REAL condensed
+                # (i<j) indexing and mapped to the padded folded-flat
+                # coordinates (pads are never drawn)
+                from .pairs import condensed_to_pair
+
+                ri, rj = condensed_to_pair(pos, n_real)
+                flat = np.sort(fold_index(ri, rj, n))
+            else:
+                flat = pos  # folded-flat draw == CondensedDevice's
+            g_of = flat // block_pairs
             counts = np.bincount(g_of, minlength=n_steps)
             M = max(8, int(counts.max()))
             loc = np.zeros((n_steps, M), np.int32)
             rank = np.arange(size) - np.concatenate(
                 [[0], np.cumsum(counts)])[g_of]
-            loc[g_of, rank] = (pos - g_of * block_pairs).astype(np.int32)
+            loc[g_of, rank] = (flat - g_of * block_pairs).astype(np.int32)
             self._sub_spec = (size, sseed, g_of, rank)
         else:
             M = 8
@@ -696,7 +732,8 @@ class StreamingCondensed:
             self._sh = _ShardedStream(
                 mesh, self._half_loc, self.chunk, steps_pd, knn,
                 self._klist, self._ss64, self._bbits, self._pad_bits,
-                int(dist_col), self._use_pallas)
+                int(dist_col), self._use_pallas,
+                int(n_real) if n_real < n else None)
             rep = NamedSharding(mesh, P())
             sh2 = NamedSharding(mesh, P(("q", "r"), None))
             sh3 = NamedSharding(mesh, P(("q", "r"), None, None))
@@ -731,16 +768,19 @@ class StreamingCondensed:
                             + g * steps_pd + np.arange(steps_pd)[None, :])
                     sub_vals[idxs.reshape(-1)] = sv.reshape(-1, M, 2)
                 self._sub_vals = sub_vals[g_of, rank]
-            # unfold the folded-layout kNN (fill_condensed_sharded twin)
+            # unfold the folded-layout kNN (fill_condensed_sharded twin);
+            # pad genomes' own rows (ids >= n_real) are dropped
             ki_h = np.asarray(ki)
             kd_h = np.asarray(kd)
-            self.knn_col = np.empty((n, knn), np.int64)
-            self.knn_dist = np.empty((n, knn), np.float32)
-            self.knn_col[:half] = ki_h[:, 0]
-            self.knn_col[half:] = ki_h[::-1, 1]
-            self.knn_dist[:half] = kd_h[:, 0]
-            self.knn_dist[half:] = kd_h[::-1, 1]
-            self.knn_row = np.arange(n, dtype=np.int64)
+            knn_col = np.empty((n, knn), np.int64)
+            knn_dist = np.empty((n, knn), np.float32)
+            knn_col[:half] = ki_h[:, 0]
+            knn_col[half:] = ki_h[::-1, 1]
+            knn_dist[:half] = kd_h[:, 0]
+            knn_dist[half:] = kd_h[::-1, 1]
+            self.knn_col = knn_col[:n_real]
+            self.knn_dist = knn_dist[:n_real]
+            self.knn_row = np.arange(n_real, dtype=np.int64)
             self._cmax = np.asarray(cmax).max(axis=0)
             return
 
@@ -757,15 +797,16 @@ class StreamingCondensed:
                 jax.lax.dynamic_slice_in_dim(loc_dev, g * steps_pd,
                                              steps_pd, axis=0),
                 self._klist, self._ss64, self._bbits,
-                self._pad_bits, int(knn), int(dist_col), self._use_pallas)
+                self._pad_bits, int(knn), int(dist_col), self._use_pallas,
+                int(n_real) if n_real < n else None)
             sub_parts.append(np.asarray(sv))
         if self._sub_spec is not None:
             size, sseed, g_of, rank = self._sub_spec
             sub_vals = np.concatenate(sub_parts)  # [n_steps, M, 2]
             self._sub_vals = sub_vals[g_of, rank]
-        self.knn_row = np.arange(n, dtype=np.int64)
-        self.knn_col = np.asarray(ki).astype(np.int64)
-        self.knn_dist = np.asarray(kd)
+        self.knn_row = np.arange(n_real, dtype=np.int64)
+        self.knn_col = np.asarray(ki).astype(np.int64)[:n_real]
+        self.knn_dist = np.asarray(kd)[:n_real]
         self._cmax = np.asarray(cmax)
 
     def max_scale(self):
@@ -786,7 +827,13 @@ class StreamingCondensed:
         pos = np.sort(rng.choice(self.n_pairs,
                                  size=min(size, self.n_pairs),
                                  replace=False))
-        i, j = fold_inverse(pos, self.n)
+        if self._n_pad > self._n_real:
+            from .pairs import condensed_to_pair
+
+            i, j = condensed_to_pair(pos, self.n)
+            i, j = np.asarray(i, np.int64), np.asarray(j, np.int64)
+        else:
+            i, j = fold_inverse(pos, self.n)
         m = len(pos)
         pad = (-m) % block
         if pad:  # fixed block shape: one compiled program
@@ -810,10 +857,10 @@ class StreamingCondensed:
 
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
                                    "bbits", "pad_bits", "slope",
-                                   "use_pallas"))
+                                   "use_pallas", "n_real"))
 def _stream_sweep_group(planes, lengths, freqs, s0, n_act, scale, t, xm0,
                         ym0, c, steps, klist, sketchsize64, bbits, pad_bits,
-                        slope, use_pallas):
+                        slope, use_pallas, n_real=None):
     """Pass-2 dispatch: recompute `steps` folded chunks from row s0 and
     compact their in-boundary pairs into ONE sorted bucket (the kNN arm
     of _fold_block is dead code here, DCE'd). Only pairs whose first
@@ -824,7 +871,7 @@ def _stream_sweep_group(planes, lengths, freqs, s0, n_act, scale, t, xm0,
     def body(_, s):
         folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
                                    sketchsize64, bbits, pad_bits, 1, 0,
-                                   use_pallas)
+                                   use_pallas, n_real)
         d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0, ym0, slope)
         idx = jnp.searchsorted(t, d0, side="left").astype(jnp.int32)
         return None, (d0, idx)
@@ -842,10 +889,10 @@ def _stream_sweep_group(planes, lengths, freqs, s0, n_act, scale, t, xm0,
 
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
                                    "bbits", "pad_bits", "slope",
-                                   "use_pallas"))
+                                   "use_pallas", "n_real"))
 def _stream_sweep_counts(planes, lengths, freqs, s0, scale, t, xm0, ym0, c,
                          steps, klist, sketchsize64, bbits, pad_bits, slope,
-                         use_pallas):
+                         use_pallas, n_real=None):
     """Histogram pass: cumulative in-boundary pair counts per offset for
     `steps` chunks from row s0 — O(n_grid) ints fetched, NO pair lists.
     Lets the sweep see each offset's density before deciding what to
@@ -856,7 +903,7 @@ def _stream_sweep_counts(planes, lengths, freqs, s0, scale, t, xm0, ym0, c,
     def body(_, s):
         folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
                                    sketchsize64, bbits, pad_bits, 1, 0,
-                                   use_pallas)
+                                   use_pallas, n_real)
         d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0, ym0, slope)
         cum = jax.vmap(lambda tv: (d0 <= tv).sum(dtype=jnp.int32))(t)
         return None, cum
@@ -927,7 +974,7 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
     cum = np.zeros(len(t), np.int64)
     if cd._mesh is not None:
         steps_pd, n_groups = _dispatch_groups(cd._half_loc, cd.chunk,
-                                              cd.n)
+                                              cd._n_pad)
         fn = cd._sh.counts(int(slope), int(steps_pd))
         for g in range(n_groups):
             cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(g),
@@ -935,15 +982,17 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
                       jnp.float32(ym0))
             cum += np.asarray(cums, np.int64).sum(axis=0)
         return cum
-    half = fold_rows(cd.n)
-    steps_pd, n_groups = _dispatch_groups(half, cd.chunk, cd.n)
+    n_pad = cd._n_pad
+    half = fold_rows(n_pad)
+    steps_pd, n_groups = _dispatch_groups(half, cd.chunk, n_pad)
+    nr = cd._n_real if cd._n_real < n_pad else None
     for g in range(n_groups):
         cums = _stream_sweep_counts(
             cd.planes, cd.lengths, cd.freqs,
             jnp.int32(g * steps_pd * cd.chunk), scale_dev, t_dev,
             jnp.float32(xm0), jnp.float32(ym0), cd.chunk, int(steps_pd),
             cd._klist, cd._ss64, cd._bbits, cd._pad_bits, int(slope),
-            cd._use_pallas)
+            cd._use_pallas, nr)
         cum += np.asarray(cums, np.int64).sum(axis=0)
     return cum
 
@@ -965,17 +1014,19 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
     scale_dev = jnp.asarray(scale, jnp.float32)
     xm0_dev = jnp.float32(xm0)
     ym0_dev = jnp.float32(ym0)
-    half = fold_rows(cd.n)
+    n_pad = getattr(cd, "_n_pad", cd.n)  # padded layout width
+    half = fold_rows(n_pad)
     pos_out, idx_out, d0_out = [], [], []
     if streaming and cd._mesh is not None:
         # sharded fetch: every device compacts its own row range; host
         # buckets are reassembled in (device, group) order = ascending
         # global row order, matching the single-device path exactly
         steps_pd, n_groups = _dispatch_groups(
-            cd._half_loc, cd.chunk, cd.n, cap_rows=int(1.5e9 / (9 * cd.n)))
+            cd._half_loc, cd.chunk, n_pad,
+            cap_rows=int(1.5e9 / (9 * n_pad)))
         n_act = len(t) if _n_act is None else _n_act
         fn = cd._sh.fetch(int(slope), int(steps_pd))
-        m_loc = steps_pd * cd.chunk * (cd.n - 1)
+        m_loc = steps_pd * cd.chunk * (n_pad - 1)
         parts = {}
         for g in range(n_groups):
             pos, idxs, d0s, counts = fn(
@@ -988,7 +1039,7 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
                     continue
                 b = min(_bucket_pow2(k), m_loc)
                 base = (d * cd._half_loc
-                        + g * steps_pd * cd.chunk) * (cd.n - 1)
+                        + g * steps_pd * cd.chunk) * (n_pad - 1)
                 parts[(d, g)] = (
                     np.asarray(pos[d, :b][:k], np.int64) + base,
                     np.asarray(idxs[d, :b][:k], np.int64),
@@ -1000,23 +1051,24 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
                     pos_out.append(p)
                     idx_out.append(ix)
                     d0_out.append(dd)
-        return _finalise_sweep(pos_out, idx_out, d0_out, cd.n)
+        return _finalise_sweep(pos_out, idx_out, d0_out, n_pad)
     if streaming:
         # compaction buffers are ~9 bytes per pair in the dispatch's row
         # range; cap rows so they stay ~1.5 GB alongside the planes
         steps_pd, n_groups = _dispatch_groups(
-            half, cd.chunk, cd.n, cap_rows=int(1.5e9 / (9 * cd.n)))
+            half, cd.chunk, n_pad, cap_rows=int(1.5e9 / (9 * n_pad)))
         chunk_rows = steps_pd * cd.chunk
     for s in range(0, half, chunk_rows):
         rows = min(chunk_rows, half - s)
         if streaming:
-            m = rows * (cd.n - 1)
+            m = rows * (n_pad - 1)
             n_act = len(t) if _n_act is None else _n_act
+            nr = cd._n_real if cd._n_real < n_pad else None
             pos, idx, d0, count = _stream_sweep_group(
                 cd.planes, cd.lengths, cd.freqs, jnp.int32(s),
                 jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev,
                 cd.chunk, int(rows // cd.chunk), cd._klist, cd._ss64,
-                cd._bbits, cd._pad_bits, int(slope), cd._use_pallas)
+                cd._bbits, cd._pad_bits, int(slope), cd._use_pallas, nr)
         else:
             chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
             m = chunk_x.shape[0]
@@ -1027,11 +1079,11 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
             continue
         # fetch a power-of-two bucket (few distinct slice programs), trim
         b = min(_bucket_pow2(k), m)
-        base = s * (cd.n - 1)
+        base = s * (n_pad - 1)
         pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
         idx_out.append(np.asarray(idx[:b][:k], np.int64))
         d0_out.append(np.asarray(d0[:b][:k], np.float32))
-    return _finalise_sweep(pos_out, idx_out, d0_out, cd.n)
+    return _finalise_sweep(pos_out, idx_out, d0_out, n_pad)
 
 
 def _finalise_sweep(pos_out, idx_out, d0_out, n):

@@ -258,6 +258,81 @@ class TestStreamingCondensed:
         assert c_out["n_edges"] == s_out["n_edges"]
 
 
+class TestOddNStreaming:
+    """Odd populations: one exactly-masked pad genome (pack_to_even).
+
+    Every consumer must behave as if the pad never existed, checked
+    against the host streaming oracle on the REAL n=63 genomes."""
+
+    N_ODD = 63
+
+    @pytest.fixture(scope="class")
+    def odd(self, pop):
+        import jax.numpy as jnpp
+
+        from poppunk_tpu.scale import StreamingCondensed
+
+        # take 63 of the 64 synthetic genomes, pad back to 64 with zeros
+        planes = np.asarray(pop.planes)[:, :, :self.N_ODD, :]
+        planes_pad = np.zeros(
+            planes.shape[:2] + (self.N_ODD + 1,) + planes.shape[3:],
+            np.uint32)
+        planes_pad[:, :, :self.N_ODD] = planes
+        lengths = np.concatenate([np.asarray(pop.lengths)[:self.N_ODD],
+                                  [2_000_000]]).astype(np.int32)
+        freqs = np.concatenate([np.asarray(pop.freqs)[:self.N_ODD],
+                                [[0.25] * 4]]).astype(np.float32)
+        sc = StreamingCondensed(jnpp.asarray(planes_pad), lengths, freqs,
+                                KLIST, SS64, BBITS, chunk=8, knn=5,
+                                subsample=(150, 3), n_real=self.N_ODD)
+        host = condensed_self_block(
+            np.moveaxis(planes, 2, 0), lengths[:self.N_ODD],
+            freqs[:self.N_ODD], KLIST, SS64, BBITS)
+        return sc, host
+
+    def test_shape_bookkeeping(self, odd):
+        sc, host = odd
+        assert sc.n == self.N_ODD
+        assert sc.n_pairs == self.N_ODD * (self.N_ODD - 1) // 2
+        assert len(host) == sc.n_pairs
+
+    def test_knn_matches_host(self, odd):
+        sc, host = odd
+        h_rows, h_cols, h_dists = knn_from_condensed(
+            host[:, 0], self.N_ODD, 5)
+        rows, cols, dists = sc.knn_sparse()
+        assert np.array_equal(rows, h_rows)
+        np.testing.assert_allclose(dists, h_dists, rtol=1e-5, atol=1e-7)
+        assert (cols < self.N_ODD).all()  # pads never neighbours
+
+    def test_max_scale_excludes_pad(self, odd):
+        sc, host = odd
+        # pad pairs are (1.0, 1.0); real maxima here are far below 1
+        np.testing.assert_allclose(sc.max_scale(), host.max(axis=0),
+                                   rtol=1e-6)
+        assert (sc.max_scale() < 1.0).all()
+
+    def test_subsample_real_pairs(self, odd):
+        sc, host = odd
+        sub = sc.subsample_pairs(150, seed=3)
+        assert sub.shape == (150, 2)
+        allrows = {tuple(np.round(r, 5)) for r in host.tolist()}
+        hits = sum(tuple(np.round(r, 5)) in allrows for r in sub.tolist())
+        assert hits >= 145  # ulp rounding may move a few off-grid
+
+    def test_sweep_matches_host(self, odd):
+        sc, host = odd
+        scale = host.max(axis=0)
+        Xs = host / scale
+        offsets = np.linspace(0.0, 0.5, 20)
+        hi, hj, hidx = threshold_iterate_1d_fast(
+            Xs, offsets, 2, 0.1, 0.1, 0.7, 0.7)
+        si, sj, sidx, _ = sweep_first_offsets(sc, scale, offsets, 2,
+                                              0.1, 0.1, 0.7, 0.7)
+        assert sorted(zip(hi, hj, hidx)) == sorted(zip(si, sj, sidx))
+        assert (si < self.N_ODD).all() and (sj < self.N_ODD).all()
+
+
 @pytest.mark.slow
 class TestManyStrainStreaming:
     """The >20480-tier regime at CPU scale: many strains, capped sweep,
