@@ -1,0 +1,332 @@
+"""poppunk_tpu_scale — fit a sketch database of any size with bounded memory.
+
+The standard ``poppunk_tpu --fit-model`` path follows the reference's
+contract: the condensed distance matrix lives on the host
+(``.dists.npy``) and every model consumes it from there. That contract is
+the reference's scale ceiling — at 65k genomes the condensed matrix is
+17 GB and its refine sweep materialises every in-boundary pair as host
+tuples (PopPUNK/refine.py:147-166,197-202).
+
+This entry point is the TPU-native alternative with NO O(n^2) tensor on
+host or device at any population size (poppunk_tpu/scale.py's streaming
+tier): sketches are packed plane-major and streamed chunk-by-chunk; one
+construction pass accumulates the fused lineage kNN, column maxima and
+the model-fit subsample; the boundary sweep recomputes distances per
+offset grid and fetches only sparse in-boundary pairs. Outputs keep the
+reference's conventions so the fitted database drops into
+``poppunk_tpu_assign`` / ``poppunk_tpu_visualise``:
+
+  <out>/<out>_fit.pkl / _fit.npz   refine-model artefacts
+  <out>/<out>_graph.graph.npz      within-strain network
+  <out>/<out>_clusters.csv         strain assignments
+  <out>/<out>.dists.pkl            name order (no .npy — the condensed
+                                   matrix is deliberately never written;
+                                   assign has not needed it since
+                                   reference 2.7.0)
+  <out>/<out>_rank{r}_lineages     (--write-lineages) rank-r clusters
+                                   from the fused kNN
+
+Deviations from ``--fit-model refine`` (all inherent to streaming):
+the BGMM start model is fit in-process (no --model-dir two-step),
+--graph-weights is unavailable (per-pair distances are not retained),
+and reference extraction is opt-in (--extract-references).
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+from .. import __version__
+from ..utils import create_overall_lineage, db_h5_path, store_pickle
+from .common import default_dists, file_base, setup_output
+
+
+def get_options(arg_list=None):
+    parser = argparse.ArgumentParser(
+        prog="poppunk_tpu_scale",
+        description="Streaming-tier model fit: any population size, "
+                    "no O(n^2) memory anywhere",
+    )
+    io_group = parser.add_argument_group("Input/output")
+    io_group.add_argument("--ref-db", required=True,
+                          help="Prefix of a built sketch database "
+                               "(poppunk_tpu --create-db)")
+    io_group.add_argument("--output", required=True,
+                          help="Prefix for output files")
+    io_group.add_argument("--external-clustering",
+                          help="File with cluster definitions or other labels")
+    io_group.add_argument("--overwrite", action="store_true")
+
+    model_group = parser.add_argument_group("Model fit")
+    model_group.add_argument("--model-subsample", type=int, default=100000,
+                             help="Maximum pairs in the BGMM fit subsample")
+    model_group.add_argument("--K", type=int, default=2,
+                             help="Maximum number of mixture components")
+    model_group.add_argument("--pos-shift", type=float, default=0.0,
+                             help="Maximum boundary movement past the "
+                                  "between-strain mean (reference default)")
+    model_group.add_argument("--neg-shift", type=float, default=0.0,
+                             help="Maximum boundary movement before the "
+                                  "within-strain mean")
+    model_group.add_argument("--score-idx", type=int, default=0,
+                             choices=[0, 1, 2])
+    model_group.add_argument("--betweenness-sample", type=int, default=100)
+    model_group.add_argument("--max-sweep-fetch", type=int,
+                             default=40_000_000,
+                             help="Sweep offsets holding more pairs than "
+                                  "this are scored worst instead of fetched")
+    model_group.add_argument("--seed", type=int, default=42)
+
+    lineage_group = parser.add_argument_group("Lineages (fused kNN)")
+    lineage_group.add_argument("--write-lineages", action="store_true",
+                               help="Write per-rank lineage clusters from "
+                                    "the kNN fused into the distance pass")
+    lineage_group.add_argument("--ranks", default="1,2,3")
+    lineage_group.add_argument("--use-accessory", action="store_true")
+
+    tuning = parser.add_argument_group("Device tuning")
+    tuning.add_argument("--chunk", type=int, default=256,
+                        help="Folded rows per streaming step (the "
+                             "population pads to a chunk multiple; pads "
+                             "are exactly masked)")
+    tuning.add_argument("--knn", type=int, default=5,
+                        help="Neighbours accumulated by the fused kNN")
+    tuning.add_argument("--single-device", action="store_true",
+                        help="Do not shard the streaming passes over the "
+                             "device mesh")
+    tuning.add_argument("--extract-references", action="store_true",
+                        help="Clique-prune references after clustering "
+                             "(host-side; can dominate at 10^5 genomes)")
+
+    other = parser.add_argument_group("Other")
+    other.add_argument("--threads", type=int, default=1)
+    other.add_argument("--no-plot", action="store_true")
+    other.add_argument("--version", action="version",
+                       version="%(prog)s " + __version__)
+
+    from .common import add_accel_compat_flags
+
+    add_accel_compat_flags(parser, "gpu-dist", "gpu-model", "gpu-graph",
+                           "deviceid")
+    return parser.parse_args(arg_list)
+
+
+def _pad_geometry(n_real, chunk, n_devices, use_mesh):
+    """(chunk, n_pad, mesh?) honouring the folded layout's divisibility:
+    n_pad/2 must divide by chunk (and by the device count when sharded).
+    Pads are zero-sketch genomes masked exactly via n_real."""
+    import jax
+
+    c = int(chunk)
+    while c > 1 and 2 * c > max(n_real, 2):
+        c //= 2
+    mesh = None
+    if use_mesh and n_devices > 1 and n_real >= 4 * n_devices * c:
+        from ..parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+        gran = 2 * c * n_devices
+    else:
+        gran = 2 * c
+    n_pad = -(-n_real // gran) * gran
+    return c, n_pad, mesh
+
+
+def main(arg_list=None):
+    from .. import configure_jax_cache
+
+    configure_jax_cache()
+    args = get_options(arg_list)
+    from .common import note_accel_compat_flags
+
+    note_accel_compat_flags(args)
+
+    import jax
+
+    from ..io.hdf5db import read_db_params, read_sketches
+    from ..models.bgmm import BGMMFit
+    from ..models.refine import RefineFit
+    from ..ops.distances import pack_planes
+    from ..scale import StreamingCondensed, refine_fit_device
+
+    ref_db = args.ref_db.rstrip("/")
+    output = setup_output(args.output)
+    ranks = sorted(int(x) for x in args.ranks.split(","))
+    knn = max(args.knn, max(ranks) if args.write_lineages else 0)
+
+    klist, sketch_size, codon_phased = read_db_params(ref_db)
+    sketches = read_sketches(ref_db)  # sorted-name order (the reference's
+    # readRfile convention, so .dists.pkl matches assign's expectations)
+    names = [sk.name for sk in sketches]
+    n_real = len(names)
+    n_pairs = n_real * (n_real - 1) // 2
+    if n_real < 3:
+        sys.stderr.write("Need at least 3 samples to fit a model\n")
+        sys.exit(1)
+    sys.stderr.write(
+        f"Streaming fit: {n_real} genomes, {n_pairs} pairs, "
+        f"k = {list(map(int, klist))}\n")
+
+    chunk, n_pad, mesh = _pad_geometry(
+        n_real, args.chunk, len(jax.devices()), not args.single_device)
+    if mesh is not None:
+        sys.stderr.write(
+            f"Sharding streaming passes over {len(jax.devices())} devices\n")
+
+    t0 = time.perf_counter()
+    planes, lengths, freqs = pack_planes(sketches, klist, plane_major=True,
+                                         pad_to=n_pad)
+    subsample = min(args.model_subsample, n_pairs)
+    cd = StreamingCondensed(
+        planes, lengths, freqs, klist, sketches[0].sketchsize64,
+        sketches[0].bbits, chunk=chunk, knn=knn,
+        dist_col=1 if args.use_accessory else 0,
+        subsample=(subsample, args.seed), mesh=mesh, n_real=n_real)
+    np.asarray(cd.knn_dist[-1, -1])  # sync
+    dt = time.perf_counter() - t0
+    sys.stderr.write(
+        f"Distances: {n_pairs} pairs in {dt:.1f}s "
+        f"({n_pairs / max(dt, 1e-9) / 1e6:.1f} Mpairs/s; kNN k={knn} "
+        f"fused; no O(n^2) tensor)\n")
+
+    # name-order pickle so downstream tools resolve indices; the condensed
+    # .npy is deliberately absent (reference assign stopped requiring it
+    # in 2.7.0)
+    store_pickle(names, names, True, None, default_dists(output))
+
+    t0 = time.perf_counter()
+    sub = cd.subsample_pairs(subsample, seed=args.seed)
+    start = BGMMFit("", max_samples=subsample, seed=args.seed)
+    start.fit(sub, max_components=args.K)
+    sys.stderr.write(
+        f"BGMM start model on {sub.shape[0]} subsampled pairs in "
+        f"{time.perf_counter() - t0:.1f}s\n")
+
+    t0 = time.perf_counter()
+    mean0 = start.means[start.within_label]
+    mean1 = start.means[start.between_label]
+    opt_x, opt_y, s_opt, sweep = refine_fit_device(
+        cd, start.scale, mean0, mean1, max_move=args.pos_shift,
+        min_move=args.neg_shift, score_idx=args.score_idx,
+        betweenness_sample=args.betweenness_sample, seed=args.seed,
+        max_sweep_fetch=args.max_sweep_fetch)
+    sys.stderr.write(
+        f"Refined boundary: core {opt_x * start.scale[0]:.6f}, "
+        f"accessory {opt_y * start.scale[1]:.6f} "
+        f"in {time.perf_counter() - t0:.1f}s\n")
+
+    model = RefineFit(output, seed=args.seed)
+    model.scale = np.copy(start.scale)
+    model.mean0, model.mean1 = mean0, mean1
+    model.min_move, model.max_move = args.neg_shift, args.pos_shift
+    model.optimal_x, model.optimal_y = opt_x, opt_y
+    model.core_boundary, model.accessory_boundary = opt_x, opt_y
+    model.fitted = True
+    model.indiv_fitted = False
+    model.save()
+    if not args.no_plot:
+        try:
+            model.plot(sub)
+        except Exception as e:  # plotting must never kill the pipeline
+            sys.stderr.write(f"Plotting failed: {e}\n")
+
+    clusters = _network_and_clusters(cd, sweep, s_opt, names, output, args)
+
+    if args.write_lineages:
+        _write_lineages(cd, ranks, names, output)
+
+    if args.extract_references:
+        _extract_refs(clusters, names, ref_db, output, args)
+
+    ref_h5 = db_h5_path(ref_db)
+    out_h5 = db_h5_path(output)
+    if os.path.isfile(ref_h5) and not os.path.exists(out_h5):
+        shutil.copy(ref_h5, out_h5)
+    sys.stderr.write("Done\n")
+    return model
+
+
+def _network_and_clusters(cd, sweep, s_opt, names, output, args):
+    """Final network at the refined boundary -> _graph + _clusters.csv.
+
+    Returns (G, clustering dict)."""
+    from ..network.clusters import print_clusters
+    from ..network.graph import Graph, save_network
+    from ..scale import offset_threshold
+
+    kind, i, j, idx, d0, s_range, line = sweep
+    assert kind == "sparse"  # streaming populations never take the
+    # matmul branch (refine_fit_device routes on cd.buf)
+    t_final = offset_threshold(float(s_opt), s_range, 2, *line)
+    mask = d0 <= t_final
+    edges = np.stack([i[mask], j[mask]], axis=1).astype(np.int64)
+    G = Graph(cd.n, edges)
+    save_network(G, prefix=output, suffix="_graph")
+    clustering, _ = print_clusters(
+        G, names, out_prefix=file_base(output),
+        external_cluster_csv=args.external_clustering, write_unwords=True)
+    n_clusters = len(set(clustering.values()))
+    sys.stderr.write(
+        f"Network: {edges.shape[0]} edges, {n_clusters} clusters\n")
+    return G, clustering
+
+
+def _write_lineages(cd, ranks, names, output):
+    """Per-rank lineage clusters from the fused kNN (default-flag
+    LineageFit semantics: rank r keeps each sample's r nearest
+    neighbours, models/lineage.py; the kNN was accumulated inside the
+    distance pass so this costs no extra distance work)."""
+    from ..network.clusters import print_clusters
+    from ..network.graph import Graph
+
+    n = cd.n
+    lineage_clusters = {}
+    for rank in ranks:
+        cols = cd.knn_col[:, :rank]
+        rows = np.repeat(np.arange(n, dtype=np.int64), rank)
+        edges = np.stack([rows, cols.ravel().astype(np.int64)], axis=1)
+        G = Graph(n, edges)
+        clustering, _ = print_clusters(
+            G, names, out_prefix=file_base(output) + f"_rank{rank}",
+            print_csv=False, write_unwords=False)
+        lineage_clusters[rank] = {name: clustering[name] for name in names}
+        sys.stderr.write(
+            f"Rank {rank}: {len(set(clustering.values()))} lineages\n")
+
+    overall = create_overall_lineage(ranks, lineage_clusters)
+    path = file_base(output) + "_lineages.csv"
+    with open(path, "w") as f:
+        cols = ["Rank_" + str(r) for r in ranks] + ["overall"]
+        f.write(",".join(["id"] + cols) + "\n")
+        for name in names:
+            f.write(",".join([name] + [str(overall[c][name])
+                                       for c in cols]) + "\n")
+
+
+def _extract_refs(graph_and_clusters, names, ref_db, output, args):
+    """Opt-in clique pruning (reference __main__.py:765-789 minus the
+    dists pruning — there is no host condensed matrix to prune)."""
+    from ..io.hdf5db import remove_from_db
+    from ..network.cliques import extract_references
+    from ..network.graph import save_network
+
+    G, _ = graph_and_clusters
+    _, ref_names, _, G_ref = extract_references(
+        G, names, output, threads=args.threads)
+    if len(ref_names) < len(names):
+        sys.stderr.write(f"Pruned network to {len(ref_names)} references\n")
+        save_network(G_ref, prefix=output, suffix=".refs_graph")
+        if os.path.isfile(db_h5_path(ref_db)):
+            tmp = remove_from_db(ref_db, output,
+                                 set(names) - set(ref_names))
+            os.rename(tmp, file_base(output) + ".refs.h5")
+    else:
+        sys.stderr.write("All samples kept as references\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,7 @@ def plane_geometry(sketchsize64, bbits):
 
 
 def pack_planes(sketches, klist=None, plane_major=False,
-                pad_to_even=False):
+                pad_to_even=False, pad_to=None):
     """Pack Sketch objects into the device plane tensor.
 
     Returns (planes uint32[n, K, P, Wp], lengths int32[n], freqs f32[n, 4]).
@@ -52,7 +52,10 @@ def pack_planes(sketches, klist=None, plane_major=False,
     plane_major=True emits [K, P, n, Wp] — the layout the scale pipeline
     (poppunk_tpu/scale.py) keeps resident. pad_to_even appends one
     all-zero pad genome when n is odd (the folded condensed layout needs
-    even n); StreamingCondensed masks it exactly via n_real.
+    even n); pad_to=m pads with zero genomes up to an arbitrary m >= n
+    (so real-world populations meet the folded layout's chunk-divisibility
+    requirement, poppunk_tpu/cli/scale.py); StreamingCondensed masks the
+    pads exactly via n_real.
     """
     ss64 = sketches[0].sketchsize64
     bbits = sketches[0].bbits
@@ -60,7 +63,12 @@ def pack_planes(sketches, klist=None, plane_major=False,
         klist = sorted(sketches[0].usigs.keys())
     w32, wp, _ = plane_geometry(ss64, bbits)
     n_real = len(sketches)
-    n = n_real + (n_real % 2 if pad_to_even else 0)
+    if pad_to is not None:
+        if pad_to < n_real:
+            raise ValueError(f"pad_to ({pad_to}) < population ({n_real})")
+        n = int(pad_to)
+    else:
+        n = n_real + (n_real % 2 if pad_to_even else 0)
     shape = ((len(klist), bbits, n, wp) if plane_major
              else (n, len(klist), bbits, wp))
     planes = np.zeros(shape, dtype=np.uint32)

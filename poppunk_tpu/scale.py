@@ -649,8 +649,8 @@ class StreamingCondensed:
         n = planes.shape[2]  # PADDED count (even); see n_real
         if n_real is None:
             n_real = n
-        if not n_real <= n <= n_real + 1:
-            raise ValueError(f"n_real ({n_real}) must be n or n-1 ({n})")
+        if not n_real <= n:
+            raise ValueError(f"n_real ({n_real}) must be <= n ({n})")
         half = fold_rows(n)
         self._mesh = mesh
         if mesh is not None:

@@ -333,6 +333,78 @@ class TestOddNStreaming:
         assert (si < self.N_ODD).all() and (sj < self.N_ODD).all()
 
 
+class TestArbitraryPadStreaming:
+    """Arbitrary zero-genome padding (pack_planes pad_to): real-world
+    populations pad up to the folded layout's chunk granularity
+    (cli/scale.py), so n - n_real can be any gap, not just 1. All pads
+    must be exactly masked, single-device and mesh-sharded alike."""
+
+    N_REAL = 61
+
+    def _padded(self, pop, n_pad):
+        planes = np.asarray(pop.planes)[:, :, :self.N_REAL, :]
+        planes_pad = np.zeros(
+            planes.shape[:2] + (n_pad,) + planes.shape[3:], np.uint32)
+        planes_pad[:, :, :self.N_REAL] = planes
+        lengths = np.full(n_pad, 2_000_000, np.int32)
+        lengths[:self.N_REAL] = np.asarray(pop.lengths)[:self.N_REAL]
+        freqs = np.full((n_pad, 4), 0.25, np.float32)
+        freqs[:self.N_REAL] = np.asarray(pop.freqs)[:self.N_REAL]
+        return jnp.asarray(planes_pad), lengths, freqs
+
+    @pytest.fixture(scope="class")
+    def oracle(self, pop):
+        planes = np.asarray(pop.planes)[:, :, :self.N_REAL, :]
+        return condensed_self_block(
+            np.moveaxis(planes, 2, 0),
+            np.asarray(pop.lengths)[:self.N_REAL],
+            np.asarray(pop.freqs)[:self.N_REAL], KLIST, SS64, BBITS)
+
+    def _check(self, sc, oracle):
+        assert sc.n == self.N_REAL
+        assert sc.n_pairs == len(oracle)
+        h_rows, h_cols, h_dists = knn_from_condensed(
+            oracle[:, 0], self.N_REAL, 5)
+        rows, cols, dists = sc.knn_sparse()
+        assert np.array_equal(rows, h_rows)
+        np.testing.assert_allclose(dists, h_dists, rtol=1e-5, atol=1e-7)
+        assert (cols < self.N_REAL).all()
+        np.testing.assert_allclose(sc.max_scale(), oracle.max(axis=0),
+                                   rtol=1e-6)
+        scale = oracle.max(axis=0)
+        offsets = np.linspace(0.0, 0.5, 20)
+        hi, hj, hidx = threshold_iterate_1d_fast(
+            oracle / scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
+        si, sj, sidx, _ = sweep_first_offsets(sc, scale, offsets, 2,
+                                              0.1, 0.1, 0.7, 0.7)
+        assert sorted(zip(hi, hj, hidx)) == sorted(zip(si, sj, sidx))
+        assert (si < self.N_REAL).all() and (sj < self.N_REAL).all()
+
+    def test_single_device_gap11(self, pop, oracle):
+        from poppunk_tpu.scale import StreamingCondensed
+
+        planes, lengths, freqs = self._padded(pop, 72)  # half=36, chunk 4
+        sc = StreamingCondensed(planes, lengths, freqs, KLIST, SS64,
+                                BBITS, chunk=4, knn=5, subsample=(150, 3),
+                                n_real=self.N_REAL)
+        self._check(sc, oracle)
+
+    def test_sharded_gap19(self, pop, oracle):
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import StreamingCondensed
+
+        n_dev = len(jax.devices())
+        if (80 // 2) % n_dev:
+            pytest.skip("needs a device count dividing 40")
+        planes, lengths, freqs = self._padded(pop, 80)  # half_loc=5
+        sc = StreamingCondensed(planes, lengths, freqs, KLIST, SS64,
+                                BBITS, chunk=5, knn=5, subsample=(150, 3),
+                                n_real=self.N_REAL, mesh=get_mesh(n_dev))
+        self._check(sc, oracle)
+
+
 @pytest.mark.slow
 class TestManyStrainStreaming:
     """The >20480-tier regime at CPU scale: many strains, capped sweep,

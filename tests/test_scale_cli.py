@@ -1,0 +1,111 @@
+"""poppunk_tpu_scale — streaming-tier fit of a real sketch database.
+
+The CLI twin of tests/test_scale.py's pipeline tests: artefact
+conventions, cluster correctness vs the planted strains, and
+loadability of the refine model it writes.
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from poppunk_tpu.cli.main import main as poppunk_main
+from poppunk_tpu.cli.scale import main as scale_main
+
+KARGS = ["--min-k", "13", "--max-k", "25", "--k-step", "4",
+         "--sketch-size", "2048", "--no-plot"]
+
+
+def read_clusters(csv_path):
+    with open(csv_path) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["Taxon", "Cluster"]
+    return {name: cl for name, cl in rows[1:]}
+
+
+@pytest.fixture(scope="module")
+def db(population_dir, tmp_path_factory):
+    d, rfile = population_dir
+    out = str(tmp_path_factory.mktemp("scale_cli") / "db")
+    poppunk_main(["--create-db", "--r-files", rfile, "--output", out]
+                 + KARGS)
+    return out
+
+
+@pytest.fixture(scope="module")
+def fitted(db, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scale_cli") / "scalefit")
+    scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                "--write-lineages", "--ranks", "1,2", "--seed", "42"])
+    return out
+
+
+class TestScaleCLI:
+    def test_artefacts(self, fitted):
+        base = os.path.join(fitted, os.path.basename(fitted))
+        for ext in ("_fit.pkl", "_fit.npz", "_clusters.csv",
+                    "_unword_clusters.csv", ".dists.pkl", "_lineages.csv",
+                    ".h5"):
+            assert os.path.isfile(base + ext), ext
+        assert os.path.isfile(base + "_graph.graph.npz")
+        # deliberately no condensed matrix on disk
+        assert not os.path.isfile(base + ".dists.npy")
+
+    def test_clusters_strain_pure(self, fitted, population):
+        # refine may legitimately choose a tighter boundary than the
+        # strain split on synthetic data (tests/test_cli.py's refine
+        # invariant); no cluster may MIX strains
+        base = os.path.join(fitted, os.path.basename(fitted))
+        clustering = read_clusters(base + "_clusters.csv")
+        by_cluster = {}
+        for name, cl in clustering.items():
+            by_cluster.setdefault(cl, set()).add(population.strain_of[name])
+        assert 4 <= len(by_cluster) <= 10
+        assert all(len(s) == 1 for s in by_cluster.values())
+
+    def test_rank1_lineages_refine_strains(self, fitted, population):
+        base = os.path.join(fitted, os.path.basename(fitted))
+        with open(base + "_lineages.csv") as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["id", "Rank_1", "Rank_2", "overall"]
+        assert len(rows) - 1 == len(population.names)
+        # rank-1 lineages are sub-clusters of strains: no lineage spans
+        # two strains in this well-separated population
+        by_lineage = {}
+        for name, r1, _, _ in rows[1:]:
+            by_lineage.setdefault(r1, set()).add(population.strain_of[name])
+        assert all(len(s) == 1 for s in by_lineage.values())
+
+    def test_model_round_trips_through_loader(self, fitted, db):
+        from poppunk_tpu.models import load_cluster_fit
+        from poppunk_tpu.utils import read_pickle
+
+        base = os.path.join(fitted, os.path.basename(fitted))
+        model = load_cluster_fit(base + "_fit.pkl", base + "_fit.npz")
+        assert model.type == "refine"
+        assert model.fitted and not model.indiv_fitted
+
+        # boundary assignments of the true condensed matrix reproduce the
+        # CLI's network: the model must classify exactly the written edges
+        db_base = os.path.join(db, os.path.basename(db))
+        rlist, _, _, X = read_pickle(db_base + ".dists")
+        y = model.assign(X)
+        from poppunk_tpu.network.graph import load_network_file
+        from poppunk_tpu.pairs import all_pairs
+
+        G = load_network_file(base + "_graph.graph.npz")
+        i, j = all_pairs(len(rlist))
+        within = set(map(tuple, np.stack([i, j], axis=1)[y == -1]))
+        stored = set(map(tuple, np.sort(G.edges, axis=1)))
+        assert within == stored
+
+    def test_dists_pkl_names_sorted(self, fitted, population):
+        from poppunk_tpu.utils import read_pickle
+
+        base = os.path.join(fitted, os.path.basename(fitted))
+        rlist, qlist, self_mode, X = read_pickle(base + ".dists",
+                                                 distances=False)
+        assert self_mode and rlist == qlist == sorted(population.names)
+        assert X is None
