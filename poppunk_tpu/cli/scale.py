@@ -158,7 +158,7 @@ def main(arg_list=None):
     ranks = sorted(int(x) for x in args.ranks.split(","))
     knn = max(args.knn, max(ranks) if args.write_lineages else 0)
 
-    klist, sketch_size, codon_phased = read_db_params(ref_db)
+    klist, _, _ = read_db_params(ref_db)
     sketches = read_sketches(ref_db)  # sorted-name order (the reference's
     # readRfile convention, so .dists.pkl matches assign's expectations)
     names = [sk.name for sk in sketches]
