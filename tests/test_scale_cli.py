@@ -101,6 +101,40 @@ class TestScaleCLI:
         stored = set(map(tuple, np.sort(G.edges, axis=1)))
         assert within == stored
 
+    def test_assign_drops_in(self, population, population_dir,
+                             tmp_path_factory):
+        """A scale-fitted database is a drop-in reference for
+        poppunk_tpu_assign: held-out queries join their strain's
+        cluster with no .dists.npy on disk."""
+        from poppunk_tpu.cli.assign import main as assign_main
+
+        d, _ = population_dir
+        refs = [n for n in population.names if not n.endswith("iso0")]
+        queries = [n for n in population.names if n not in refs]
+        rfile = population.subset_rfile(d, refs, "scale_refs.txt")
+        qfile = population.subset_rfile(d, queries, "scale_queries.txt")
+        root = tmp_path_factory.mktemp("scale_assign")
+        db = str(root / "db")
+        poppunk_main(["--create-db", "--r-files", rfile, "--output", db]
+                     + KARGS)
+        fit = str(root / "fit")
+        scale_main(["--ref-db", db, "--output", fit, "--no-plot"])
+        out = str(root / "assigned")
+        assign_main(["--db", fit, "--query", qfile, "--output", out])
+
+        ref_clusters = read_clusters(
+            os.path.join(fit, "fit_clusters.csv"))
+        got = read_clusters(os.path.join(out, "assigned_clusters.csv"))
+        assert set(queries) <= set(got)
+        for q in queries:
+            strain = population.strain_of[q]
+            others = {ref_clusters[r] for r in refs
+                      if population.strain_of[r] != strain}
+            # on 11 genomes refine picks a tight boundary: a query may
+            # rejoin its strain's (possibly merged, "a_b") clusters or
+            # found a novel cluster — but may NEVER join another strain
+            assert not set(got[q].split("_")) & others
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
