@@ -74,6 +74,11 @@ def get_options(arg_list=None):
                                   "within-strain mean")
     model_group.add_argument("--score-idx", type=int, default=0,
                              choices=[0, 1, 2])
+    model_group.add_argument("--indiv-refine",
+                             choices=["both", "core", "accessory"],
+                             default=None,
+                             help="Also refine core-only / accessory-only "
+                                  "boundaries (extra streaming sweeps)")
     model_group.add_argument("--betweenness-sample", type=int, default=100)
     model_group.add_argument("--max-sweep-fetch", type=int,
                              default=40_000_000,
@@ -227,6 +232,35 @@ def main(arg_list=None):
     model.core_boundary, model.accessory_boundary = opt_x, opt_y
     model.fitted = True
     model.indiv_fitted = False
+
+    # core-only / accessory-only refits (PopPUNK/models.py:923-948) —
+    # the same streaming sweep at slope 0 / 1
+    indiv_sweeps = {}
+    if args.indiv_refine is not None:
+        try:
+            for dist_type, slope in (("core", 0), ("accessory", 1)):
+                if args.indiv_refine not in ("both", dist_type):
+                    continue
+                sys.stderr.write(
+                    f"Refining {dist_type} distances separately\n")
+                ix, iy, i_s, i_sweep = refine_fit_device(
+                    cd, start.scale, mean0, mean1, max_move=args.pos_shift,
+                    min_move=args.neg_shift, score_idx=args.score_idx,
+                    betweenness_sample=args.betweenness_sample,
+                    seed=args.seed, max_sweep_fetch=args.max_sweep_fetch,
+                    slope=slope)
+                if dist_type == "core":
+                    model.core_boundary = ix
+                else:
+                    model.accessory_boundary = iy
+                indiv_sweeps[dist_type] = (i_sweep, i_s, slope)
+            model.indiv_fitted = True
+        except RuntimeError as e:
+            indiv_sweeps = {}
+            sys.stderr.write(
+                f"{e}\nCould not separately refine core and accessory "
+                "boundaries. Using joint 2D refinement only.\n")
+
     model.save()
     if not args.no_plot:
         try:
@@ -235,6 +269,9 @@ def main(arg_list=None):
             sys.stderr.write(f"Plotting failed: {e}\n")
 
     clusters = _network_and_clusters(cd, sweep, s_opt, names, output, args)
+    for dist_type, (i_sweep, i_s, slope) in indiv_sweeps.items():
+        _network_and_clusters(cd, i_sweep, i_s, names, output, args,
+                              suffix="_" + dist_type, slope=slope)
 
     if args.write_lineages:
         _write_lineages(cd, ranks, names, output)
@@ -250,10 +287,11 @@ def main(arg_list=None):
     return model
 
 
-def _network_and_clusters(cd, sweep, s_opt, names, output, args):
-    """Final network at the refined boundary -> _graph + _clusters.csv.
-
-    Returns (G, clustering dict)."""
+def _network_and_clusters(cd, sweep, s_opt, names, output, args,
+                          suffix="", slope=2):
+    """Final network at the refined boundary -> _graph + _clusters.csv
+    (suffix "_core"/"_accessory" for the indiv-refine projections,
+    reference __main__.py:635-654). Returns (G, clustering dict)."""
     from ..network.clusters import print_clusters
     from ..network.graph import Graph, save_network
     from ..scale import offset_threshold
@@ -261,17 +299,19 @@ def _network_and_clusters(cd, sweep, s_opt, names, output, args):
     kind, i, j, idx, d0, s_range, line = sweep
     assert kind == "sparse"  # streaming populations never take the
     # matmul branch (refine_fit_device routes on cd.buf)
-    t_final = offset_threshold(float(s_opt), s_range, 2, *line)
+    t_final = offset_threshold(float(s_opt), s_range, slope, *line)
     mask = d0 <= t_final
     edges = np.stack([i[mask], j[mask]], axis=1).astype(np.int64)
     G = Graph(cd.n, edges)
-    save_network(G, prefix=output, suffix="_graph")
+    save_network(G, prefix=output, suffix=suffix + "_graph")
     clustering, _ = print_clusters(
-        G, names, out_prefix=file_base(output),
-        external_cluster_csv=args.external_clustering, write_unwords=True)
+        G, names, out_prefix=file_base(output) + suffix,
+        external_cluster_csv=args.external_clustering,
+        write_unwords=(suffix == ""))
     n_clusters = len(set(clustering.values()))
     sys.stderr.write(
-        f"Network: {edges.shape[0]} edges, {n_clusters} clusters\n")
+        f"Network{suffix or ''}: {edges.shape[0]} edges, "
+        f"{n_clusters} clusters\n")
     return G, clustering
 
 

@@ -1231,17 +1231,21 @@ def components_device(d0_sq, threshold):
 
 def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                       score_idx=0, betweenness_sample=100, seed=42,
-                      n_grid=40, max_sweep_fetch=40_000_000):
+                      n_grid=40, max_sweep_fetch=40_000_000, slope=2):
     """Global + local 1-D boundary refinement over the device buffer.
 
-    Mirrors models/refine.refine_fit (slope 2, constrained): 40-point
-    global sweep then a bounded scalar local optimisation. score_idx 0
-    runs the matmul sweep — every offset scored on device, O(1) fetched
-    (see build_d0_square); the betweenness scores (idx 1/2) fetch the
-    sparse in-boundary pairs once and score them with the native engine.
+    Mirrors models/refine.refine_fit (constrained): 40-point global
+    sweep then a bounded scalar local optimisation; slope 2 moves the
+    diagonal boundary, slope 0/1 the core-only / accessory-only vertical
+    and horizontal boundaries (the --indiv-refine refits,
+    PopPUNK/models.py:923-948). score_idx 0 runs the matmul sweep —
+    every offset scored on device, O(1) fetched (see build_d0_square);
+    the betweenness scores (idx 1/2) fetch the sparse in-boundary pairs
+    once and score them with the native engine.
     Returns (optimal_x, optimal_y, s_opt, sweep_data); sweep_data is
     ("device", d0_sq, s_range, params) or
-    ("sparse", i, j, idx, d0, s_range, params).
+    ("sparse", i, j, idx, d0, s_range, params); for slope 0/1 the
+    optimal value rides optimal_x / optimal_y respectively.
 
     Streaming populations (no buffer) first run a counts-only histogram
     pass, then fetch pairs only for offsets whose cumulative count is
@@ -1266,14 +1270,14 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     use_matmul = (score_idx == 0 and cd.n <= MATMUL_SWEEP_MAX_N
                   and cd.buf is not None)
     if use_matmul:
-        d0_sq, t_grid = build_d0_square(cd, scale, 2, *line, s_range)
+        d0_sq, t_grid = build_d0_square(cd, scale, slope, *line, s_range)
         global_s, edge_counts = matmul_sweep_scores(d0_sq, t_grid)
         if edge_counts[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
     elif cd.buf is None:
         from .network.incremental import grow_network_scores
 
-        cum = sweep_counts_streaming(cd, scale, s_range, 2, *line)
+        cum = sweep_counts_streaming(cd, scale, s_range, slope, *line)
         if cum[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
         fetchable = np.nonzero(cum <= max_sweep_fetch)[0]
@@ -1289,7 +1293,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 f"{max_sweep_fetch}); scored as 1\n")
         for _ in range(3):
             i, j, idx, d0 = sweep_first_offsets(
-                cd, scale, s_range, 2, *line, _n_act=o_star + 1)
+                cd, scale, s_range, slope, *line, _n_act=o_star + 1)
             global_s = np.ones(n_grid)
             global_s[:o_star + 1] = grow_network_scores(
                 cd.n, i, j, idx, o_star + 1, score_idx,
@@ -1309,7 +1313,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     else:
         from .network.incremental import grow_network_scores
 
-        i, j, idx, d0 = sweep_first_offsets(cd, scale, s_range, 2, *line)
+        i, j, idx, d0 = sweep_first_offsets(cd, scale, s_range, slope, *line)
         if len(i) == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
         global_s = grow_network_scores(cd.n, i, j, idx, n_grid, score_idx,
@@ -1331,7 +1335,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         for _level in range(2):
             sub_s = np.linspace(lo, hi, 18)[1:-1]
             t_sub = np.maximum.accumulate([
-                offset_threshold(float(s), s_range, 2, *line)
+                offset_threshold(float(s), s_range, slope, *line)
                 for s in sub_s])
             keep = d0 <= t_sub[-1]  # the native engine clamps
             # out-of-range offsets IN (prepare_edges), so exclude first
@@ -1348,13 +1352,13 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     elif 0 < min_idx < n_grid - 1:
         if use_matmul:
             def local_score(s_val):
-                t_s = offset_threshold(float(s_val), s_range, 2, *line)
+                t_s = offset_threshold(float(s_val), s_range, slope, *line)
                 return matmul_sweep_scores(d0_sq, [t_s])[0][0]
         else:
             from .network.incremental import grow_network_scores
 
             def local_score(s_val):
-                t_s = offset_threshold(float(s_val), s_range, 2, *line)
+                t_s = offset_threshold(float(s_val), s_range, slope, *line)
                 mask = d0 <= t_s
                 return grow_network_scores(
                     cd.n, i[mask], j[mask],
@@ -1369,10 +1373,17 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     else:
         s_opt = float(s_range[min_idx])
 
-    optimal_x, optimal_y = decision_boundary(
-        transform_line(s_opt, mean0, mean1), gradient)
-    if optimal_x < 0 or optimal_y < 0:
-        raise RuntimeError("Optimisation produced a boundary outside range")
+    coor = transform_line(s_opt, mean0, mean1)
+    if slope == 2:
+        optimal_x, optimal_y = decision_boundary(coor, gradient)
+        if optimal_x < 0 or optimal_y < 0:
+            raise RuntimeError(
+                "Optimisation produced a boundary outside range")
+    else:
+        optimal_x, optimal_y = coor[0], coor[1]
+        if (slope == 0 and optimal_x < 0) or (slope == 1 and optimal_y < 0):
+            raise RuntimeError(
+                "Optimisation produced a boundary outside range")
     if use_matmul:
         sweep_data = ("device", d0_sq, s_range, line)
     else:

@@ -228,6 +228,20 @@ class TestStreamingCondensed:
         assert np.array_equal(sidx, bidx)
         np.testing.assert_allclose(sd0, bd0, rtol=1e-6, atol=1e-7)
 
+    @pytest.mark.parametrize("slope", [0, 1])
+    def test_indiv_slope_sweep_matches_host(self, sc, host_condensed,
+                                            slope):
+        # slope 0/1 sweeps back the --indiv-refine core-only /
+        # accessory-only refits (cli/scale.py); oracle = host fast sweep
+        scale = host_condensed.max(axis=0)
+        Xs = host_condensed / scale
+        offsets = np.linspace(0.0, 0.5, 20)
+        hi, hj, hidx = threshold_iterate_1d_fast(
+            Xs, offsets, slope, 0.1, 0.1, 0.7, 0.7)
+        si, sj, sidx, _ = sweep_first_offsets(sc, scale, offsets, slope,
+                                              0.1, 0.1, 0.7, 0.7)
+        assert sorted(zip(hi, hj, hidx)) == sorted(zip(si, sj, sidx))
+
     def test_pipeline_streaming_equals_buffered(self):
         kwargs = dict(
             n=256, klist=(13, 15, 17, 19, 21, 23), sketchsize64=64,

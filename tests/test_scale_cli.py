@@ -135,6 +135,24 @@ class TestScaleCLI:
             # found a novel cluster — but may NEVER join another strain
             assert not set(got[q].split("_")) & others
 
+    def test_indiv_refine(self, db, population, tmp_path):
+        out = str(tmp_path / "indiv")
+        scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                    "--indiv-refine", "both"])
+        base = os.path.join(out, "indiv")
+        fit = np.load(base + "_fit.npz")
+        assert bool(fit["indiv_fitted"])
+        cb, ab = fit["core_acc_intercepts"]
+        assert cb > 0 and ab > 0
+        for suffix in ("", "_core", "_accessory"):
+            assert os.path.isfile(base + suffix + "_graph.graph.npz")
+            clustering = read_clusters(base + suffix + "_clusters.csv")
+            by_cluster = {}
+            for name, cl in clustering.items():
+                by_cluster.setdefault(cl, set()).add(
+                    population.strain_of[name])
+            assert all(len(s) == 1 for s in by_cluster.values()), suffix
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
