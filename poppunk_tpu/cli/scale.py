@@ -74,11 +74,19 @@ def get_options(arg_list=None):
                                   "within-strain mean")
     model_group.add_argument("--score-idx", type=int, default=0,
                              choices=[0, 1, 2])
-    model_group.add_argument("--indiv-refine",
+    refine_mode = model_group.add_mutually_exclusive_group()
+    refine_mode.add_argument("--indiv-refine",
                              choices=["both", "core", "accessory"],
                              default=None,
                              help="Also refine core-only / accessory-only "
                                   "boundaries (extra streaming sweeps)")
+    refine_mode.add_argument("--unconstrained", action="store_true",
+                             help="Optimise the boundary over the full "
+                                  "2-D grid instead of the mean0-mean1 "
+                                  "line (one extra streaming pass)")
+    model_group.add_argument("--no-local", action="store_true",
+                             help="Skip the local boundary refinement "
+                                  "step")
     model_group.add_argument("--betweenness-sample", type=int, default=100)
     model_group.add_argument("--max-sweep-fetch", type=int,
                              default=40_000_000,
@@ -214,11 +222,21 @@ def main(arg_list=None):
     t0 = time.perf_counter()
     mean0 = start.means[start.within_label]
     mean1 = start.means[start.between_label]
-    opt_x, opt_y, s_opt, sweep = refine_fit_device(
-        cd, start.scale, mean0, mean1, max_move=args.pos_shift,
-        min_move=args.neg_shift, score_idx=args.score_idx,
-        betweenness_sample=args.betweenness_sample, seed=args.seed,
-        max_sweep_fetch=args.max_sweep_fetch)
+    if args.unconstrained:
+        from ..scale import refine_fit_device_2d
+
+        opt_x, opt_y, sweep = refine_fit_device_2d(
+            cd, start.scale, mean0, mean1, max_move=args.pos_shift,
+            min_move=args.neg_shift, score_idx=args.score_idx,
+            betweenness_sample=args.betweenness_sample, seed=args.seed,
+            max_sweep_fetch=args.max_sweep_fetch, no_local=args.no_local)
+        s_opt = None
+    else:
+        opt_x, opt_y, s_opt, sweep = refine_fit_device(
+            cd, start.scale, mean0, mean1, max_move=args.pos_shift,
+            min_move=args.neg_shift, score_idx=args.score_idx,
+            betweenness_sample=args.betweenness_sample, seed=args.seed,
+            max_sweep_fetch=args.max_sweep_fetch, no_local=args.no_local)
     sys.stderr.write(
         f"Refined boundary: core {opt_x * start.scale[0]:.6f}, "
         f"accessory {opt_y * start.scale[1]:.6f} "
@@ -232,6 +250,7 @@ def main(arg_list=None):
     model.core_boundary, model.accessory_boundary = opt_x, opt_y
     model.fitted = True
     model.indiv_fitted = False
+    model.unconstrained = args.unconstrained
 
     # core-only / accessory-only refits (PopPUNK/models.py:923-948) —
     # the same streaming sweep at slope 0 / 1
@@ -248,7 +267,7 @@ def main(arg_list=None):
                     min_move=args.neg_shift, score_idx=args.score_idx,
                     betweenness_sample=args.betweenness_sample,
                     seed=args.seed, max_sweep_fetch=args.max_sweep_fetch,
-                    slope=slope)
+                    slope=slope, no_local=args.no_local)
                 if dist_type == "core":
                     model.core_boundary = ix
                 else:
@@ -268,7 +287,8 @@ def main(arg_list=None):
         except Exception as e:  # plotting must never kill the pipeline
             sys.stderr.write(f"Plotting failed: {e}\n")
 
-    clusters = _network_and_clusters(cd, sweep, s_opt, names, output, args)
+    clusters = _network_and_clusters(cd, sweep, s_opt, names, output, args,
+                                     boundary=(opt_x, opt_y))
     for dist_type, (i_sweep, i_s, slope) in indiv_sweeps.items():
         _network_and_clusters(cd, i_sweep, i_s, names, output, args,
                               suffix="_" + dist_type, slope=slope)
@@ -288,7 +308,7 @@ def main(arg_list=None):
 
 
 def _network_and_clusters(cd, sweep, s_opt, names, output, args,
-                          suffix="", slope=2):
+                          suffix="", slope=2, boundary=None):
     """Final network at the refined boundary -> _graph + _clusters.csv
     (suffix "_core"/"_accessory" for the indiv-refine projections,
     reference __main__.py:635-654). Returns (G, clustering dict)."""
@@ -296,11 +316,18 @@ def _network_and_clusters(cd, sweep, s_opt, names, output, args,
     from ..network.graph import Graph, save_network
     from ..scale import offset_threshold
 
-    kind, i, j, idx, d0, s_range, line = sweep
-    assert kind == "sparse"  # streaming populations never take the
-    # matmul branch (refine_fit_device routes on cd.buf)
-    t_final = offset_threshold(float(s_opt), s_range, slope, *line)
-    mask = d0 <= t_final
+    # streaming populations never take the matmul branch
+    # (refine_fit_device routes on cd.buf), so sweeps are sparse
+    if sweep[0] == "sparse2d":
+        _, i, j, xs, ys = sweep
+        bx, by = boundary
+        mask = ys * np.float32(bx) + xs * np.float32(by) \
+            - np.float32(bx) * np.float32(by) <= 0
+    else:
+        kind, i, j, idx, d0, s_range, line = sweep
+        assert kind == "sparse"
+        t_final = offset_threshold(float(s_opt), s_range, slope, *line)
+        mask = d0 <= t_final
     edges = np.stack([i[mask], j[mask]], axis=1).astype(np.int64)
     G = Graph(cd.n, edges)
     save_network(G, prefix=output, suffix=suffix + "_graph")

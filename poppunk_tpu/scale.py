@@ -914,6 +914,260 @@ def _stream_sweep_counts(planes, lengths, freqs, s0, scale, t, xm0, ym0, c,
 
 
 # ---------------------------------------------------------------------------
+# 2-D (unconstrained) streaming sweep
+#
+# The unconstrained search scores a 20x20 grid of (x_max, y_max)
+# boundaries (PopPUNK/refine.py:116-166 — the reference farms y rows to a
+# process pool over the full HOST matrix). Streaming twin: boundaries
+# nest in both axes (inside at (xm, ym) => inside at any larger pair), so
+# one counts pass sees every cell's density and ONE fetch pass gathers
+# each in-union pair's scaled (x, y) coordinates; per-cell membership and
+# first-x-offsets are then host arithmetic over the O(E) fetched pairs.
+
+
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "use_pallas",
+                                   "n_real"))
+def _stream_sweep2d_counts(planes, lengths, freqs, s0, scale, xg, yg, c,
+                           steps, klist, sketchsize64, bbits, pad_bits,
+                           use_pallas, n_real=None):
+    """In-boundary pair counts for every (y, x) grid cell over `steps`
+    folded chunks from row s0. Returns i32[ny, nx] (summed in int64 on
+    the host across dispatches)."""
+
+    def body(cum, s):
+        folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                                   sketchsize64, bbits, pad_bits, 1, 0,
+                                   use_pallas, n_real)
+        Xs = folded.reshape(-1, 2) / scale
+        x, y = Xs[:, 0], Xs[:, 1]
+
+        def cell(xm, ym):
+            linear = y * xm + x * ym - xm * ym
+            d = jnp.where(xm * ym == 0, jnp.sqrt(x * x + y * y), linear)
+            return (d <= 0).sum(dtype=jnp.int32)
+
+        counts = jax.vmap(lambda ym: jax.vmap(
+            lambda xm: cell(xm, ym))(xg))(yg)
+        return cum + counts, None
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    init = jnp.zeros((yg.shape[0], xg.shape[0]), jnp.int32)
+    cum, _ = jax.lax.scan(body, init, starts)
+    return cum
+
+
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "use_pallas",
+                                   "n_real"))
+def _stream_sweep2d_fetch(planes, lengths, freqs, s0, scale, x_caps, yg, c,
+                          steps, klist, sketchsize64, bbits, pad_bits,
+                          use_pallas, n_real=None):
+    """Compact the pairs inside the UNION of per-row cap boundaries
+    (x_caps[r] = widest scoreable x_max of row r, <= 0 disables the row)
+    into one sorted bucket, returning their flat positions and scaled
+    coordinates. Mirrors _stream_sweep_group's compaction."""
+
+    def body(_, s):
+        folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                                   sketchsize64, bbits, pad_bits, 1, 0,
+                                   use_pallas, n_real)
+        Xs = folded.reshape(-1, 2) / scale
+        x, y = Xs[:, 0], Xs[:, 1]
+
+        def in_row(xm, ym):
+            linear = y * xm + x * ym - xm * ym
+            d = jnp.where(xm * ym == 0, jnp.sqrt(x * x + y * y), linear)
+            return (d <= 0) & (xm > 0)
+
+        inside = jax.vmap(in_row)(x_caps, yg).any(axis=0)
+        return None, (inside, x, y)
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    _, (inside, x, y) = jax.lax.scan(body, None, starts)
+    inside = inside.reshape(-1)
+    x = x.reshape(-1)
+    y = y.reshape(-1)
+    m = inside.shape[0]
+    pos = jnp.sort(jnp.where(inside, jnp.arange(m, dtype=jnp.int32), m))
+    safe = jnp.clip(pos, 0, m - 1)
+    return (pos, jnp.take(x, safe), jnp.take(y, safe), inside.sum())
+
+
+def sweep2d_counts_streaming(cd, scale, x_grid, y_grid):
+    """Exact int64 in-boundary pair counts for every (y, x) cell."""
+    xg = jnp.asarray(x_grid, jnp.float32)
+    yg = jnp.asarray(y_grid, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    n_pad = cd._n_pad
+    half = fold_rows(n_pad)
+    nr = cd._n_real if cd._n_real < n_pad else None
+    steps_pd, n_groups = _dispatch_groups(half, cd.chunk, n_pad)
+    cum = np.zeros((len(y_grid), len(x_grid)), np.int64)
+    for g in range(n_groups):
+        cum += np.asarray(_stream_sweep2d_counts(
+            cd.planes, cd.lengths, cd.freqs,
+            jnp.int32(g * steps_pd * cd.chunk), scale_dev, xg, yg,
+            cd.chunk, int(steps_pd), cd._klist, cd._ss64, cd._bbits,
+            cd._pad_bits, cd._use_pallas, nr), np.int64)
+    return cum
+
+
+def sweep2d_fetch_streaming(cd, scale, x_caps, y_grid):
+    """(i, j, x_scaled, y_scaled) for pairs inside the union of per-row
+    cap boundaries — the O(E) host working set of the 2-D sweep."""
+    xc = jnp.asarray(x_caps, jnp.float32)
+    yg = jnp.asarray(y_grid, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    n_pad = cd._n_pad
+    half = fold_rows(n_pad)
+    nr = cd._n_real if cd._n_real < n_pad else None
+    steps_pd, n_groups = _dispatch_groups(
+        half, cd.chunk, n_pad, cap_rows=int(1.5e9 / (13 * n_pad)))
+    pos_out, x_out, y_out = [], [], []
+    for g in range(n_groups):
+        s0 = g * steps_pd * cd.chunk
+        pos, xs, ys, count = _stream_sweep2d_fetch(
+            cd.planes, cd.lengths, cd.freqs, jnp.int32(s0), scale_dev,
+            xc, yg, cd.chunk, int(steps_pd), cd._klist, cd._ss64,
+            cd._bbits, cd._pad_bits, cd._use_pallas, nr)
+        k = int(count)
+        if k == 0:
+            continue
+        m = steps_pd * cd.chunk * (n_pad - 1)
+        b = min(_bucket_pow2(k), m)
+        base = s0 * (n_pad - 1)
+        pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
+        x_out.append(np.asarray(xs[:b][:k], np.float32))
+        y_out.append(np.asarray(ys[:b][:k], np.float32))
+    if not pos_out:
+        z = np.zeros(0, np.int32)
+        return z, z, np.zeros(0, np.float32), np.zeros(0, np.float32)
+    pos = np.concatenate(pos_out)
+    i, j = fold_inverse(pos, n_pad)
+    return (i.astype(np.int32), j.astype(np.int32),
+            np.concatenate(x_out), np.concatenate(y_out))
+
+
+def refine_fit_device_2d(cd, scale, mean0, mean1, max_move=0.9,
+                         min_move=1e-9, score_idx=0, betweenness_sample=100,
+                         seed=42, grid=20, max_sweep_fetch=40_000_000,
+                         no_local=False):
+    """Unconstrained 2-D boundary optimisation over a streaming
+    population (models/refine.refine_fit unconstrained branch,
+    PopPUNK/refine.py:116-166, with the host matrix replaced by one
+    streaming counts pass + one O(E) fetch).
+
+    Cells whose in-boundary pair count exceeds max_sweep_fetch score 1
+    (worst) — the optimum never captures a between-strain-scale pair
+    fraction. Returns (optimal_x, optimal_y, sweep_data) with
+    sweep_data = ("sparse2d", i, j, xs, ys).
+    """
+    from .network.incremental import grow_network_scores
+    from .utils import decision_boundary
+
+    rng = np.random.default_rng(seed)
+    gradient = (mean1[1] - mean0[1]) / (mean1[0] - mean0[0])
+    x_start, y_start = decision_boundary(np.copy(mean0), gradient,
+                                         adj=-min_move)
+    x_end, y_end = decision_boundary(np.copy(mean1), gradient,
+                                     adj=max_move)
+    if x_start < -1e-9 or y_start < -1e-9:
+        raise RuntimeError("Boundary range below zero")
+    x_max = np.linspace(x_start, x_end, grid, dtype=np.float32)
+    y_max = np.linspace(y_start, y_end, grid, dtype=np.float32)
+
+    cum = sweep2d_counts_streaming(cd, scale, x_max, y_max)
+    if cum[-1, -1] == cd.n_pairs:
+        raise RuntimeError("Boundary range includes all points")
+    scoreable = cum <= max_sweep_fetch
+    if not scoreable.any():
+        raise RuntimeError(
+            f"tightest 2-D cell already holds {cum[0, 0]} pairs "
+            f"(> max_sweep_fetch {max_sweep_fetch})")
+    if not scoreable.all():
+        sys.stderr.write(
+            f"refine 2D: {int((~scoreable).sum())}/{grid * grid} cells "
+            f"hold > max_sweep_fetch ({max_sweep_fetch}) pairs; "
+            "scored as 1\n")
+    # per-row widest scoreable x_max (rows are nested in x, so the
+    # scoreable region of a row is a prefix)
+    n_act = scoreable.sum(axis=1)
+    x_caps = np.where(n_act > 0, x_max[np.maximum(n_act - 1, 0)],
+                      0.0).astype(np.float32)
+    i, j, xs, ys = sweep2d_fetch_streaming(cd, scale, x_caps, y_max)
+
+    def memberships(xm, ym):
+        if xm * ym == 0:
+            return np.sqrt(xs * xs + ys * ys) <= 0
+        return ys * np.float32(xm) + xs * np.float32(ym) \
+            - np.float32(xm) * np.float32(ym) <= 0
+
+    global_s = np.ones((grid, grid))
+    xs64 = xs.astype(np.float64)
+    ys64 = ys.astype(np.float64)
+    for r in range(grid):
+        if n_act[r] == 0:
+            continue
+        # first x offset of each fetched pair in this row: inside at
+        # x_max[k] iff x * ym / (ym - y) <= x_max[k] (rounding at
+        # boundary-grazing pairs can shift one cell, same caveat as
+        # threshold_iterate_1d_fast); pairs never inside get
+        # idx >= n_act[r] and are dropped
+        ym = float(y_max[r])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(ys64 < ym, xs64 * ym / (ym - ys64), np.inf)
+        idx = np.searchsorted(x_max[:int(n_act[r])].astype(np.float64), t,
+                              side="left").astype(np.int32)
+        keep = idx < int(n_act[r])
+        global_s[r, :n_act[r]] = grow_network_scores(
+            cd.n, i[keep], j[keep], idx[keep], int(n_act[r]),
+            score_idx, betweenness_sample, rng=rng)
+    global_s[np.isnan(global_s)] = 1
+    r_min, c_min = np.unravel_index(int(np.argmin(global_s)),
+                                    global_s.shape)
+    optimal_x = float(x_max[c_min])
+    optimal_y = float(y_max[r_min])
+
+    interior = (x_start < optimal_x < x_end and y_start < optimal_y < y_end
+                and scoreable[min(r_min + 1, grid - 1),
+                              min(c_min + 1, grid - 1)])
+    if interior and not no_local:
+        # local 1-D refinement along the optimum's gradient line
+        # (refine.py:159-164): micro-grid via the native engine, two
+        # bisection levels like the 1-D streaming path. The upper bound
+        # is clamped so every probed boundary stays inside the fetched
+        # union (x <= x_max[c_min+1] AND the induced y <= y_max[r_min+1])
+        delta = float(x_max[1] - x_max[0])
+        grad_l = optimal_x / optimal_y
+        best = global_s[r_min, c_min]
+        hi_y = optimal_x * (float(y_max[r_min + 1]) / optimal_y - 1.0)
+        lo, hi = -delta, min(delta, hi_y)
+        for _level in range(2):
+            sub_s = np.linspace(lo, hi, 18)[1:-1]
+            cells = [(optimal_x + s, (optimal_x + s) / grad_l)
+                     for s in sub_s]
+            scores = np.ones(len(cells))
+            for ci, (xm, ym) in enumerate(cells):
+                if xm <= 0 or ym <= 0:
+                    continue
+                mask = memberships(xm, ym)
+                scores[ci] = grow_network_scores(
+                    cd.n, i[mask], j[mask],
+                    np.zeros(int(mask.sum()), np.int32), 1, score_idx,
+                    betweenness_sample, rng=rng)[0]
+            k_min = int(np.argmin(scores))
+            if scores[k_min] < best:
+                best = scores[k_min]
+                optimal_x, optimal_y = cells[k_min]
+            lo = sub_s[k_min - 1] if k_min > 0 else lo
+            hi = sub_s[k_min + 1] if k_min < len(sub_s) - 1 else hi
+    if optimal_x < 0 or optimal_y < 0:
+        raise RuntimeError("Optimisation produced a boundary outside range")
+    return float(optimal_x), float(optimal_y), ("sparse2d", i, j, xs, ys)
+
+
+# ---------------------------------------------------------------------------
 # Boundary sweep over the device buffer
 
 
@@ -1231,7 +1485,8 @@ def components_device(d0_sq, threshold):
 
 def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                       score_idx=0, betweenness_sample=100, seed=42,
-                      n_grid=40, max_sweep_fetch=40_000_000, slope=2):
+                      n_grid=40, max_sweep_fetch=40_000_000, slope=2,
+                      no_local=False):
     """Global + local 1-D boundary refinement over the device buffer.
 
     Mirrors models/refine.refine_fit (constrained): 40-point global
@@ -1321,7 +1576,9 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     global_s[np.isnan(global_s)] = 1
     min_idx = int(np.argmin(global_s))
 
-    if 0 < min_idx < n_grid - 1 and cd.buf is None:
+    if no_local:
+        s_opt = float(s_range[min_idx])
+    elif 0 < min_idx < n_grid - 1 and cd.buf is None:
         # micro-grid local refinement: the native engine scores a whole
         # offset grid in ONE incremental pass, so two 16-point bisection
         # levels (resolution ~grid_step/70) cost 2 passes over the edge

@@ -347,6 +347,85 @@ class TestOddNStreaming:
         assert (si < self.N_ODD).all() and (sj < self.N_ODD).all()
 
 
+class TestStreaming2DSweep:
+    """The unconstrained (2-D grid) streaming sweep vs host oracles."""
+
+    X_GRID = np.linspace(0.05, 0.6, 7).astype(np.float32)
+    Y_GRID = np.linspace(0.08, 0.7, 6).astype(np.float32)
+
+    @pytest.fixture(scope="class")
+    def sc(self, pop):
+        from poppunk_tpu.scale import StreamingCondensed
+
+        return StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=8, knn=1)
+
+    def test_counts_match_host(self, sc, host_condensed):
+        from poppunk_tpu.ops.boundary import line_dist
+        from poppunk_tpu.scale import sweep2d_counts_streaming
+
+        scale = host_condensed.max(axis=0)
+        Xs = (host_condensed / scale).astype(np.float32)
+        cum = sweep2d_counts_streaming(sc, scale, self.X_GRID, self.Y_GRID)
+        for r, ym in enumerate(self.Y_GRID):
+            for c, xm in enumerate(self.X_GRID):
+                inside = line_dist(Xs, float(xm), float(ym), 2) <= 0
+                assert cum[r, c] == inside.sum(), (r, c)
+
+    def test_fetch_matches_host_2d_iterate(self, sc, host_condensed):
+        from poppunk_tpu.ops.boundary import threshold_iterate_2d
+        from poppunk_tpu.scale import sweep2d_fetch_streaming
+
+        scale = host_condensed.max(axis=0)
+        Xs = (host_condensed / scale).astype(np.float32)
+        x_caps = np.full(len(self.Y_GRID), self.X_GRID[-1], np.float32)
+        i, j, xs, ys = sweep2d_fetch_streaming(sc, scale, x_caps,
+                                               self.Y_GRID)
+        for r, ym in enumerate(self.Y_GRID):
+            hi, hj, hidx = threshold_iterate_2d(Xs, self.X_GRID, float(ym))
+            # reconstruct first x offsets from the fetched coordinates
+            # (refine_fit_device_2d's formula)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(ys < ym,
+                             xs.astype(np.float64) * ym / (ym - ys),
+                             np.inf)
+            idx = np.searchsorted(self.X_GRID.astype(np.float64), t,
+                                  side="left")
+            keep = idx < len(self.X_GRID)
+            got = sorted(zip(i[keep], j[keep], idx[keep]))
+            assert got == sorted(zip(hi, hj, hidx)), r
+
+    def test_refine_2d_recovers_boundary(self, pop, sc, host_condensed):
+        """End-to-end 2-D refinement separates the planted strains."""
+        from poppunk_tpu.network.graph import Graph
+        from poppunk_tpu.network.components import connected_components
+        from poppunk_tpu.scale import refine_fit_device_2d
+        from sklearn.metrics import adjusted_rand_score
+
+        scale = host_condensed.max(axis=0)
+        # means from the planted structure: within/between blob centres
+        same = pop.strain[np.newaxis, :] == pop.strain[:, np.newaxis]
+        from poppunk_tpu.pairs import all_pairs
+
+        ii, jj = all_pairs(N)
+        w = same[ii, jj]
+        Xs = host_condensed / scale
+        mean0 = Xs[w].mean(axis=0)
+        mean1 = Xs[~w].mean(axis=0)
+        ox, oy, sweep = refine_fit_device_2d(sc, scale, mean0, mean1,
+                                             max_move=0.0, seed=5)
+        _, i, j, xs, ys = sweep
+        mask = ys * np.float32(ox) + xs * np.float32(oy) \
+            - np.float32(ox) * np.float32(oy) <= 0
+        edges = np.stack([i[mask], j[mask]], axis=1)
+        labels = connected_components(Graph(N, edges))[0]
+        # refine may split a strain into sub-cliques; clusters must be
+        # strain-PURE and close to the planted structure
+        assert adjusted_rand_score(pop.strain, labels) > 0.9
+        for cl in np.unique(labels):
+            assert len(np.unique(pop.strain[labels == cl])) == 1
+
+
 class TestArbitraryPadStreaming:
     """Arbitrary zero-genome padding (pack_planes pad_to): real-world
     populations pad up to the folded layout's chunk granularity

@@ -153,6 +153,21 @@ class TestScaleCLI:
                     population.strain_of[name])
             assert all(len(s) == 1 for s in by_cluster.values()), suffix
 
+    def test_unconstrained(self, db, population, tmp_path):
+        out = str(tmp_path / "uncon")
+        scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                    "--unconstrained", "--pos-shift", "0.05"])
+        base = os.path.join(out, "uncon")
+        fit = np.load(base + "_fit.npz")
+        x, y = fit["intercept"]
+        assert x > 0 and y > 0
+        clustering = read_clusters(base + "_clusters.csv")
+        by_cluster = {}
+        for name, cl in clustering.items():
+            by_cluster.setdefault(cl, set()).add(
+                population.strain_of[name])
+        assert all(len(s) == 1 for s in by_cluster.values())
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
