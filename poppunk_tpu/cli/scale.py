@@ -96,9 +96,14 @@ def get_options(arg_list=None):
 
     lineage_group = parser.add_argument_group("Lineages (fused kNN)")
     lineage_group.add_argument("--write-lineages", action="store_true",
-                               help="Write per-rank lineage clusters from "
-                                    "the kNN fused into the distance pass")
+                               help="Write per-rank lineage clusters AND "
+                                    "a LineageFit model directory "
+                                    "(<output>_lineages) from the kNN "
+                                    "fused into the distance pass")
     lineage_group.add_argument("--ranks", default="1,2,3")
+    lineage_group.add_argument("--count-unique-distances",
+                               action="store_true")
+    lineage_group.add_argument("--reciprocal-only", action="store_true")
     lineage_group.add_argument("--use-accessory", action="store_true")
 
     tuning = parser.add_argument_group("Device tuning")
@@ -169,7 +174,14 @@ def main(arg_list=None):
     ref_db = args.ref_db.rstrip("/")
     output = setup_output(args.output)
     ranks = sorted(int(x) for x in args.ranks.split(","))
-    knn = max(args.knn, max(ranks) if args.write_lineages else 0)
+    knn = args.knn
+    if args.write_lineages:
+        # the standard lineage search depth (reference __init__.py
+        # SEARCH_DEPTH_FACTOR), so the written LineageFit model matches
+        # a from-scratch fit
+        from .. import SEARCH_DEPTH_FACTOR
+
+        knn = max(knn, max(int(SEARCH_DEPTH_FACTOR * max(ranks)), 25))
 
     klist, _, _ = read_db_params(ref_db)
     sketches = read_sketches(ref_db)  # sorted-name order (the reference's
@@ -294,7 +306,7 @@ def main(arg_list=None):
                               suffix="_" + dist_type, slope=slope)
 
     if args.write_lineages:
-        _write_lineages(cd, ranks, names, output)
+        _write_lineages(cd, ranks, names, output, args)
 
     if args.extract_references:
         _extract_refs(clusters, names, ref_db, output, args)
@@ -342,20 +354,28 @@ def _network_and_clusters(cd, sweep, s_opt, names, output, args,
     return G, clustering
 
 
-def _write_lineages(cd, ranks, names, output):
-    """Per-rank lineage clusters from the fused kNN (default-flag
-    LineageFit semantics: rank r keeps each sample's r nearest
-    neighbours, models/lineage.py; the kNN was accumulated inside the
-    distance pass so this costs no extra distance work)."""
+def _write_lineages(cd, ranks, names, output, args):
+    """Lineage tier from the fused kNN: per-rank clusters, the
+    _lineages.csv, and a full LineageFit model directory
+    (<output>_lineages) usable as an assign --model-dir. The kNN was
+    accumulated inside the distance pass, so none of this costs extra
+    distance work (models/lineage.py:LineageFit.from_knn)."""
+    from ..models.lineage import LineageFit
     from ..network.clusters import print_clusters
     from ..network.graph import Graph
 
     n = cd.n
+    depth = cd.knn_col.shape[1]  # knn after the n-1 cap
+    model = LineageFit.from_knn(
+        output + "_lineages", ranks, cd.knn_sparse(), n, depth,
+        dist_col=1 if args.use_accessory else 0,
+        reciprocal_only=args.reciprocal_only,
+        count_unique_distances=args.count_unique_distances)
+    model.save()
+
     lineage_clusters = {}
     for rank in ranks:
-        cols = cd.knn_col[:, :rank]
-        rows = np.repeat(np.arange(n, dtype=np.int64), rank)
-        edges = np.stack([rows, cols.ravel().astype(np.int64)], axis=1)
+        edges = np.asarray(model.assign(rank), np.int64).reshape(-1, 2)
         G = Graph(n, edges)
         clustering, _ = print_clusters(
             G, names, out_prefix=file_base(output) + f"_rank{rank}",
@@ -365,13 +385,16 @@ def _write_lineages(cd, ranks, names, output):
             f"Rank {rank}: {len(set(clustering.values()))} lineages\n")
 
     overall = create_overall_lineage(ranks, lineage_clusters)
-    path = file_base(output) + "_lineages.csv"
-    with open(path, "w") as f:
-        cols = ["Rank_" + str(r) for r in ranks] + ["overall"]
-        f.write(",".join(["id"] + cols) + "\n")
-        for name in names:
-            f.write(",".join([name] + [str(overall[c][name])
-                                       for c in cols]) + "\n")
+    for path in (file_base(output) + "_lineages.csv",
+                 os.path.join(output + "_lineages",
+                              os.path.basename(output)
+                              + "_lineages_lineages.csv")):
+        with open(path, "w") as f:
+            cols = ["Rank_" + str(r) for r in ranks] + ["overall"]
+            f.write(",".join(["id"] + cols) + "\n")
+            for name in names:
+                f.write(",".join([name] + [str(overall[c][name])
+                                           for c in cols]) + "\n")
 
 
 def _extract_refs(graph_and_clusters, names, ref_db, output, args):

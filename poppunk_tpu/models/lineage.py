@@ -72,6 +72,35 @@ class LineageFit(ClusterFit):
             )
             self.__save_sparse__(data, row, col, rank, n_samples, dtype)
 
+    @classmethod
+    def from_knn(cls, out_prefix, ranks, knn_triple, n_samples,
+                 search_depth, dist_col=0, reciprocal_only=False,
+                 count_unique_distances=False,
+                 lineage_resolution=EPSILON):
+        """Build a fitted LineageFit directly from a kNN triple
+        (row, col, data) — the streaming scale tier accumulates the kNN
+        inside the distance pass (poppunk_tpu/scale.py), so the model
+        never sees a condensed matrix. knn_triple must hold each row's
+        ``search_depth`` nearest neighbours (ties to the lowest index,
+        knn_from_condensed order); artefacts and extend() semantics then
+        match a from-scratch fit of the same depth."""
+        model = cls(out_prefix, ranks, search_depth, reciprocal_only,
+                    count_unique_distances, lineage_resolution,
+                    dist_col=dist_col)
+        if model.max_search_depth > search_depth:
+            raise ValueError(
+                f"kNN depth {search_depth} is below the required search "
+                f"depth {model.max_search_depth} (max rank + 5)")
+        row, col, data = knn_triple
+        data = np.asarray(data, np.float32)
+        model.__save_sparse__(data, row, col, search_depth, n_samples,
+                              data.dtype, is_nn_dist=True)
+        for rank in model.ranks:
+            model._reduce_rank((np.asarray(row), np.asarray(col), data),
+                               rank, n_samples, data.dtype)
+        model.fitted = True
+        return model
+
     def fit(self, X):
         ClusterFit.fit(self, X)
         sample_size = int(round(0.5 * (1 + np.sqrt(1 + 8 * X.shape[0]))))

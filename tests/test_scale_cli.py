@@ -65,6 +65,46 @@ class TestScaleCLI:
         assert 4 <= len(by_cluster) <= 10
         assert all(len(s) == 1 for s in by_cluster.values())
 
+    def test_lineage_model_matches_from_scratch(self, fitted, db,
+                                                tmp_path):
+        """The LineageFit written from the fused kNN equals a
+        from-scratch fit on the condensed matrix."""
+        import scipy.sparse
+
+        from poppunk_tpu.models.lineage import LineageFit
+        from poppunk_tpu.utils import read_pickle
+
+        db_base = os.path.join(db, os.path.basename(db))
+        rlist, _, _, X = read_pickle(db_base + ".dists")
+        n = len(rlist)
+        ref = LineageFit(str(tmp_path / "scratch"), [1, 2], n - 1,
+                         False, False, 1e-10, dist_col=0)
+        ref.fit(X)
+
+        lin_base = os.path.join(
+            fitted + "_lineages",
+            os.path.basename(fitted) + "_lineages")
+        assert os.path.isfile(lin_base + "_fit.pkl")
+        nn = scipy.sparse.load_npz(lin_base + "_sparse_dists.npz").tocoo()
+        ref_nn = ref.nn_dists.tocoo()
+
+        def key(m):
+            order = np.lexsort((m.col, m.row))
+            return m.row[order], m.col[order], m.data[order]
+
+        ri, rj, rd = key(ref_nn)
+        si, sj, sd = key(nn)
+        assert np.array_equal(ri, si) and np.array_equal(rj, sj)
+        np.testing.assert_allclose(sd, rd, rtol=1e-5, atol=1e-7)
+        for rank in (1, 2):
+            got = scipy.sparse.load_npz(
+                lin_base + f"_rank_{rank}_fit.npz").tocoo()
+            want = ref.lower_rank_dists[rank].tocoo()
+            gi, gj, gd = key(got)
+            wi, wj, wd = key(want)
+            assert np.array_equal(gi, wi) and np.array_equal(gj, wj)
+            np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=1e-7)
+
     def test_rank1_lineages_refine_strains(self, fitted, population):
         base = os.path.join(fitted, os.path.basename(fitted))
         with open(base + "_lineages.csv") as f:
