@@ -74,20 +74,27 @@ def get_options(arg_list=None):
                                   "within-strain mean")
     model_group.add_argument("--score-idx", type=int, default=0,
                              choices=[0, 1, 2])
-    refine_mode = model_group.add_mutually_exclusive_group()
-    refine_mode.add_argument("--indiv-refine",
+    model_group.add_argument("--indiv-refine",
                              choices=["both", "core", "accessory"],
                              default=None,
                              help="Also refine core-only / accessory-only "
                                   "boundaries (extra streaming sweeps)")
+    refine_mode = model_group.add_mutually_exclusive_group()
     refine_mode.add_argument("--unconstrained", action="store_true",
                              help="Optimise the boundary over the full "
                                   "2-D grid instead of the mean0-mean1 "
                                   "line (one extra streaming pass)")
+    refine_mode.add_argument("--multi-boundary", type=int, default=0,
+                             help="Produce cluster outputs at this many "
+                                  "boundary positions from the origin to "
+                                  "the optimum")
     model_group.add_argument("--no-local", action="store_true",
                              help="Skip the local boundary refinement "
                                   "step")
     model_group.add_argument("--betweenness-sample", type=int, default=100)
+    model_group.add_argument("--summary-sample", type=int, default=None,
+                             help="Subsample this many vertices for the "
+                                  "network summary")
     model_group.add_argument("--max-sweep-fetch", type=int,
                              default=40_000_000,
                              help="Sweep offsets holding more pairs than "
@@ -171,6 +178,10 @@ def main(arg_list=None):
     from ..ops.distances import pack_planes
     from ..scale import StreamingCondensed, refine_fit_device
 
+    if args.unconstrained and args.indiv_refine:
+        sys.stderr.write(
+            "Unconstrained optimization and indiv-refine incompatible\n")
+        sys.exit(1)
     ref_db = args.ref_db.rstrip("/")
     output = setup_output(args.output)
     ranks = sorted(int(x) for x in args.ranks.split(","))
@@ -253,6 +264,16 @@ def main(arg_list=None):
         f"Refined boundary: core {opt_x * start.scale[0]:.6f}, "
         f"accessory {opt_y * start.scale[1]:.6f} "
         f"in {time.perf_counter() - t0:.1f}s\n")
+
+    if args.multi_boundary > 1:
+        from ..scale import multi_refine_device
+
+        sys.stderr.write("Creating multiple boundary fits\n")
+        multi_refine_device(
+            cd, start.scale, mean0, mean1, s_opt, args.multi_boundary,
+            output, names, score_idx=args.score_idx,
+            betweenness_sample=args.betweenness_sample, seed=args.seed,
+            max_sweep_fetch=args.max_sweep_fetch)
 
     model = RefineFit(output, seed=args.seed)
     model.scale = np.copy(start.scale)
@@ -342,6 +363,12 @@ def _network_and_clusters(cd, sweep, s_opt, names, output, args,
         mask = d0 <= t_final
     edges = np.stack([i[mask], j[mask]], axis=1).astype(np.int64)
     G = Graph(cd.n, edges)
+    if suffix == "":
+        from ..network.summary import print_network_summary
+
+        print_network_summary(
+            G, sample_size=args.summary_sample,
+            betweenness_sample=args.betweenness_sample)
     save_network(G, prefix=output, suffix=suffix + "_graph")
     clustering, _ = print_clusters(
         G, names, out_prefix=file_base(output) + suffix,

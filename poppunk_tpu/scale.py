@@ -1648,6 +1648,38 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     return optimal_x, optimal_y, s_opt, sweep_data
 
 
+def multi_refine_device(cd, scale, mean0, mean1, s_max, n_boundary_points,
+                        output_prefix, sample_names, score_idx=0,
+                        betweenness_sample=100, seed=42,
+                        max_sweep_fetch=40_000_000):
+    """Cluster outputs at boundary positions from the origin toward the
+    optimum (models/refine.multi_refine, PopPUNK/refine.py:249-312) over
+    a streaming population: one capped sweep fetch at the optimum's
+    boundary, then the native incremental scorer writes
+    _boundary{i}_clusters.csv at every offset."""
+    from math import sqrt
+
+    from .network.incremental import grow_network_scores
+
+    rng = np.random.default_rng(seed)
+    gradient = (mean1[1] - mean0[1]) / (mean1[0] - mean0[0])
+    if mean0[1] >= gradient * mean0[0]:
+        s_min = -mean0[0] * sqrt(1 + gradient * gradient)
+    else:
+        s_min = -mean0[1] * sqrt(1 + 1 / (gradient * gradient))
+    s_range = np.linspace(s_min, s_max, num=n_boundary_points)
+    line = (mean0[0], mean0[1], mean1[0], mean1[1])
+    cum = sweep_counts_streaming(cd, scale, s_range, 2, *line)
+    if cum[-1] > max_sweep_fetch:
+        raise RuntimeError(
+            f"optimum boundary holds {cum[-1]} pairs "
+            f"(> max_sweep_fetch {max_sweep_fetch})")
+    i, j, idx, _ = sweep_first_offsets(cd, scale, s_range, 2, *line)
+    grow_network_scores(cd.n, i, j, idx, n_boundary_points, score_idx,
+                        betweenness_sample, write_clusters=output_prefix,
+                        sample_names=sample_names, rng=rng)
+
+
 def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                        sketchsize64=156, bbits=14, n_strains=None, chunk=512,
                        knn=5, subsample=None, score_idx=0, seed=2,

@@ -208,6 +208,25 @@ class TestScaleCLI:
                 population.strain_of[name])
         assert all(len(s) == 1 for s in by_cluster.values())
 
+    def test_multi_boundary(self, db, population, tmp_path):
+        import glob
+
+        out = str(tmp_path / "multi")
+        scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                    "--multi-boundary", "4"])
+        files = sorted(glob.glob(os.path.join(
+            out, "multi_boundary*_clusters.csv")))
+        assert files  # at least one interpolated boundary is non-trivial
+        for f in files:
+            clustering = read_clusters(f)
+            assert len(clustering) == len(population.names)
+            # tighter-than-optimal boundaries only SPLIT strains
+            by_cluster = {}
+            for name, cl in clustering.items():
+                by_cluster.setdefault(cl, set()).add(
+                    population.strain_of[name])
+            assert all(len(s) == 1 for s in by_cluster.values()), f
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
