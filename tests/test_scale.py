@@ -395,6 +395,25 @@ class TestStreaming2DSweep:
             got = sorted(zip(i[keep], j[keep], idx[keep]))
             assert got == sorted(zip(hi, hj, hidx)), r
 
+    def test_counts_on_sharded_population(self, pop, sc, host_condensed):
+        """2-D passes run on a mesh-backed StreamingCondensed too (its
+        planes carry a replicated NamedSharding; the 2-D kernels are
+        replicated-SPMD rather than row-sharded)."""
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import (StreamingCondensed,
+                                       sweep2d_counts_streaming)
+
+        mesh = get_mesh(len(jax.devices()))
+        scm = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                 KLIST, SS64, BBITS, chunk=4, knn=1,
+                                 mesh=mesh)
+        scale = host_condensed.max(axis=0)
+        a = sweep2d_counts_streaming(scm, scale, self.X_GRID, self.Y_GRID)
+        b = sweep2d_counts_streaming(sc, scale, self.X_GRID, self.Y_GRID)
+        assert np.array_equal(a, b)
+
     def test_refine_2d_recovers_boundary(self, pop, sc, host_condensed):
         """End-to-end 2-D refinement separates the planted strains."""
         from poppunk_tpu.network.graph import Graph
