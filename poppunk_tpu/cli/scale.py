@@ -113,6 +113,22 @@ def get_options(arg_list=None):
     lineage_group.add_argument("--reciprocal-only", action="store_true")
     lineage_group.add_argument("--use-accessory", action="store_true")
 
+    qc_group = parser.add_argument_group("Quality control")
+    qc_group.add_argument("--run-qc", action="store_true",
+                          help="Sketch QC + streaming distance QC before "
+                               "the fit (no O(n^2) memory)")
+    qc_group.add_argument("--qc-keep", action="store_true",
+                          help="Report failing samples but keep them")
+    qc_group.add_argument("--retain-failures", action="store_true")
+    qc_group.add_argument("--max-a-dist", type=float, default=None)
+    qc_group.add_argument("--max-pi-dist", type=float, default=None)
+    qc_group.add_argument("--max-zero-dist", type=float, default=None)
+    qc_group.add_argument("--length-sigma", type=int, default=None)
+    qc_group.add_argument("--length-range", nargs=2, type=int,
+                          default=[None, None])
+    qc_group.add_argument("--prop-n", type=float, default=None)
+    qc_group.add_argument("--upper-n", type=int, default=None)
+
     tuning = parser.add_argument_group("Device tuning")
     tuning.add_argument("--chunk", type=int, default=256,
                         help="Folded rows per streaming step (the "
@@ -198,6 +214,9 @@ def main(arg_list=None):
     sketches = read_sketches(ref_db)  # sorted-name order (the reference's
     # readRfile convention, so .dists.pkl matches assign's expectations)
     names = [sk.name for sk in sketches]
+    if args.run_qc:
+        names, sketches = _run_qc(args, ref_db, output, names, sketches,
+                                  klist)
     n_real = len(names)
     n_pairs = n_real * (n_real - 1) // 2
     if n_real < 3:
@@ -338,6 +357,79 @@ def main(arg_list=None):
         shutil.copy(ref_h5, out_h5)
     sys.stderr.write("Done\n")
     return model
+
+
+def _run_qc(args, ref_db, output, names, sketches, klist):
+    """Sketch QC (host, h5 attributes) + streaming distance QC
+    (scale.qc_bad_pairs_streaming), replicating qc.qc_dist_mat's greedy
+    prune_edges semantics without a host condensed matrix. Returns the
+    passing (names, sketches); unless --qc-keep, the output database is
+    written pruned and failures go to _qcreport.txt."""
+    from ..io.hdf5db import add_random, remove_from_db
+    from ..ops.distances import pack_planes
+    from ..qc import prune_edges, sketch_qc, write_qc_failure_report
+    from ..scale import qc_bad_pairs_streaming
+    from ..utils import db_h5_path
+    from .common import qc_dict_from_args
+
+    # unset flags fall through to DEFAULT_QC (the reference qc.py
+    # defaults: max_pi 0.1, max_a 0.5, prop_zero 0.05)
+    qc_dict = qc_dict_from_args(args)
+    n = len(names)
+    pass_sketch, fail_sketch = sketch_qc(ref_db, names, qc_dict)
+
+    sys.stderr.write(
+        "Running streaming QC on distances (cutoffs: core "
+        f"{qc_dict['max_pi_dist']}, accessory {qc_dict['max_a_dist']}, "
+        f"zero proportion {qc_dict['prop_zero']})\n")
+    chunk, n_pad, _ = _pad_geometry(n, args.chunk, 1, False)
+    planes, lengths, freqs = pack_planes(sketches, klist,
+                                         plane_major=True, pad_to=n_pad)
+    i, j, flags = qc_bad_pairs_streaming(
+        planes, lengths, freqs, klist, sketches[0].sketchsize64,
+        sketches[0].bbits, chunk, n, qc_dict["max_pi_dist"],
+        qc_dict["max_a_dist"])
+    long_mask = (flags & 1) > 0
+    long_edges = list(zip(i[long_mask].tolist(), j[long_mask].tolist()))
+    failed_idx = prune_edges(long_edges, query_start=n)
+    fail_dist = {names[x]: ["Failed distance QC (too high)"]
+                 for x in failed_idx}
+    if qc_dict["prop_zero"] < 1:
+        zero_count = round(qc_dict["prop_zero"] * n)
+        zero_mask = (flags & 2) > 0
+        zero_edges = list(zip(i[zero_mask].tolist(),
+                              j[zero_mask].tolist()))
+        failed_idx = prune_edges(zero_edges, query_start=n,
+                                 failed=failed_idx, min_count=zero_count)
+        for x in failed_idx:
+            fail_dist.setdefault(names[x], []).append(
+                "Failed distance QC (too many zeros)")
+    fail_dicts = [fail_sketch, fail_dist]
+    failed = set(fail_sketch) | {names[x] for x in failed_idx}
+    if not failed:
+        sys.stderr.write("All samples passed QC\n")
+        return names, sketches
+
+    write_qc_failure_report(sorted(failed), fail_dicts, output)
+    if args.qc_keep:
+        sys.stderr.write(
+            f"{len(failed)} samples failed QC (kept; see _qcreport.txt)\n")
+        return names, sketches
+    if args.retain_failures:
+        remove_from_db(
+            db_h5_path(ref_db),
+            os.path.join(output, f"failed.{os.path.basename(output)}.h5"),
+            set(names) - failed, full_names=True)
+    tmp = os.path.join(output, f"filtered.{os.path.basename(output)}.h5")
+    remove_from_db(db_h5_path(ref_db), tmp, failed, full_names=True)
+    os.rename(tmp, db_h5_path(output))
+    passed = [x for x in names if x not in failed]
+    add_random(output, passed, klist,
+               strand_preserved=False, overwrite=True)
+    sys.stderr.write(
+        f"{len(failed)} samples failed QC and were removed\n")
+    by_name = {sk.name: sk for sk in sketches}
+    return passed, [by_name[x] for x in passed]
 
 
 def _network_and_clusters(cd, sweep, s_opt, names, output, args,

@@ -1648,6 +1648,98 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     return optimal_x, optimal_y, s_opt, sweep_data
 
 
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "use_pallas",
+                                   "n_real"))
+def _stream_qc_group(planes, lengths, freqs, s0, max_pi, max_a, c, steps,
+                     klist, sketchsize64, bbits, pad_bits, use_pallas,
+                     n_real=None):
+    """Compact the pairs failing distance QC (too-long core/accessory or
+    zero in either column) from `steps` folded chunks. Returns
+    (pos, flags bitmask 1=long 2=zero, count). Pad pairs (+inf) are
+    excluded by the isfinite gate."""
+
+    def body(_, s):
+        folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                                   sketchsize64, bbits, pad_bits, 1, 0,
+                                   use_pallas, n_real)
+        d = folded.reshape(-1, 2)
+        core, acc = d[:, 0], d[:, 1]
+        finite = jnp.isfinite(core)
+        long_bad = finite & ((core > max_pi) | (acc > max_a))
+        zero_bad = finite & ((core == 0) | (acc == 0))
+        return None, (long_bad.astype(jnp.uint8)
+                      + 2 * zero_bad.astype(jnp.uint8))
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    _, flags = jax.lax.scan(body, None, starts)
+    flags = flags.reshape(-1)
+    bad = flags > 0
+    m = flags.shape[0]
+    pos = jnp.sort(jnp.where(bad, jnp.arange(m, dtype=jnp.int32), m))
+    safe = jnp.clip(pos, 0, m - 1)
+    return pos, jnp.take(flags, safe), bad.sum()
+
+
+def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
+                           bbits, chunk, n_real, max_pi_dist, max_a_dist,
+                           max_fetch=40_000_000, use_pallas=None):
+    """Distance-QC pre-pass over a plane-major population with no O(n^2)
+    anywhere: the streaming twin of qc.qc_dist_mat's row scan
+    (qcDistMat, PopPUNK/qc.py:295-369 loads the full condensed matrix).
+
+    Returns (i, j, flags) in condensed (i, j) order for every pair that
+    is too long (flag bit 1) or has a zero column (bit 2); the caller
+    feeds them through qc.prune_edges for the reference's greedy
+    bad-node selection."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_pad = planes.shape[2]
+    half = fold_rows(n_pad)
+    chunk = min(chunk, half)
+    if half % chunk:
+        raise ValueError(f"n//2 ({half}) must be a multiple of chunk "
+                         f"({chunk})")
+    _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+    nr = int(n_real) if n_real < n_pad else None
+    steps_pd, n_groups = _dispatch_groups(
+        half, chunk, n_pad, cap_rows=int(1.5e9 / (6 * n_pad)))
+    klist_t = tuple(int(k) for k in klist)
+    pos_out, flag_out = [], []
+    total = 0
+    for g in range(n_groups):
+        s0 = g * steps_pd * chunk
+        pos, flags, count = _stream_qc_group(
+            jnp.asarray(planes), jnp.asarray(lengths), jnp.asarray(freqs),
+            jnp.int32(s0), jnp.float32(max_pi_dist), jnp.float32(max_a_dist),
+            int(chunk), int(steps_pd), klist_t, int(sketchsize64),
+            int(bbits), int(pad_bits), bool(use_pallas), nr)
+        k = int(count)
+        total += k
+        if total > max_fetch:
+            raise RuntimeError(
+                f"more than {max_fetch} pairs fail distance QC — the "
+                "thresholds reject most of the population; loosen "
+                "--max-pi-dist/--max-a-dist")
+        if k == 0:
+            continue
+        m = steps_pd * chunk * (n_pad - 1)
+        b = min(_bucket_pow2(k), m)
+        base = s0 * (n_pad - 1)
+        pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
+        flag_out.append(np.asarray(flags[:b][:k], np.uint8))
+    if not pos_out:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.uint8)
+    pos = np.concatenate(pos_out)
+    i, j = fold_inverse(pos, n_pad)
+    flags = np.concatenate(flag_out)
+    # condensed (i asc, j asc) order so prune_edges' stable sort ties
+    # break exactly as the host qc_dist_mat path's row order does
+    order = np.lexsort((j, i))
+    return i[order], j[order], flags[order]
+
+
 def multi_refine_device(cd, scale, mean0, mean1, s_max, n_boundary_points,
                         output_prefix, sample_names, score_idx=0,
                         betweenness_sample=100, seed=42,

@@ -227,6 +227,60 @@ class TestScaleCLI:
                     population.strain_of[name])
             assert all(len(s) == 1 for s in by_cluster.values()), f
 
+    def test_run_qc_matches_host_and_excludes_outlier(
+            self, population, population_dir, tmp_path_factory):
+        """--run-qc: streaming distance QC fails the same samples as the
+        host qc_dist_mat on the materialised matrix, and the fit
+        proceeds on the survivors."""
+        from poppunk_tpu.qc import qc_dist_mat
+        from poppunk_tpu.utils import read_pickle
+
+        d, rfile = population_dir
+        root = tmp_path_factory.mktemp("scale_qc")
+        # a junk genome: random sequence, no strain relationship
+        rng = np.random.default_rng(99)
+        junk = root / "junkbug.fa"
+        seq = "".join(rng.choice(list("ACGT"), size=80_000))
+        junk.write_text(">junkbug\n" + "\n".join(
+            seq[i:i + 70] for i in range(0, len(seq), 70)) + "\n")
+        rfile2 = root / "with_junk.txt"
+        rfile2.write_text(open(rfile).read()
+                          + f"junkbug\t{junk}\n")
+        db = str(root / "db")
+        poppunk_main(["--create-db", "--r-files", str(rfile2),
+                      "--output", db] + KARGS)
+
+        # defaults loosened: in this tiny synthetic population the
+        # reference's default cutoffs legitimately fail most samples
+        # (identical-accessory zero pairs, between-strain accessory >
+        # 0.5) on the host path too; these values isolate the junk
+        # genome (real acc max ~0.72, junk acc ~1.0)
+        out = str(root / "qcfit")
+        scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                    "--run-qc", "--max-zero-dist", "1",
+                    "--max-pi-dist", "0.2", "--max-a-dist", "0.85"])
+
+        # host oracle on the materialised matrix (no sketch failures
+        # expected: lengths/base content are uniform here)
+        from poppunk_tpu.qc import DEFAULT_QC
+
+        db_base = os.path.join(db, os.path.basename(db))
+        rlist, _, _, X = read_pickle(db_base + ".dists")
+        qc_dict = dict(DEFAULT_QC)
+        qc_dict.update(prop_zero=1, max_pi_dist=0.2, max_a_dist=0.85)
+        _, fail_host = qc_dist_mat(X, rlist, rlist, db, qc_dict)
+
+        report = os.path.join(out, "qcfit_qcreport.txt")
+        assert os.path.isfile(report)
+        failed = {line.split("\t")[0] for line in open(report)}
+        assert "junkbug" in failed
+        assert failed == set(fail_host)
+
+        clustering = read_clusters(
+            os.path.join(out, "qcfit_clusters.csv"))
+        assert "junkbug" not in clustering
+        assert set(clustering) == set(population.names) - failed
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
