@@ -156,13 +156,20 @@ def get_options(arg_list=None):
     return parser.parse_args(arg_list)
 
 
-def _pad_geometry(n_real, chunk, n_devices, use_mesh):
+def _pad_geometry(n_real, chunk, n_devices, use_mesh, n_kmers=6):
     """(chunk, n_pad, mesh?) honouring the folded layout's divisibility:
     n_pad/2 must divide by chunk (and by the device count when sharded).
     Pads are zero-sketch genomes masked exactly via n_real."""
     import jax
 
     c = int(chunk)
+    # per-chunk transients are ~16 bytes * 2c * n * K across the match/
+    # correction/fit buffers; budget ~2.5 GB so planes + chunk both fit
+    # a 16 GB chip (run_scale_pipeline's rule — c=256 at n=65536 crashed
+    # the worker)
+    c_budget = max(32, int(2.5e9 / (2 * max(n_real, 2) * n_kmers * 16)))
+    while c > 32 and c > c_budget:
+        c //= 2
     while c > 1 and 2 * c > max(n_real, 2):
         c //= 2
     mesh = None
@@ -227,7 +234,8 @@ def main(arg_list=None):
         f"k = {list(map(int, klist))}\n")
 
     chunk, n_pad, mesh = _pad_geometry(
-        n_real, args.chunk, len(jax.devices()), not args.single_device)
+        n_real, args.chunk, len(jax.devices()), not args.single_device,
+        n_kmers=len(klist))
     if mesh is not None:
         sys.stderr.write(
             f"Sharding streaming passes over {len(jax.devices())} devices\n")
@@ -382,7 +390,8 @@ def _run_qc(args, ref_db, output, names, sketches, klist):
         "Running streaming QC on distances (cutoffs: core "
         f"{qc_dict['max_pi_dist']}, accessory {qc_dict['max_a_dist']}, "
         f"zero proportion {qc_dict['prop_zero']})\n")
-    chunk, n_pad, _ = _pad_geometry(n, args.chunk, 1, False)
+    chunk, n_pad, _ = _pad_geometry(n, args.chunk, 1, False,
+                                    n_kmers=len(klist))
     planes, lengths, freqs = pack_planes(sketches, klist,
                                          plane_major=True, pad_to=n_pad)
     i, j, flags = qc_bad_pairs_streaming(
