@@ -23,8 +23,9 @@ reference's conventions so the fitted database drops into
                                    matrix is deliberately never written;
                                    assign has not needed it since
                                    reference 2.7.0)
-  <out>/<out>_rank{r}_lineages     (--write-lineages) rank-r clusters
-                                   from the fused kNN
+  <out>/<out>_lineages.csv         (--write-lineages) per-rank lineage
+  <out>_lineages/                  assignments + a LineageFit model
+                                   directory from the fused kNN
 
 Deviations from ``--fit-model refine`` (all inherent to streaming):
 the BGMM start model is fit in-process (no --model-dir two-step),
@@ -59,7 +60,6 @@ def get_options(arg_list=None):
                           help="Prefix for output files")
     io_group.add_argument("--external-clustering",
                           help="File with cluster definitions or other labels")
-    io_group.add_argument("--overwrite", action="store_true")
 
     model_group = parser.add_argument_group("Model fit")
     model_group.add_argument("--model-subsample", type=int, default=100000,
@@ -120,6 +120,9 @@ def get_options(arg_list=None):
     qc_group.add_argument("--qc-keep", action="store_true",
                           help="Report failing samples but keep them")
     qc_group.add_argument("--retain-failures", action="store_true")
+    qc_group.add_argument("--strand-preserved", action="store_true",
+                          help="The database was built strand-preserved "
+                               "(affects the QC random-match refit)")
     qc_group.add_argument("--max-a-dist", type=float, default=None)
     qc_group.add_argument("--max-pi-dist", type=float, default=None)
     qc_group.add_argument("--max-zero-dist", type=float, default=None)
@@ -434,7 +437,7 @@ def _run_qc(args, ref_db, output, names, sketches, klist):
     os.rename(tmp, db_h5_path(output))
     passed = [x for x in names if x not in failed]
     add_random(output, passed, klist,
-               strand_preserved=False, overwrite=True)
+               strand_preserved=args.strand_preserved, overwrite=True)
     sys.stderr.write(
         f"{len(failed)} samples failed QC and were removed\n")
     by_name = {sk.name: sk for sk in sketches}
@@ -512,17 +515,14 @@ def _write_lineages(cd, ranks, names, output, args):
         sys.stderr.write(
             f"Rank {rank}: {len(set(clustering.values()))} lineages\n")
 
+    from .main import write_lineage_csv
+
     overall = create_overall_lineage(ranks, lineage_clusters)
     for path in (file_base(output) + "_lineages.csv",
                  os.path.join(output + "_lineages",
                               os.path.basename(output)
                               + "_lineages_lineages.csv")):
-        with open(path, "w") as f:
-            cols = ["Rank_" + str(r) for r in ranks] + ["overall"]
-            f.write(",".join(["id"] + cols) + "\n")
-            for name in names:
-                f.write(",".join([name] + [str(overall[c][name])
-                                           for c in cols]) + "\n")
+        write_lineage_csv(path, names, ranks, overall)
 
 
 def _extract_refs(graph_and_clusters, names, ref_db, output, args):
@@ -538,8 +538,11 @@ def _extract_refs(graph_and_clusters, names, ref_db, output, args):
     if len(ref_names) < len(names):
         sys.stderr.write(f"Pruned network to {len(ref_names)} references\n")
         save_network(G_ref, prefix=output, suffix=".refs_graph")
-        if os.path.isfile(db_h5_path(ref_db)):
-            tmp = remove_from_db(ref_db, output,
+        # with --run-qc the pruned output db is the correct source
+        # (the original ref_db still contains QC-failed sketches)
+        src_db = output if os.path.isfile(db_h5_path(output)) else ref_db
+        if os.path.isfile(db_h5_path(src_db)):
+            tmp = remove_from_db(src_db, output,
                                  set(names) - set(ref_names))
             os.rename(tmp, file_base(output) + ".refs.h5")
     else:

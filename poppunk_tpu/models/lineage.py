@@ -87,10 +87,15 @@ class LineageFit(ClusterFit):
         model = cls(out_prefix, ranks, search_depth, reciprocal_only,
                     count_unique_distances, lineage_resolution,
                     dist_col=dist_col)
-        if model.max_search_depth > search_depth:
+        if max(model.ranks) >= n_samples:
+            raise ValueError(
+                "Maximum rank must be less than the number of samples: "
+                + str(n_samples))
+        # like fit(): the physical depth is capped at n-1 neighbours
+        if search_depth < min(model.max_search_depth, n_samples - 1):
             raise ValueError(
                 f"kNN depth {search_depth} is below the required search "
-                f"depth {model.max_search_depth} (max rank + 5)")
+                f"depth {min(model.max_search_depth, n_samples - 1)}")
         row, col, data = knn_triple
         data = np.asarray(data, np.float32)
         model.__save_sparse__(data, row, col, search_depth, n_samples,

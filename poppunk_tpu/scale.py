@@ -1139,14 +1139,17 @@ def refine_fit_device_2d(cd, scale, mean0, mean1, max_move=0.9,
         # is clamped so every probed boundary stays inside the fetched
         # union (x <= x_max[c_min+1] AND the induced y <= y_max[r_min+1])
         delta = float(x_max[1] - x_max[0])
-        grad_l = optimal_x / optimal_y
+        x0, y0 = optimal_x, optimal_y
+        grad_l = x0 / y0
         best = global_s[r_min, c_min]
-        hi_y = optimal_x * (float(y_max[r_min + 1]) / optimal_y - 1.0)
+        # bisect in ABSOLUTE s around the fixed grid optimum (the 1-D
+        # twin's convention) so level 2 refines level 1's winning
+        # interval rather than re-shifting an already-moved optimum
+        hi_y = x0 * (float(y_max[r_min + 1]) / y0 - 1.0)
         lo, hi = -delta, min(delta, hi_y)
         for _level in range(2):
             sub_s = np.linspace(lo, hi, 18)[1:-1]
-            cells = [(optimal_x + s, (optimal_x + s) / grad_l)
-                     for s in sub_s]
+            cells = [(x0 + s, (x0 + s) / grad_l) for s in sub_s]
             scores = np.ones(len(cells))
             for ci, (xm, ym) in enumerate(cells):
                 if xm <= 0 or ym <= 0:
