@@ -281,6 +281,22 @@ class TestScaleCLI:
         assert "junkbug" not in clustering
         assert set(clustering) == set(population.names) - failed
 
+    def test_mst_from_scale_lineage_fit(self, fitted, tmp_path):
+        """The rank fit written by --write-lineages drives
+        poppunk_tpu_mst (another downstream drop-in)."""
+        from poppunk_tpu.cli.mst import main as mst_main
+
+        lin_base = os.path.join(
+            fitted + "_lineages",
+            os.path.basename(fitted) + "_lineages")
+        base = os.path.join(fitted, os.path.basename(fitted))
+        out = str(tmp_path / "mst")
+        mst_main(["--rank-fit", lin_base + "_rank_2_fit.npz",
+                  "--distance-pkl", base + ".dists.pkl",
+                  "--previous-clustering", base + "_lineages.csv",
+                  "--output", out, "--no-plot"])
+        assert os.path.isfile(os.path.join(out, "mst_MST.graphml"))
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
