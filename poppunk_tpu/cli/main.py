@@ -87,7 +87,11 @@ def get_options(arg_list=None):
     qc_group.add_argument("--length-range", nargs=2, type=int, default=[None, None])
     qc_group.add_argument("--prop-n", type=float, default=DEFAULT_PROP_N)
     qc_group.add_argument("--upper-n", type=int, default=None)
-    qc_group.add_argument("--auto-max-dists", action="store_true")
+    qc_group.add_argument("--auto-max-dists",
+                          choices=["core", "accessory", "both"],
+                          default=None,
+                          help="Find the optimal maximum distances to "
+                               "permit by percentile jump detection")
     qc_group.add_argument("--x", type=float, default=DEFAULT_X)
     qc_group.add_argument("--r", type=int, default=DEFAULT_R)
 
@@ -279,7 +283,11 @@ def qc_db(args):
 
     qc_dict = qc_dict_from_args(args)
     if args.auto_max_dists:
-        qc_dict["max_pi_dist"], qc_dict["max_a_dist"] = auto_dist_find(X, qc_dict)
+        auto_max_pi, auto_max_a = auto_dist_find(X, qc_dict)
+        if args.auto_max_dists in ("both", "core"):
+            qc_dict["max_pi_dist"] = auto_max_pi
+        if args.auto_max_dists in ("both", "accessory"):
+            qc_dict["max_a_dist"] = auto_max_a
 
     fail_dicts = []
     pass_sketch, fail_sketch = sketch_qc(ref_db, rlist, qc_dict)

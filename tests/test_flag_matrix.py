@@ -37,7 +37,7 @@ def test_qc_auto_max_dists(fitted, tmp_path):
     db, refs, queries = fitted
     out = str(tmp_path / "autoqc")
     poppunk_main(["--qc-db", "--ref-db", db, "--output", out,
-                  "--auto-max-dists"])
+                  "--auto-max-dists", "both"])
     # the synthetic population has no outliers; everything passes
     assert os.path.isfile(os.path.join(out, "autoqc.dists.pkl")) or \
         not os.path.isfile(os.path.join(out, "autoqc_qcreport.txt"))
