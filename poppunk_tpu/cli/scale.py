@@ -60,6 +60,13 @@ def get_options(arg_list=None):
                           help="Prefix for output files")
     io_group.add_argument("--external-clustering",
                           help="File with cluster definitions or other labels")
+    io_group.add_argument("--use-model", action="store_true",
+                          help="Apply an existing refine/threshold model "
+                               "instead of fitting (a single streaming "
+                               "pass builds the network)")
+    io_group.add_argument("--model-dir",
+                          help="Directory containing the model for "
+                               "--use-model (default: --ref-db)")
 
     model_group = parser.add_argument_group("Model fit")
     model_group.add_argument("--model-subsample", type=int, default=100000,
@@ -232,6 +239,8 @@ def main(arg_list=None):
     if n_real < 3:
         sys.stderr.write("Need at least 3 samples to fit a model\n")
         sys.exit(1)
+    if args.use_model:
+        return _use_model(args, ref_db, output, names, sketches, klist)
     sys.stderr.write(
         f"Streaming fit: {n_real} genomes, {n_pairs} pairs, "
         f"k = {list(map(int, klist))}\n")
@@ -362,6 +371,71 @@ def main(arg_list=None):
     if args.extract_references:
         _extract_refs(clusters, names, ref_db, output, args)
 
+    ref_h5 = db_h5_path(ref_db)
+    out_h5 = db_h5_path(output)
+    if os.path.isfile(ref_h5) and not os.path.exists(out_h5):
+        shutil.copy(ref_h5, out_h5)
+    sys.stderr.write("Done\n")
+    return model
+
+
+def _use_model(args, ref_db, output, names, sketches, klist):
+    """--use-model: apply an existing refine/threshold boundary to this
+    database with ONE streaming pass (the reference's --use-model
+    re-assigns the full host matrix, __main__.py:520-545). Writes the
+    same artefacts as a fit: _fit copies, _graph, _clusters.csv,
+    .dists.pkl."""
+    from ..models import load_cluster_fit
+    from ..network.clusters import print_clusters
+    from ..network.graph import Graph, save_network
+    from ..network.summary import print_network_summary
+    from ..ops.distances import pack_planes
+    from ..scale import fetch_within_boundary
+
+    model_dir = (args.model_dir or ref_db).rstrip("/")
+    model = load_cluster_fit(file_base(model_dir) + "_fit.pkl",
+                             file_base(model_dir) + "_fit.npz",
+                             out_prefix=output)
+    if model.type != "refine":
+        sys.stderr.write(
+            "poppunk_tpu_scale --use-model streams refine/threshold "
+            f"boundaries; a '{model.type}' model needs the standard "
+            "poppunk_tpu --use-model (host distances)\n")
+        sys.exit(1)
+    if model.threshold:
+        slope, bx, by = 0, model.core_boundary, 0.0
+    else:
+        slope, bx, by = model.slope, model.optimal_x, model.optimal_y
+    n = len(names)
+    sys.stderr.write(
+        f"Applying existing boundary to {n} genomes "
+        f"({n * (n - 1) // 2} pairs, one streaming pass)\n")
+
+    t0 = time.perf_counter()
+    chunk, n_pad, _ = _pad_geometry(n, args.chunk, 1, False,
+                                    n_kmers=len(klist))
+    planes, lengths, freqs = pack_planes(sketches, klist, plane_major=True,
+                                         pad_to=n_pad)
+    i, j = fetch_within_boundary(
+        planes, lengths, freqs, klist, sketches[0].sketchsize64,
+        sketches[0].bbits, chunk, n, model.scale, bx, by, slope)
+    sys.stderr.write(
+        f"Boundary pass: {len(i)} within-strain pairs in "
+        f"{time.perf_counter() - t0:.1f}s\n")
+
+    G = Graph(n, np.stack([i, j], axis=1).astype(np.int64))
+    print_network_summary(G, sample_size=args.summary_sample,
+                          betweenness_sample=args.betweenness_sample)
+    save_network(G, prefix=output, suffix="_graph")
+    clustering, _ = print_clusters(
+        G, names, out_prefix=file_base(output),
+        external_cluster_csv=args.external_clustering, write_unwords=True)
+    sys.stderr.write(
+        f"Network: {len(i)} edges, "
+        f"{len(set(clustering.values()))} clusters\n")
+
+    store_pickle(names, names, True, None, default_dists(output))
+    model.save()
     ref_h5 = db_h5_path(ref_db)
     out_h5 = db_h5_path(output)
     if os.path.isfile(ref_h5) and not os.path.exists(out_h5):

@@ -1743,6 +1743,88 @@ def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
     return i[order], j[order], flags[order]
 
 
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "slope",
+                                   "use_pallas", "n_real"))
+def _stream_boundary_group(planes, lengths, freqs, s0, scale, bx, by, c,
+                           steps, klist, sketchsize64, bbits, pad_bits,
+                           slope, use_pallas, n_real=None):
+    """Compact the pairs inside ONE fixed boundary (ops/boundary.line_dist
+    <= 0, the assign_threshold rule) from `steps` folded chunks."""
+
+    def body(_, s):
+        folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                                   sketchsize64, bbits, pad_bits, 1, 0,
+                                   use_pallas, n_real)
+        Xs = folded.reshape(-1, 2) / scale
+        x, y = Xs[:, 0], Xs[:, 1]
+        if slope == 2:
+            linear = y * bx + x * by - bx * by
+            d = jnp.where(bx * by == 0, jnp.sqrt(x * x + y * y), linear)
+        elif slope == 0:
+            d = x - bx
+        else:
+            d = y - by
+        return None, d <= 0
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    _, inside = jax.lax.scan(body, None, starts)
+    inside = inside.reshape(-1)
+    m = inside.shape[0]
+    pos = jnp.sort(jnp.where(inside, jnp.arange(m, dtype=jnp.int32), m))
+    return pos, inside.sum()
+
+
+def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
+                          bbits, chunk, n_real, scale, bx, by, slope=2,
+                          max_fetch=100_000_000, use_pallas=None):
+    """(i, j) of every pair inside a fixed boundary, streamed from the
+    sketches with no O(n^2) tensor — the --use-model path's network
+    construction (the reference re-assigns the full host matrix,
+    PopPUNK/__main__.py:520-545 via models.py assign). Exactly the
+    assign_threshold <= 0 rule on scaled distances."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_pad = planes.shape[2]
+    half = fold_rows(n_pad)
+    chunk = min(chunk, half)
+    if half % chunk:
+        raise ValueError(f"n//2 ({half}) must be a multiple of chunk "
+                         f"({chunk})")
+    _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+    nr = int(n_real) if n_real < n_pad else None
+    steps_pd, n_groups = _dispatch_groups(
+        half, chunk, n_pad, cap_rows=int(1.5e9 / (5 * n_pad)))
+    klist_t = tuple(int(k) for k in klist)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    pos_out = []
+    total = 0
+    for g in range(n_groups):
+        s0 = g * steps_pd * chunk
+        pos, count = _stream_boundary_group(
+            jnp.asarray(planes), jnp.asarray(lengths), jnp.asarray(freqs),
+            jnp.int32(s0), scale_dev, jnp.float32(bx), jnp.float32(by),
+            int(chunk), int(steps_pd), klist_t, int(sketchsize64),
+            int(bbits), int(pad_bits), int(slope), bool(use_pallas), nr)
+        k = int(count)
+        total += k
+        if total > max_fetch:
+            raise RuntimeError(
+                f"more than {max_fetch} pairs fall inside the boundary — "
+                "the model boundary captures most of this population")
+        if k == 0:
+            continue
+        m = steps_pd * chunk * (n_pad - 1)
+        b = min(_bucket_pow2(k), m)
+        base = s0 * (n_pad - 1)
+        pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
+    if not pos_out:
+        z = np.zeros(0, np.int32)
+        return z, z
+    i, j = fold_inverse(np.concatenate(pos_out), n_pad)
+    return i.astype(np.int32), j.astype(np.int32)
+
+
 def multi_refine_device(cd, scale, mean0, mean1, s_max, n_boundary_points,
                         output_prefix, sample_names, score_idx=0,
                         betweenness_sample=100, seed=42,

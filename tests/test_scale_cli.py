@@ -297,6 +297,35 @@ class TestScaleCLI:
                   "--output", out, "--no-plot"])
         assert os.path.isfile(os.path.join(out, "mst_MST.graphml"))
 
+    def test_use_model_reproduces_fit(self, fitted, db, tmp_path):
+        """--use-model with the fitted boundary on the same database
+        reproduces the fit run's clusters exactly."""
+        out = str(tmp_path / "reuse")
+        scale_main(["--ref-db", db, "--output", out, "--use-model",
+                    "--model-dir", fitted, "--no-plot"])
+        base = os.path.join(out, "reuse")
+        want = read_clusters(os.path.join(
+            fitted, os.path.basename(fitted) + "_clusters.csv"))
+        got = read_clusters(base + "_clusters.csv")
+        assert got == want
+        # the model artefact is re-saved under the new output
+        fit = np.load(base + "_fit.npz")
+        src = np.load(os.path.join(
+            fitted, os.path.basename(fitted) + "_fit.npz"))
+        np.testing.assert_array_equal(fit["intercept"], src["intercept"])
+
+    def test_use_model_threshold(self, db, tmp_path):
+        """A threshold model (slope 0) streams through --use-model too."""
+        thr = str(tmp_path / "thr")
+        poppunk_main(["--fit-model", "threshold", "--threshold", "0.02",
+                      "--ref-db", db, "--output", thr, "--no-plot"])
+        out = str(tmp_path / "thr_reuse")
+        scale_main(["--ref-db", db, "--output", out, "--use-model",
+                    "--model-dir", thr, "--no-plot"])
+        want = read_clusters(os.path.join(thr, "thr_clusters.csv"))
+        got = read_clusters(os.path.join(out, "thr_reuse_clusters.csv"))
+        assert got == want
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
