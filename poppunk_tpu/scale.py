@@ -610,10 +610,83 @@ class _ShardedStream:
                 fetch_local, mesh=mesh,
                 in_specs=(rep,) * 9, out_specs=(sh2, sh2, sh2, sh1)))
 
+        def make_counts2d(fsteps):
+            def counts2d_local(planes, lengths, freqs, g, scale, xg, yg):
+                dev = (jax.lax.axis_index("q") * r_size
+                       + jax.lax.axis_index("r"))
+                start0 = dev * half_loc + g * fsteps * c
+
+                def body(cum, s_idx):
+                    folded, _, _ = fold(planes, lengths, freqs,
+                                        start0 + s_idx * c, 1)
+                    Xs = folded.reshape(-1, 2) / scale
+                    x, y = Xs[:, 0], Xs[:, 1]
+
+                    def cell(xm, ym):
+                        linear = y * xm + x * ym - xm * ym
+                        d = jnp.where(xm * ym == 0,
+                                      jnp.sqrt(x * x + y * y), linear)
+                        return (d <= 0).sum(dtype=jnp.int32)
+
+                    counts = jax.vmap(lambda ym: jax.vmap(
+                        lambda xm: cell(xm, ym))(xg))(yg)
+                    return cum + counts, None
+
+                init = jax.lax.pcast(
+                    jnp.zeros((yg.shape[0], xg.shape[0]), jnp.int32),
+                    ("q", "r"), to="varying")
+                cum, _ = jax.lax.scan(
+                    body, init, jnp.arange(fsteps, dtype=jnp.int32))
+                return cum[None]
+
+            return jax.jit(jax.shard_map(
+                counts2d_local, mesh=mesh,
+                in_specs=(rep,) * 7, out_specs=sh3))
+
+        def make_fetch2d(fsteps):
+            def fetch2d_local(planes, lengths, freqs, g, scale, x_caps,
+                              yg):
+                dev = (jax.lax.axis_index("q") * r_size
+                       + jax.lax.axis_index("r"))
+                start0 = dev * half_loc + g * fsteps * c
+
+                def body(_, s_idx):
+                    folded, _, _ = fold(planes, lengths, freqs,
+                                        start0 + s_idx * c, 1)
+                    Xs = folded.reshape(-1, 2) / scale
+                    x, y = Xs[:, 0], Xs[:, 1]
+
+                    def in_row(xm, ym):
+                        linear = y * xm + x * ym - xm * ym
+                        d = jnp.where(xm * ym == 0,
+                                      jnp.sqrt(x * x + y * y), linear)
+                        return (d <= 0) & (xm > 0)
+
+                    inside = jax.vmap(in_row)(x_caps, yg).any(axis=0)
+                    return None, (inside, x, y)
+
+                _, (inside, x, y) = jax.lax.scan(
+                    body, None, jnp.arange(fsteps, dtype=jnp.int32))
+                inside = inside.reshape(-1)
+                x = x.reshape(-1)
+                y = y.reshape(-1)
+                m = inside.shape[0]
+                pos = jnp.sort(jnp.where(
+                    inside, jnp.arange(m, dtype=jnp.int32), m))
+                safe = jnp.clip(pos, 0, m - 1)
+                return (pos[None], jnp.take(x, safe)[None],
+                        jnp.take(y, safe)[None], inside.sum()[None])
+
+            return jax.jit(jax.shard_map(
+                fetch2d_local, mesh=mesh,
+                in_specs=(rep,) * 7, out_specs=(sh2, sh2, sh2, sh1)))
+
         self._counts_cache = {}
         self._fetch_cache = {}
         self._make_counts = make_counts
         self._make_fetch = make_fetch
+        self._make_counts2d = make_counts2d
+        self._make_fetch2d = make_fetch2d
 
     def counts(self, slope, fsteps):
         key = (slope, fsteps)
@@ -625,6 +698,18 @@ class _ShardedStream:
         key = (slope, fsteps)
         if key not in self._fetch_cache:
             self._fetch_cache[key] = self._make_fetch(key)
+        return self._fetch_cache[key]
+
+    def counts2d(self, fsteps):
+        key = ("2d", fsteps)
+        if key not in self._counts_cache:
+            self._counts_cache[key] = self._make_counts2d(fsteps)
+        return self._counts_cache[key]
+
+    def fetch2d(self, fsteps):
+        key = ("2d", fsteps)
+        if key not in self._fetch_cache:
+            self._fetch_cache[key] = self._make_fetch2d(fsteps)
         return self._fetch_cache[key]
 
 
@@ -1000,10 +1085,19 @@ def sweep2d_counts_streaming(cd, scale, x_grid, y_grid):
     yg = jnp.asarray(y_grid, jnp.float32)
     scale_dev = jnp.asarray(scale, jnp.float32)
     n_pad = cd._n_pad
+    cum = np.zeros((len(y_grid), len(x_grid)), np.int64)
+    if cd._mesh is not None:
+        steps_pd, n_groups = _dispatch_groups(cd._half_loc, cd.chunk,
+                                              n_pad)
+        fn = cd._sh.counts2d(int(steps_pd))
+        for g in range(n_groups):
+            cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(g),
+                      scale_dev, xg, yg)
+            cum += np.asarray(cums, np.int64).sum(axis=0)
+        return cum
     half = fold_rows(n_pad)
     nr = cd._n_real if cd._n_real < n_pad else None
     steps_pd, n_groups = _dispatch_groups(half, cd.chunk, n_pad)
-    cum = np.zeros((len(y_grid), len(x_grid)), np.int64)
     for g in range(n_groups):
         cum += np.asarray(_stream_sweep2d_counts(
             cd.planes, cd.lengths, cd.freqs,
@@ -1020,6 +1114,45 @@ def sweep2d_fetch_streaming(cd, scale, x_caps, y_grid):
     yg = jnp.asarray(y_grid, jnp.float32)
     scale_dev = jnp.asarray(scale, jnp.float32)
     n_pad = cd._n_pad
+    if cd._mesh is not None:
+        # sharded fetch: reassembled in (device, group) order =
+        # ascending global rows, matching the single-device path
+        steps_pd, n_groups = _dispatch_groups(
+            cd._half_loc, cd.chunk, n_pad,
+            cap_rows=int(1.5e9 / (13 * n_pad)))
+        fn = cd._sh.fetch2d(int(steps_pd))
+        m_loc = steps_pd * cd.chunk * (n_pad - 1)
+        parts = {}
+        for g in range(n_groups):
+            pos, xs, ys, counts = fn(cd.planes, cd.lengths, cd.freqs,
+                                     jnp.int32(g), scale_dev, xc, yg)
+            counts_h = np.asarray(counts)
+            for d in range(cd._n_dev):
+                k = int(counts_h[d])
+                if k == 0:
+                    continue
+                b = min(_bucket_pow2(k), m_loc)
+                base = (d * cd._half_loc
+                        + g * steps_pd * cd.chunk) * (n_pad - 1)
+                parts[(d, g)] = (
+                    np.asarray(pos[d, :b][:k], np.int64) + base,
+                    np.asarray(xs[d, :b][:k], np.float32),
+                    np.asarray(ys[d, :b][:k], np.float32))
+        pos_out, x_out, y_out = [], [], []
+        for d in range(cd._n_dev):
+            for g in range(n_groups):
+                if (d, g) in parts:
+                    p, xv, yv = parts[(d, g)]
+                    pos_out.append(p)
+                    x_out.append(xv)
+                    y_out.append(yv)
+        if not pos_out:
+            z = np.zeros(0, np.int32)
+            return z, z, np.zeros(0, np.float32), np.zeros(0, np.float32)
+        pos = np.concatenate(pos_out)
+        i, j = fold_inverse(pos, n_pad)
+        return (i.astype(np.int32), j.astype(np.int32),
+                np.concatenate(x_out), np.concatenate(y_out))
     half = fold_rows(n_pad)
     nr = cd._n_real if cd._n_real < n_pad else None
     steps_pd, n_groups = _dispatch_groups(

@@ -395,15 +395,15 @@ class TestStreaming2DSweep:
             got = sorted(zip(i[keep], j[keep], idx[keep]))
             assert got == sorted(zip(hi, hj, hidx)), r
 
-    def test_counts_on_sharded_population(self, pop, sc, host_condensed):
-        """2-D passes run on a mesh-backed StreamingCondensed too (its
-        planes carry a replicated NamedSharding; the 2-D kernels are
-        replicated-SPMD rather than row-sharded)."""
+    def test_sharded_matches_single_device(self, pop, sc, host_condensed):
+        """Row-sharded 2-D passes over the mesh equal the single-device
+        streaming twin exactly (counts and in-union fetch)."""
         import jax
 
         from poppunk_tpu.parallel.mesh import get_mesh
         from poppunk_tpu.scale import (StreamingCondensed,
-                                       sweep2d_counts_streaming)
+                                       sweep2d_counts_streaming,
+                                       sweep2d_fetch_streaming)
 
         mesh = get_mesh(len(jax.devices()))
         scm = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
@@ -413,6 +413,14 @@ class TestStreaming2DSweep:
         a = sweep2d_counts_streaming(scm, scale, self.X_GRID, self.Y_GRID)
         b = sweep2d_counts_streaming(sc, scale, self.X_GRID, self.Y_GRID)
         assert np.array_equal(a, b)
+        x_caps = np.full(len(self.Y_GRID), self.X_GRID[-1], np.float32)
+        mi, mj, mx, my = sweep2d_fetch_streaming(scm, scale, x_caps,
+                                                 self.Y_GRID)
+        si, sj, sx, sy = sweep2d_fetch_streaming(sc, scale, x_caps,
+                                                 self.Y_GRID)
+        assert np.array_equal(mi, si) and np.array_equal(mj, sj)
+        np.testing.assert_allclose(mx, sx, rtol=1e-6)
+        np.testing.assert_allclose(my, sy, rtol=1e-6)
 
     def test_refine_2d_recovers_boundary(self, pop, sc, host_condensed):
         """End-to-end 2-D refinement separates the planted strains."""
