@@ -411,14 +411,18 @@ def _use_model(args, ref_db, output, names, sketches, klist):
         f"Applying existing boundary to {n} genomes "
         f"({n * (n - 1) // 2} pairs, one streaming pass)\n")
 
+    import jax
+
     t0 = time.perf_counter()
-    chunk, n_pad, _ = _pad_geometry(n, args.chunk, 1, False,
-                                    n_kmers=len(klist))
+    chunk, n_pad, mesh = _pad_geometry(
+        n, args.chunk, len(jax.devices()), not args.single_device,
+        n_kmers=len(klist))
     planes, lengths, freqs = pack_planes(sketches, klist, plane_major=True,
                                          pad_to=n_pad)
     i, j = fetch_within_boundary(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
-        sketches[0].bbits, chunk, n, model.scale, bx, by, slope)
+        sketches[0].bbits, chunk, n, model.scale, bx, by, slope,
+        mesh=mesh)
     sys.stderr.write(
         f"Boundary pass: {len(i)} within-strain pairs in "
         f"{time.perf_counter() - t0:.1f}s\n")
@@ -467,14 +471,17 @@ def _run_qc(args, ref_db, output, names, sketches, klist):
         "Running streaming QC on distances (cutoffs: core "
         f"{qc_dict['max_pi_dist']}, accessory {qc_dict['max_a_dist']}, "
         f"zero proportion {qc_dict['prop_zero']})\n")
-    chunk, n_pad, _ = _pad_geometry(n, args.chunk, 1, False,
-                                    n_kmers=len(klist))
+    import jax
+
+    chunk, n_pad, mesh = _pad_geometry(
+        n, args.chunk, len(jax.devices()), not args.single_device,
+        n_kmers=len(klist))
     planes, lengths, freqs = pack_planes(sketches, klist,
                                          plane_major=True, pad_to=n_pad)
     i, j, flags = qc_bad_pairs_streaming(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
         sketches[0].bbits, chunk, n, qc_dict["max_pi_dist"],
-        qc_dict["max_a_dist"])
+        qc_dict["max_a_dist"], mesh=mesh)
     long_mask = (flags & 1) > 0
     long_edges = list(zip(i[long_mask].tolist(), j[long_mask].tolist()))
     failed_idx = prune_edges(long_edges, query_start=n)

@@ -1784,6 +1784,83 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     return optimal_x, optimal_y, s_opt, sweep_data
 
 
+def _mesh_compact_pass(mesh, planes, lengths, freqs, chunk, n_pad,
+                       fold_kwargs, pair_fn, n_payload, bytes_per_pair):
+    """Run a compaction pass row-sharded over the mesh: ``pair_fn`` maps
+    each chunk's raw folded pairs f32[m, 2] to (mask, payloads) and every
+    device compacts its own row range. Returns (positions, *payloads)
+    concatenated in ascending global row order."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    r_size = mesh.shape["r"]
+    half = fold_rows(n_pad)
+    if half % n_dev:
+        raise ValueError(f"n//2 ({half}) must divide by the device "
+                         f"count ({n_dev})")
+    half_loc = half // n_dev
+    chunk = min(chunk, half_loc)
+    if half_loc % chunk:
+        raise ValueError(f"per-device rows ({half_loc}) must divide by "
+                         f"chunk ({chunk})")
+    steps_pd, n_groups = _dispatch_groups(
+        half_loc, chunk, n_pad,
+        cap_rows=int(1.5e9 / (bytes_per_pair * n_pad)))
+    c = int(chunk)
+
+    def local(planes, lengths, freqs, g):
+        dev = jax.lax.axis_index("q") * r_size + jax.lax.axis_index("r")
+        start0 = dev * half_loc + g * steps_pd * c
+
+        def body(_, s_idx):
+            folded, _, _ = _fold_block(
+                planes, lengths, freqs, start0 + s_idx * c, c, **fold_kwargs)
+            return None, pair_fn(folded.reshape(-1, 2))
+
+        _, (mask, *payloads) = jax.lax.scan(
+            body, None, jnp.arange(steps_pd, dtype=jnp.int32))
+        mask = mask.reshape(-1)
+        m = mask.shape[0]
+        pos = jnp.sort(jnp.where(mask, jnp.arange(m, dtype=jnp.int32), m))
+        safe = jnp.clip(pos, 0, m - 1)
+        return ((pos[None],)
+                + tuple(jnp.take(p.reshape(-1), safe)[None]
+                        for p in payloads)
+                + (mask.sum()[None],))
+
+    rep = P()
+    sh1 = P(("q", "r"))
+    sh2 = P(("q", "r"), None)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(rep,) * 4,
+        out_specs=(sh2,) * (1 + n_payload) + (sh1,)))
+    rep_sh = NamedSharding(mesh, P())
+    with mesh:
+        planes = jax.device_put(jnp.asarray(planes), rep_sh)
+        lengths = jax.device_put(jnp.asarray(lengths), rep_sh)
+        freqs = jax.device_put(jnp.asarray(freqs), rep_sh)
+        outs = {}
+        m_loc = steps_pd * c * (n_pad - 1)
+        for g in range(n_groups):
+            res = fn(planes, lengths, freqs, jnp.int32(g))
+            pos, payloads, counts = res[0], res[1:-1], res[-1]
+            counts_h = np.asarray(counts)
+            for d in range(n_dev):
+                k = int(counts_h[d])
+                if k == 0:
+                    continue
+                b = min(_bucket_pow2(k), m_loc)
+                base = (d * half_loc + g * steps_pd * c) * (n_pad - 1)
+                outs[(d, g)] = (
+                    (np.asarray(pos[d, :b][:k], np.int64) + base,)
+                    + tuple(np.asarray(p[d, :b][:k]) for p in payloads))
+    rows = [outs[key] for key in sorted(outs)]
+    if not rows:
+        return (np.zeros(0, np.int64),) + tuple(
+            np.zeros(0) for _ in range(n_payload))
+    return tuple(np.concatenate(cols) for cols in zip(*rows))
+
+
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
                                    "bbits", "pad_bits", "use_pallas",
                                    "n_real"))
@@ -1819,7 +1896,8 @@ def _stream_qc_group(planes, lengths, freqs, s0, max_pi, max_a, c, steps,
 
 def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
                            bbits, chunk, n_real, max_pi_dist, max_a_dist,
-                           max_fetch=40_000_000, use_pallas=None):
+                           max_fetch=40_000_000, use_pallas=None,
+                           mesh=None):
     """Distance-QC pre-pass over a plane-major population with no O(n^2)
     anywhere: the streaming twin of qc.qc_dist_mat's row scan
     (qcDistMat, PopPUNK/qc.py:295-369 loads the full condensed matrix).
@@ -1827,10 +1905,40 @@ def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
     Returns (i, j, flags) in condensed (i, j) order for every pair that
     is too long (flag bit 1) or has a zero column (bit 2); the caller
     feeds them through qc.prune_edges for the reference's greedy
-    bad-node selection."""
+    bad-node selection. With a mesh, rows shard over the devices."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n_pad = planes.shape[2]
+    if mesh is not None:
+        _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+        mp = jnp.float32(max_pi_dist)
+        ma = jnp.float32(max_a_dist)
+
+        def pair_fn(d):
+            core, acc = d[:, 0], d[:, 1]
+            finite = jnp.isfinite(core)
+            flags = ((finite & ((core > mp) | (acc > ma))).astype(jnp.uint8)
+                     + 2 * (finite & ((core == 0)
+                                      | (acc == 0))).astype(jnp.uint8))
+            return flags > 0, flags
+
+        fold_kwargs = dict(
+            klist=tuple(int(k) for k in klist),
+            sketchsize64=int(sketchsize64), bbits=int(bbits),
+            pad_bits=int(pad_bits), knn=1, dist_col=0,
+            use_pallas=bool(use_pallas),
+            n_real=int(n_real) if n_real < n_pad else None)
+        pos, flags = _mesh_compact_pass(
+            mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
+            pair_fn, 1, 6)
+        if len(pos) > max_fetch:
+            raise RuntimeError(
+                f"more than {max_fetch} pairs fail distance QC — the "
+                "thresholds reject most of the population; loosen "
+                "--max-pi-dist/--max-a-dist")
+        i, j = fold_inverse(pos, n_pad)
+        order = np.lexsort((j, i))
+        return i[order], j[order], flags.astype(np.uint8)[order]
     half = fold_rows(n_pad)
     chunk = min(chunk, half)
     if half % chunk:
@@ -1910,15 +2018,50 @@ def _stream_boundary_group(planes, lengths, freqs, s0, scale, bx, by, c,
 
 def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
                           bbits, chunk, n_real, scale, bx, by, slope=2,
-                          max_fetch=100_000_000, use_pallas=None):
+                          max_fetch=100_000_000, use_pallas=None,
+                          mesh=None):
     """(i, j) of every pair inside a fixed boundary, streamed from the
     sketches with no O(n^2) tensor — the --use-model path's network
     construction (the reference re-assigns the full host matrix,
     PopPUNK/__main__.py:520-545 via models.py assign). Exactly the
-    assign_threshold <= 0 rule on scaled distances."""
+    assign_threshold <= 0 rule on scaled distances. With a mesh, rows
+    shard over the devices."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n_pad = planes.shape[2]
+    if mesh is not None:
+        _, _, pad_bits = plane_geometry(sketchsize64, bbits)
+        scale_dev = jnp.asarray(scale, jnp.float32)
+        bxd, byd = jnp.float32(bx), jnp.float32(by)
+
+        def pair_fn(dpairs):
+            Xs = dpairs / scale_dev
+            x, y = Xs[:, 0], Xs[:, 1]
+            if slope == 2:
+                linear = y * bxd + x * byd - bxd * byd
+                d = jnp.where(bxd * byd == 0,
+                              jnp.sqrt(x * x + y * y), linear)
+            elif slope == 0:
+                d = x - bxd
+            else:
+                d = y - byd
+            return (d <= 0,)
+
+        fold_kwargs = dict(
+            klist=tuple(int(k) for k in klist),
+            sketchsize64=int(sketchsize64), bbits=int(bbits),
+            pad_bits=int(pad_bits), knn=1, dist_col=0,
+            use_pallas=bool(use_pallas),
+            n_real=int(n_real) if n_real < n_pad else None)
+        (pos,) = _mesh_compact_pass(
+            mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
+            pair_fn, 0, 5)
+        if len(pos) > max_fetch:
+            raise RuntimeError(
+                f"more than {max_fetch} pairs fall inside the boundary — "
+                "the model boundary captures most of this population")
+        i, j = fold_inverse(pos, n_pad)
+        return i.astype(np.int32), j.astype(np.int32)
     half = fold_rows(n_pad)
     chunk = min(chunk, half)
     if half % chunk:

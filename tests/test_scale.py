@@ -453,6 +453,50 @@ class TestStreaming2DSweep:
             assert len(np.unique(pop.strain[labels == cl])) == 1
 
 
+class TestMeshCompactPasses:
+    """QC and fixed-boundary compaction passes sharded over the mesh
+    equal the single-device twins exactly."""
+
+    def test_qc_pairs_sharded(self, pop, host_condensed):
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import qc_bad_pairs_streaming
+
+        args = (pop.planes, pop.lengths, pop.freqs, KLIST, SS64, BBITS,
+                4, N, 0.05, 0.3)
+        si, sj, sf = qc_bad_pairs_streaming(*args, use_pallas=False)
+        mi, mj, mf = qc_bad_pairs_streaming(
+            *args, use_pallas=False, mesh=get_mesh(len(jax.devices())))
+        assert np.array_equal(mi, si) and np.array_equal(mj, sj)
+        assert np.array_equal(mf, sf)
+        # and both match the host matrix rule
+        bad = ((host_condensed[:, 0] > 0.05)
+               | (host_condensed[:, 1] > 0.3)).sum()
+        zero = ((host_condensed[:, 0] == 0)
+                | (host_condensed[:, 1] == 0)).sum()
+        assert ((sf & 1) > 0).sum() == bad
+        assert ((sf & 2) > 0).sum() == zero
+
+    def test_boundary_fetch_sharded(self, pop, host_condensed):
+        import jax
+
+        from poppunk_tpu.ops.boundary import edge_iterate
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import fetch_within_boundary
+
+        scale = host_condensed.max(axis=0)
+        args = (pop.planes, pop.lengths, pop.freqs, KLIST, SS64, BBITS,
+                4, N, scale, 0.4, 0.5, 2)
+        si, sj = fetch_within_boundary(*args, use_pallas=False)
+        mi, mj = fetch_within_boundary(
+            *args, use_pallas=False, mesh=get_mesh(len(jax.devices())))
+        assert np.array_equal(mi, si) and np.array_equal(mj, sj)
+        # host oracle: assign_threshold's edge rule on the scaled matrix
+        edges = edge_iterate(host_condensed / scale, 2, 0.4, 0.5)
+        assert sorted(zip(si, sj)) == sorted(map(tuple, edges))
+
+
 class TestArbitraryPadStreaming:
     """Arbitrary zero-genome padding (pack_planes pad_to): real-world
     populations pad up to the folded layout's chunk granularity
