@@ -152,6 +152,13 @@ def get_options(arg_list=None):
     tuning.add_argument("--extract-references", action="store_true",
                         help="Clique-prune references after clustering "
                              "(host-side; can dominate at 10^5 genomes)")
+    tuning.add_argument("--refs-mode", choices=["full", "fast"],
+                        default="full",
+                        help="Reference extraction mode: 'fast' samples "
+                             "one reference per component (the "
+                             "reference's fastPrune / --update-db fast, "
+                             "network.py:222-261) instead of the exact "
+                             "clique recursion")
 
     other = parser.add_argument_group("Other")
     other.add_argument("--threads", type=int, default=1)
@@ -615,7 +622,9 @@ def _extract_refs(graph_and_clusters, names, ref_db, output, args):
 
     G, _ = graph_and_clusters
     _, ref_names, _, G_ref = extract_references(
-        G, names, output, threads=args.threads)
+        G, names, output, threads=args.threads,
+        fast_mode=args.refs_mode == "fast",
+        rng=np.random.default_rng(args.seed))
     if len(ref_names) < len(names):
         sys.stderr.write(f"Pruned network to {len(ref_names)} references\n")
         save_network(G_ref, prefix=output, suffix=".refs_graph")

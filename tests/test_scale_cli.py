@@ -326,6 +326,22 @@ class TestScaleCLI:
         got = read_clusters(os.path.join(out, "thr_reuse_clusters.csv"))
         assert got == want
 
+    @pytest.mark.parametrize("mode", ["full", "fast"])
+    def test_extract_references(self, db, mode, tmp_path):
+        out = str(tmp_path / f"refs_{mode}")
+        scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                    "--extract-references", "--refs-mode", mode])
+        base = os.path.join(out, f"refs_{mode}")
+        assert os.path.isfile(base + ".refs")
+        refs = {line.strip() for line in open(base + ".refs")}
+        clustering = read_clusters(base + "_clusters.csv")
+        # every cluster keeps at least one reference
+        by_cluster = {}
+        for name, cl in clustering.items():
+            by_cluster.setdefault(cl, set()).add(name)
+        for members in by_cluster.values():
+            assert members & refs
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
