@@ -120,6 +120,14 @@ def get_options(arg_list=None):
     lineage_group.add_argument("--reciprocal-only", action="store_true")
     lineage_group.add_argument("--use-accessory", action="store_true")
 
+    viz_group = parser.add_argument_group("Embedding")
+    viz_group.add_argument("--mandrake", action="store_true",
+                           help="SCE embedding from a streamed accessory "
+                                "kNN (no square accessory matrix — the "
+                                "reference's mandrake needs one)")
+    viz_group.add_argument("--perplexity", type=float, default=30.0)
+    viz_group.add_argument("--mandrake-iter", type=int, default=100000)
+
     qc_group = parser.add_argument_group("Quality control")
     qc_group.add_argument("--run-qc", action="store_true",
                           help="Sketch QC + streaming distance QC before "
@@ -375,6 +383,11 @@ def main(arg_list=None):
     if args.write_lineages:
         _write_lineages(cd, ranks, names, output, args)
 
+    if args.mandrake:
+        _mandrake_embedding(args, planes, lengths, freqs, klist,
+                            sketches[0].sketchsize64, sketches[0].bbits,
+                            chunk, mesh, names, output, n_real)
+
     if args.extract_references:
         _extract_refs(clusters, names, ref_db, output, args)
 
@@ -453,6 +466,32 @@ def _use_model(args, ref_db, output, names, sketches, klist):
         shutil.copy(ref_h5, out_h5)
     sys.stderr.write("Done\n")
     return model
+
+
+def _mandrake_embedding(args, planes, lengths, freqs, klist, ss64, bbits,
+                        chunk, mesh, names, output, n_real):
+    """SCE embedding from one extra streaming pass that accumulates the
+    ACCESSORY kNN (the reference's mandrake gathers kNN from a dense
+    square accessory matrix, mandrake.py:60-67 — an O(n^2) object this
+    path never builds)."""
+    from ..embedding import embedding_from_knn, write_mandrake_dot
+    from ..scale import StreamingCondensed
+
+    t0 = time.perf_counter()
+    k = min(50, n_real - 1)
+    cd2 = StreamingCondensed(planes, lengths, freqs, klist, ss64, bbits,
+                             chunk=chunk, knn=k, dist_col=1, mesh=mesh,
+                             n_real=n_real)
+    rows, cols, dists = cd2.knn_sparse()
+    emb = embedding_from_knn(rows, cols, dists, n_real, k,
+                             args.perplexity, max_iter=args.mandrake_iter,
+                             seed=args.seed)
+    path = (file_base(output) + "_perplexity" + str(args.perplexity)
+            + "_accessory_mandrake.dot")
+    write_mandrake_dot(names, emb, path)
+    sys.stderr.write(
+        f"Mandrake embedding (accessory kNN k={k}) in "
+        f"{time.perf_counter() - t0:.1f}s\n")
 
 
 def _run_qc(args, ref_db, output, names, sketches, klist):

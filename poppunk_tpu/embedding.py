@@ -224,6 +224,21 @@ def generate_embedding(seq_labels, acc_mat, perplexity, out_prefix, overwrite,
     else:
         embedding = sce_embedding(np.asarray(acc_mat), perplexity, knn=kNN,
                                   max_iter=maxIter, seed=seed)
+    write_mandrake_dot(seq_labels, embedding, mandrake_filename)
+    return mandrake_filename
+
+
+def embedding_from_knn(I, J, dists, n, knn, perplexity, max_iter=10_000_000,
+                       seed=42):
+    """2-D SCE embedding straight from a kNN triple — the scale tier's
+    entry (poppunk_tpu/scale.py accumulates the accessory kNN inside the
+    distance pass, so no square accessory matrix ever exists; the
+    reference's mandrake needs one, mandrake.py:60-67)."""
+    return _sce_from_knn(I, J, dists, n, knn, perplexity, max_iter, seed)
+
+
+def write_mandrake_dot(seq_labels, embedding, mandrake_filename):
+    """The reference's .dot output (mandrake.py:112-120)."""
     with open(mandrake_filename, "w") as n_file:
         n_file.write("graph G { ")
         for s, seq_label in enumerate(seq_labels):
@@ -232,4 +247,3 @@ def generate_embedding(seq_labels, acc_mat, perplexity, out_prefix, overwrite,
                 f',y="{str(5 * float(embedding[s][1]))}"]; '
             )
         n_file.write("}\n")
-    return mandrake_filename

@@ -132,16 +132,21 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
                              q[None, :] + 1 >= n_real)
         folded = jnp.where(pad_pair[..., None], jnp.inf, folded)
 
-    # fused lineage kNN over the full rows. k successive min/argmin
-    # extractions instead of lax.top_k: for small k the VPU reduction
+    # fused lineage kNN over the full rows. For small k, successive
+    # min/argmin extractions instead of lax.top_k: the VPU reduction
     # passes are free next to the match kernel (measured equal to a
-    # kNN-less fill at n=20480; top_k's sort network costs ~5% there),
-    # and results are identical (both resolve ties to the lowest index).
+    # kNN-less fill at n=20480; top_k's sort network costs ~5% there).
+    # Past ~16 neighbours (e.g. the embedding pass's k=50) the k
+    # sequential passes dominate and top_k wins. Results are identical:
+    # both resolve ties to the lowest index.
     row_ids = jnp.concatenate([i_vec, n - s - c + jnp.arange(c)])
     col = d[..., dist_col]
     col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
     if n_real is not None and n_real < n:
         col = col.at[:, n_real:].set(jnp.inf)  # pads never neighbours
+    if knn > 16:
+        neg_top, top_i = jax.lax.top_k(-col, knn)
+        return folded, top_i.astype(jnp.int32), -neg_top
     tops_d, tops_i = [], []
     for _ in range(knn):
         a = col.argmin(axis=1).astype(jnp.int32)

@@ -228,6 +228,23 @@ class TestStreamingCondensed:
         assert np.array_equal(sidx, bidx)
         np.testing.assert_allclose(sd0, bd0, rtol=1e-6, atol=1e-7)
 
+    def test_large_k_topk_path_matches_host(self, pop, host_condensed):
+        # knn > 16 switches _fold_block to lax.top_k (the embedding
+        # pass's k=50 regime); ties and order must still match the host
+        # oracle, here on the ACCESSORY column
+        from poppunk_tpu.scale import StreamingCondensed
+
+        sck = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                 KLIST, SS64, BBITS, chunk=8, knn=20,
+                                 dist_col=1)
+        h_rows, h_cols, h_dists = knn_from_condensed(
+            host_condensed[:, 1], N, 20)
+        rows, cols, dists = sck.knn_sparse()
+        assert np.array_equal(rows, h_rows)
+        assert np.array_equal(cols, h_cols)
+        # accessory values carry more f32 reassociation noise than core
+        np.testing.assert_allclose(dists, h_dists, rtol=3e-4, atol=1e-5)
+
     @pytest.mark.parametrize("slope", [0, 1])
     def test_indiv_slope_sweep_matches_host(self, sc, host_condensed,
                                             slope):

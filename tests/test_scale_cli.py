@@ -342,6 +342,18 @@ class TestScaleCLI:
         for members in by_cluster.values():
             assert members & refs
 
+    def test_mandrake_embedding(self, db, population, tmp_path):
+        out = str(tmp_path / "emb")
+        scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                    "--mandrake", "--perplexity", "5",
+                    "--mandrake-iter", "20000"])
+        dot = os.path.join(
+            out, "emb_perplexity5.0_accessory_mandrake.dot")
+        assert os.path.isfile(dot)
+        content = open(dot).read()
+        for name in population.names:
+            assert f'"{name}"' in content
+
     def test_dists_pkl_names_sorted(self, fitted, population):
         from poppunk_tpu.utils import read_pickle
 
