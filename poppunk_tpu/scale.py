@@ -241,6 +241,7 @@ def fill_condensed_device(planes, lengths, freqs, klist, sketchsize64,
         use_pallas = jax.default_backend() == "tpu"
     n = planes.shape[2]
     half = fold_rows(n)
+    chunk = min(chunk, half)
     if half % chunk:
         raise ValueError(f"n//2 ({half}) must be a multiple of chunk ({chunk})")
     _, _, pad_bits = plane_geometry(sketchsize64, bbits)
@@ -430,19 +431,19 @@ def _stream_stats_range(planes, lengths, freqs, ki, kd, cmax, s0, c, steps,
     return ki, kd, cmax, sub_vals
 
 
-def _dispatch_groups(half, chunk, n, cap_rows=None):
-    """(steps_per_dispatch, n_dispatches): uniform split of the half//chunk
-    scan steps so each dispatch computes <= PAIRS_PER_DISPATCH full-row
-    pairs (and <= cap_rows rows, for passes with per-row output buffers)."""
+def _dispatch_plan(half, chunk, n, cap_rows=None):
+    """Dispatch groups [(step_offset, n_steps)] covering the half//chunk
+    scan steps, each computing <= PAIRS_PER_DISPATCH full-row pairs (and
+    <= cap_rows rows, for passes with per-row output buffers). The tail
+    group may be smaller — one extra compiled program at most, instead of
+    degrading every dispatch to a divisor of an awkward step count."""
     n_steps = half // chunk
     rows_budget = max(chunk, int(PAIRS_PER_DISPATCH // (2 * n)))
     if cap_rows is not None:
         rows_budget = min(rows_budget, max(chunk, cap_rows))
     steps_pd = max(1, min(n_steps, rows_budget // chunk))
-    n_groups = -(-n_steps // steps_pd)
-    while n_steps % n_groups:
-        n_groups += 1
-    return n_steps // n_groups, n_groups
+    return [(s, min(steps_pd, n_steps - s))
+            for s in range(0, n_steps, steps_pd)]
 
 
 @partial(jax.jit, static_argnames=("klist", "sketchsize64", "bbits",
@@ -494,69 +495,71 @@ class _ShardedStream:
     rows max-combined on the host at the end.
     """
 
-    def __init__(self, mesh, half_loc, c, steps, knn, klist, ss64, bbits,
+    def __init__(self, mesh, half_loc, c, knn, klist, ss64, bbits,
                  pad_bits, dist_col, use_pallas, n_real=None):
         from jax.sharding import PartitionSpec as P
 
         self.mesh = mesh
         self.half_loc = half_loc
         self.c = c
-        self.steps = steps
         r_size = mesh.shape["r"]
 
-        def dev_row0(g):
+        def dev_row0(off):
             dev = (jax.lax.axis_index("q") * r_size
                    + jax.lax.axis_index("r"))
-            return dev * half_loc + g * steps * c
+            return dev * half_loc + off * c
 
         def fold(planes, lengths, freqs, s, k):
             return _fold_block(planes, lengths, freqs, s, c, klist, ss64,
                                bbits, pad_bits, k, dist_col, use_pallas,
                                n_real)
 
-        def stats_local(planes, lengths, freqs, ki, kd, cmax, g, sub_loc):
-            start0 = dev_row0(g)
+        def make_stats(fsteps):
+            def stats_local(planes, lengths, freqs, ki, kd, cmax, off,
+                            sub_loc):
+                start0 = dev_row0(off)
 
-            def step(carry, xs):
-                s_idx, loc = xs
-                ki, kd, cm = carry
-                folded, top_idx, top_d = fold(
-                    planes, lengths, freqs, start0 + s_idx * c, knn)
-                finite = jnp.where(jnp.isinf(folded), -jnp.inf, folded)
-                cm = jnp.maximum(cm, finite.max(axis=(0, 1))[None])
-                sub_vals = folded.reshape(-1, 2)[loc]
-                row = g * steps * c + s_idx * c  # shard-local offset
-                ki = jax.lax.dynamic_update_slice(
-                    ki, jnp.stack([top_idx[:c], top_idx[c:][::-1]],
-                                  axis=1), (row, 0, 0))
-                kd = jax.lax.dynamic_update_slice(
-                    kd, jnp.stack([top_d[:c], top_d[c:][::-1]], axis=1),
-                    (row, 0, 0))
-                return (ki, kd, cm), sub_vals
+                def step(carry, xs):
+                    s_idx, loc = xs
+                    ki, kd, cm = carry
+                    folded, top_idx, top_d = fold(
+                        planes, lengths, freqs, start0 + s_idx * c, knn)
+                    finite = jnp.where(jnp.isinf(folded), -jnp.inf,
+                                       folded)
+                    cm = jnp.maximum(cm, finite.max(axis=(0, 1))[None])
+                    sub_vals = folded.reshape(-1, 2)[loc]
+                    row = (off + s_idx) * c  # shard-local offset
+                    ki = jax.lax.dynamic_update_slice(
+                        ki, jnp.stack([top_idx[:c], top_idx[c:][::-1]],
+                                      axis=1), (row, 0, 0))
+                    kd = jax.lax.dynamic_update_slice(
+                        kd, jnp.stack([top_d[:c], top_d[c:][::-1]],
+                                      axis=1), (row, 0, 0))
+                    return (ki, kd, cm), sub_vals
 
-            xs = (jnp.arange(steps, dtype=jnp.int32), sub_loc[0])
-            (ki, kd, cmax), sub_vals = jax.lax.scan(step, (ki, kd, cmax),
-                                                    xs)
-            return ki, kd, cmax, sub_vals[None]
+                xs = (jnp.arange(fsteps, dtype=jnp.int32), sub_loc[0])
+                (ki, kd, cmax), sub_vals = jax.lax.scan(
+                    step, (ki, kd, cmax), xs)
+                return ki, kd, cmax, sub_vals[None]
+
+            return jax.jit(jax.shard_map(
+                stats_local, mesh=mesh,
+                in_specs=(rep, rep, rep, sh3, sh3, sh2, rep, sh3),
+                out_specs=(sh3, sh3, sh2,
+                           P(("q", "r"), None, None, None))),
+                donate_argnums=(3, 4, 5))
 
         rep = P()
         sh1 = P(("q", "r"))
         sh2 = P(("q", "r"), None)
         sh3 = P(("q", "r"), None, None)
-        self.stats = jax.jit(jax.shard_map(
-            stats_local, mesh=mesh,
-            in_specs=(rep, rep, rep, sh3, sh3, sh2, rep, sh3),
-            out_specs=(sh3, sh3, sh2, P(("q", "r"), None, None, None))),
-            donate_argnums=(3, 4, 5))
 
         def make_counts(key):
             slope, fsteps = key
 
-            def counts_local(planes, lengths, freqs, g, scale, t, xm0,
-                             ym0):
-                dev = (jax.lax.axis_index("q") * r_size
-                       + jax.lax.axis_index("r"))
-                start0 = dev * half_loc + g * fsteps * c
+            def counts_local(planes, lengths, freqs, off, scale, t,
+                             xm0, ym0):
+                start0 = dev_row0(off)
 
                 # int32 is safe per dispatch: the grouping bounds each
                 # dispatch's pairs under PAIRS_PER_DISPATCH < 2^31; the
@@ -585,11 +588,9 @@ class _ShardedStream:
         def make_fetch(key):
             slope, fsteps = key
 
-            def fetch_local(planes, lengths, freqs, g, n_act, scale, t,
-                            xm0, ym0):
-                dev = (jax.lax.axis_index("q") * r_size
-                       + jax.lax.axis_index("r"))
-                start0 = dev * half_loc + g * fsteps * c
+            def fetch_local(planes, lengths, freqs, off, n_act, scale,
+                            t, xm0, ym0):
+                start0 = dev_row0(off)
 
                 def body(_, s_idx):
                     folded, _, _ = fold(planes, lengths, freqs,
@@ -616,10 +617,9 @@ class _ShardedStream:
                 in_specs=(rep,) * 9, out_specs=(sh2, sh2, sh2, sh1)))
 
         def make_counts2d(fsteps):
-            def counts2d_local(planes, lengths, freqs, g, scale, xg, yg):
-                dev = (jax.lax.axis_index("q") * r_size
-                       + jax.lax.axis_index("r"))
-                start0 = dev * half_loc + g * fsteps * c
+            def counts2d_local(planes, lengths, freqs, off, scale, xg,
+                               yg):
+                start0 = dev_row0(off)
 
                 def body(cum, s_idx):
                     folded, _, _ = fold(planes, lengths, freqs,
@@ -649,11 +649,9 @@ class _ShardedStream:
                 in_specs=(rep,) * 7, out_specs=sh3))
 
         def make_fetch2d(fsteps):
-            def fetch2d_local(planes, lengths, freqs, g, scale, x_caps,
-                              yg):
-                dev = (jax.lax.axis_index("q") * r_size
-                       + jax.lax.axis_index("r"))
-                start0 = dev * half_loc + g * fsteps * c
+            def fetch2d_local(planes, lengths, freqs, off, scale,
+                              x_caps, yg):
+                start0 = dev_row0(off)
 
                 def body(_, s_idx):
                     folded, _, _ = fold(planes, lengths, freqs,
@@ -688,10 +686,17 @@ class _ShardedStream:
 
         self._counts_cache = {}
         self._fetch_cache = {}
+        self._stats_cache = {}
         self._make_counts = make_counts
         self._make_fetch = make_fetch
         self._make_counts2d = make_counts2d
         self._make_fetch2d = make_fetch2d
+        self._make_stats = make_stats
+
+    def stats(self, fsteps):
+        if fsteps not in self._stats_cache:
+            self._stats_cache[fsteps] = self._make_stats(fsteps)
+        return self._stats_cache[fsteps]
 
     def counts(self, slope, fsteps):
         key = (slope, fsteps)
@@ -817,10 +822,9 @@ class StreamingCondensed:
 
             n_dev = self._n_dev
             spc = self._half_loc // self.chunk
-            steps_pd, n_groups = _dispatch_groups(self._half_loc,
-                                                  self.chunk, n)
+            plan = _dispatch_plan(self._half_loc, self.chunk, n)
             self._sh = _ShardedStream(
-                mesh, self._half_loc, self.chunk, steps_pd, knn,
+                mesh, self._half_loc, self.chunk, knn,
                 self._klist, self._ss64, self._bbits, self._pad_bits,
                 int(dist_col), self._use_pallas,
                 int(n_real) if n_real < n else None)
@@ -837,25 +841,25 @@ class StreamingCondensed:
                     jnp.zeros((half, 2, knn), jnp.float32), sh3)
                 cmax = jax.device_put(
                     jnp.full((n_dev, 2), -jnp.inf, jnp.float32), sh2)
-                # chunk (d, g, s) of device d = global chunk
-                # d * spc + g * steps_pd + s (shards are contiguous rows)
+                # chunk (d, off, s) of device d = global chunk
+                # d * spc + off + s (shards are contiguous rows)
                 loc_resh = loc.reshape(n_dev, spc, M)
                 sub_parts = []
-                for g in range(n_groups):
+                for off, fsteps in plan:
                     sub_slice = jax.device_put(
                         jnp.asarray(np.ascontiguousarray(
-                            loc_resh[:, g * steps_pd:(g + 1) * steps_pd])),
+                            loc_resh[:, off:off + fsteps])),
                         sh3)
-                    ki, kd, cmax, sv = self._sh.stats(
+                    ki, kd, cmax, sv = self._sh.stats(int(fsteps))(
                         self.planes, self.lengths, self.freqs, ki, kd,
-                        cmax, jnp.int32(g), sub_slice)
-                    sub_parts.append(np.asarray(sv))
+                        cmax, jnp.int32(off), sub_slice)
+                    sub_parts.append((off, fsteps, np.asarray(sv)))
             if self._sub_spec is not None:
                 size, sseed, g_of, rank = self._sub_spec
                 sub_vals = np.empty((n_steps, M, 2), np.float32)
-                for g, sv in enumerate(sub_parts):
+                for off, fsteps, sv in sub_parts:
                     idxs = (np.arange(n_dev)[:, None] * spc
-                            + g * steps_pd + np.arange(steps_pd)[None, :])
+                            + off + np.arange(fsteps)[None, :])
                     sub_vals[idxs.reshape(-1)] = sv.reshape(-1, M, 2)
                 self._sub_vals = sub_vals[g_of, rank]
             # unfold the folded-layout kNN (fill_condensed_sharded twin);
@@ -877,15 +881,13 @@ class StreamingCondensed:
         ki = jnp.zeros((n, knn), jnp.int32)
         kd = jnp.zeros((n, knn), jnp.float32)
         cmax = jnp.full((2,), -jnp.inf, jnp.float32)
-        steps_pd, n_groups = _dispatch_groups(half, self.chunk, n)
         sub_parts = []
-        for g in range(n_groups):
+        for off, fsteps in _dispatch_plan(half, self.chunk, n):
             ki, kd, cmax, sv = _stream_stats_range(
                 self.planes, self.lengths, self.freqs, ki, kd, cmax,
-                jnp.int32(g * steps_pd * self.chunk), self.chunk,
-                int(steps_pd),
-                jax.lax.dynamic_slice_in_dim(loc_dev, g * steps_pd,
-                                             steps_pd, axis=0),
+                jnp.int32(off * self.chunk), self.chunk,
+                int(fsteps),
+                jax.lax.dynamic_slice_in_dim(loc_dev, off, fsteps, axis=0),
                 self._klist, self._ss64, self._bbits,
                 self._pad_bits, int(knn), int(dist_col), self._use_pallas,
                 int(n_real) if n_real < n else None)
@@ -922,6 +924,12 @@ class StreamingCondensed:
 
             i, j = condensed_to_pair(pos, self.n)
             i, j = np.asarray(i, np.int64), np.asarray(j, np.int64)
+            # the predeclared gather returns rows in folded-flat order
+            # (fold_index-sorted); match it so both paths feed model
+            # fits identically-ordered samples
+            order = np.argsort(fold_index(i, j, self._n_pad),
+                               kind="stable")
+            i, j = i[order], j[order]
         else:
             i, j = fold_inverse(pos, self.n)
         m = len(pos)
@@ -1092,22 +1100,19 @@ def sweep2d_counts_streaming(cd, scale, x_grid, y_grid):
     n_pad = cd._n_pad
     cum = np.zeros((len(y_grid), len(x_grid)), np.int64)
     if cd._mesh is not None:
-        steps_pd, n_groups = _dispatch_groups(cd._half_loc, cd.chunk,
-                                              n_pad)
-        fn = cd._sh.counts2d(int(steps_pd))
-        for g in range(n_groups):
-            cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(g),
+        for off, fsteps in _dispatch_plan(cd._half_loc, cd.chunk, n_pad):
+            fn = cd._sh.counts2d(int(fsteps))
+            cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
                       scale_dev, xg, yg)
             cum += np.asarray(cums, np.int64).sum(axis=0)
         return cum
     half = fold_rows(n_pad)
     nr = cd._n_real if cd._n_real < n_pad else None
-    steps_pd, n_groups = _dispatch_groups(half, cd.chunk, n_pad)
-    for g in range(n_groups):
+    for off, fsteps in _dispatch_plan(half, cd.chunk, n_pad):
         cum += np.asarray(_stream_sweep2d_counts(
             cd.planes, cd.lengths, cd.freqs,
-            jnp.int32(g * steps_pd * cd.chunk), scale_dev, xg, yg,
-            cd.chunk, int(steps_pd), cd._klist, cd._ss64, cd._bbits,
+            jnp.int32(off * cd.chunk), scale_dev, xg, yg,
+            cd.chunk, int(fsteps), cd._klist, cd._ss64, cd._bbits,
             cd._pad_bits, cd._use_pallas, nr), np.int64)
     return cum
 
@@ -1122,15 +1127,14 @@ def sweep2d_fetch_streaming(cd, scale, x_caps, y_grid):
     if cd._mesh is not None:
         # sharded fetch: reassembled in (device, group) order =
         # ascending global rows, matching the single-device path
-        steps_pd, n_groups = _dispatch_groups(
-            cd._half_loc, cd.chunk, n_pad,
-            cap_rows=int(1.5e9 / (13 * n_pad)))
-        fn = cd._sh.fetch2d(int(steps_pd))
-        m_loc = steps_pd * cd.chunk * (n_pad - 1)
+        plan = _dispatch_plan(cd._half_loc, cd.chunk, n_pad,
+                              cap_rows=int(1.5e9 / (13 * n_pad)))
         parts = {}
-        for g in range(n_groups):
+        for gi, (off, fsteps) in enumerate(plan):
+            fn = cd._sh.fetch2d(int(fsteps))
+            m_loc = fsteps * cd.chunk * (n_pad - 1)
             pos, xs, ys, counts = fn(cd.planes, cd.lengths, cd.freqs,
-                                     jnp.int32(g), scale_dev, xc, yg)
+                                     jnp.int32(off), scale_dev, xc, yg)
             counts_h = np.asarray(counts)
             for d in range(cd._n_dev):
                 k = int(counts_h[d])
@@ -1138,16 +1142,16 @@ def sweep2d_fetch_streaming(cd, scale, x_caps, y_grid):
                     continue
                 b = min(_bucket_pow2(k), m_loc)
                 base = (d * cd._half_loc
-                        + g * steps_pd * cd.chunk) * (n_pad - 1)
-                parts[(d, g)] = (
+                        + off * cd.chunk) * (n_pad - 1)
+                parts[(d, gi)] = (
                     np.asarray(pos[d, :b][:k], np.int64) + base,
                     np.asarray(xs[d, :b][:k], np.float32),
                     np.asarray(ys[d, :b][:k], np.float32))
         pos_out, x_out, y_out = [], [], []
         for d in range(cd._n_dev):
-            for g in range(n_groups):
-                if (d, g) in parts:
-                    p, xv, yv = parts[(d, g)]
+            for gi in range(len(plan)):
+                if (d, gi) in parts:
+                    p, xv, yv = parts[(d, gi)]
                     pos_out.append(p)
                     x_out.append(xv)
                     y_out.append(yv)
@@ -1160,19 +1164,18 @@ def sweep2d_fetch_streaming(cd, scale, x_caps, y_grid):
                 np.concatenate(x_out), np.concatenate(y_out))
     half = fold_rows(n_pad)
     nr = cd._n_real if cd._n_real < n_pad else None
-    steps_pd, n_groups = _dispatch_groups(
-        half, cd.chunk, n_pad, cap_rows=int(1.5e9 / (13 * n_pad)))
     pos_out, x_out, y_out = [], [], []
-    for g in range(n_groups):
-        s0 = g * steps_pd * cd.chunk
+    for off, fsteps in _dispatch_plan(half, cd.chunk, n_pad,
+                                      cap_rows=int(1.5e9 / (13 * n_pad))):
+        s0 = off * cd.chunk
         pos, xs, ys, count = _stream_sweep2d_fetch(
             cd.planes, cd.lengths, cd.freqs, jnp.int32(s0), scale_dev,
-            xc, yg, cd.chunk, int(steps_pd), cd._klist, cd._ss64,
+            xc, yg, cd.chunk, int(fsteps), cd._klist, cd._ss64,
             cd._bbits, cd._pad_bits, cd._use_pallas, nr)
         k = int(count)
         if k == 0:
             continue
-        m = steps_pd * cd.chunk * (n_pad - 1)
+        m = fsteps * cd.chunk * (n_pad - 1)
         b = min(_bucket_pow2(k), m)
         base = s0 * (n_pad - 1)
         pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
@@ -1368,24 +1371,22 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
     scale_dev = jnp.asarray(scale, jnp.float32)
     cum = np.zeros(len(t), np.int64)
     if cd._mesh is not None:
-        steps_pd, n_groups = _dispatch_groups(cd._half_loc, cd.chunk,
-                                              cd._n_pad)
-        fn = cd._sh.counts(int(slope), int(steps_pd))
-        for g in range(n_groups):
-            cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(g),
+        for off, fsteps in _dispatch_plan(cd._half_loc, cd.chunk,
+                                          cd._n_pad):
+            fn = cd._sh.counts(int(slope), int(fsteps))
+            cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
                       scale_dev, t_dev, jnp.float32(xm0),
                       jnp.float32(ym0))
             cum += np.asarray(cums, np.int64).sum(axis=0)
         return cum
     n_pad = cd._n_pad
     half = fold_rows(n_pad)
-    steps_pd, n_groups = _dispatch_groups(half, cd.chunk, n_pad)
     nr = cd._n_real if cd._n_real < n_pad else None
-    for g in range(n_groups):
+    for off, fsteps in _dispatch_plan(half, cd.chunk, n_pad):
         cums = _stream_sweep_counts(
             cd.planes, cd.lengths, cd.freqs,
-            jnp.int32(g * steps_pd * cd.chunk), scale_dev, t_dev,
-            jnp.float32(xm0), jnp.float32(ym0), cd.chunk, int(steps_pd),
+            jnp.int32(off * cd.chunk), scale_dev, t_dev,
+            jnp.float32(xm0), jnp.float32(ym0), cd.chunk, int(fsteps),
             cd._klist, cd._ss64, cd._bbits, cd._pad_bits, int(slope),
             cd._use_pallas, nr)
         cum += np.asarray(cums, np.int64).sum(axis=0)
@@ -1416,16 +1417,15 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
         # sharded fetch: every device compacts its own row range; host
         # buckets are reassembled in (device, group) order = ascending
         # global row order, matching the single-device path exactly
-        steps_pd, n_groups = _dispatch_groups(
-            cd._half_loc, cd.chunk, n_pad,
-            cap_rows=int(1.5e9 / (9 * n_pad)))
+        plan = _dispatch_plan(cd._half_loc, cd.chunk, n_pad,
+                              cap_rows=int(1.5e9 / (9 * n_pad)))
         n_act = len(t) if _n_act is None else _n_act
-        fn = cd._sh.fetch(int(slope), int(steps_pd))
-        m_loc = steps_pd * cd.chunk * (n_pad - 1)
         parts = {}
-        for g in range(n_groups):
+        for gi, (off, fsteps) in enumerate(plan):
+            fn = cd._sh.fetch(int(slope), int(fsteps))
+            m_loc = fsteps * cd.chunk * (n_pad - 1)
             pos, idxs, d0s, counts = fn(
-                cd.planes, cd.lengths, cd.freqs, jnp.int32(g),
+                cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
                 jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev)
             counts_h = np.asarray(counts)
             for d in range(cd._n_dev):
@@ -1434,15 +1434,15 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
                     continue
                 b = min(_bucket_pow2(k), m_loc)
                 base = (d * cd._half_loc
-                        + g * steps_pd * cd.chunk) * (n_pad - 1)
-                parts[(d, g)] = (
+                        + off * cd.chunk) * (n_pad - 1)
+                parts[(d, gi)] = (
                     np.asarray(pos[d, :b][:k], np.int64) + base,
                     np.asarray(idxs[d, :b][:k], np.int64),
                     np.asarray(d0s[d, :b][:k], np.float32))
         for d in range(cd._n_dev):
-            for g in range(n_groups):
-                if (d, g) in parts:
-                    p, ix, dd = parts[(d, g)]
+            for gi in range(len(plan)):
+                if (d, gi) in parts:
+                    p, ix, dd = parts[(d, gi)]
                     pos_out.append(p)
                     idx_out.append(ix)
                     d0_out.append(dd)
@@ -1450,9 +1450,9 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
     if streaming:
         # compaction buffers are ~9 bytes per pair in the dispatch's row
         # range; cap rows so they stay ~1.5 GB alongside the planes
-        steps_pd, n_groups = _dispatch_groups(
-            half, cd.chunk, n_pad, cap_rows=int(1.5e9 / (9 * n_pad)))
-        chunk_rows = steps_pd * cd.chunk
+        chunk_rows = _dispatch_plan(
+            half, cd.chunk, n_pad,
+            cap_rows=int(1.5e9 / (9 * n_pad)))[0][1] * cd.chunk
     for s in range(0, half, chunk_rows):
         rows = min(chunk_rows, half - s)
         if streaming:
@@ -1567,8 +1567,10 @@ def _matmul_sweep_scores(d0_sq, ts, n):
     def score(_, t):
         A = (d0_sq <= t).astype(jnp.float32)
         deg = A.sum(axis=1)
-        n_edges = deg.sum() / 2.0
-        density = n_edges / possible
+        # per-row sums are exact in f32 (< 2^24) but the total is not;
+        # count edges in int32 so the saturation guard is reliable
+        n_edges = (d0_sq <= t).sum(dtype=jnp.int32) // 2
+        density = n_edges.astype(jnp.float32) / possible
         wedges2 = (deg * (deg - 1.0)).sum()
         # bf16 operands double the MXU rate and stay exact: entries are
         # 0/1, accumulation is f32, row counts < 2^24
@@ -1687,7 +1689,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 f"refine: offsets {o_star + 1}..{n_grid - 1} hold "
                 f"{cum[o_star + 1]}..{cum[-1]} pairs (> max_sweep_fetch "
                 f"{max_sweep_fetch}); scored as 1\n")
-        for _ in range(3):
+        while True:  # o_star strictly widens, so <= n_grid iterations
             i, j, idx, d0 = sweep_first_offsets(
                 cd, scale, s_range, slope, *line, _n_act=o_star + 1)
             global_s = np.ones(n_grid)
@@ -1808,46 +1810,53 @@ def _mesh_compact_pass(mesh, planes, lengths, freqs, chunk, n_pad,
     if half_loc % chunk:
         raise ValueError(f"per-device rows ({half_loc}) must divide by "
                          f"chunk ({chunk})")
-    steps_pd, n_groups = _dispatch_groups(
-        half_loc, chunk, n_pad,
-        cap_rows=int(1.5e9 / (bytes_per_pair * n_pad)))
+    plan = _dispatch_plan(half_loc, chunk, n_pad,
+                          cap_rows=int(1.5e9 / (bytes_per_pair * n_pad)))
     c = int(chunk)
 
-    def local(planes, lengths, freqs, g):
-        dev = jax.lax.axis_index("q") * r_size + jax.lax.axis_index("r")
-        start0 = dev * half_loc + g * steps_pd * c
+    def make_local(fsteps):
+        def local(planes, lengths, freqs, off):
+            dev = (jax.lax.axis_index("q") * r_size
+                   + jax.lax.axis_index("r"))
+            start0 = dev * half_loc + off * c
 
-        def body(_, s_idx):
-            folded, _, _ = _fold_block(
-                planes, lengths, freqs, start0 + s_idx * c, c, **fold_kwargs)
-            return None, pair_fn(folded.reshape(-1, 2))
+            def body(_, s_idx):
+                folded, _, _ = _fold_block(
+                    planes, lengths, freqs, start0 + s_idx * c, c,
+                    **fold_kwargs)
+                return None, pair_fn(folded.reshape(-1, 2))
 
-        _, (mask, *payloads) = jax.lax.scan(
-            body, None, jnp.arange(steps_pd, dtype=jnp.int32))
-        mask = mask.reshape(-1)
-        m = mask.shape[0]
-        pos = jnp.sort(jnp.where(mask, jnp.arange(m, dtype=jnp.int32), m))
-        safe = jnp.clip(pos, 0, m - 1)
-        return ((pos[None],)
-                + tuple(jnp.take(p.reshape(-1), safe)[None]
-                        for p in payloads)
-                + (mask.sum()[None],))
+            _, (mask, *payloads) = jax.lax.scan(
+                body, None, jnp.arange(fsteps, dtype=jnp.int32))
+            mask = mask.reshape(-1)
+            m = mask.shape[0]
+            pos = jnp.sort(jnp.where(mask,
+                                     jnp.arange(m, dtype=jnp.int32), m))
+            safe = jnp.clip(pos, 0, m - 1)
+            return ((pos[None],)
+                    + tuple(jnp.take(p.reshape(-1), safe)[None]
+                            for p in payloads)
+                    + (mask.sum()[None],))
+
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(rep,) * 4,
+            out_specs=(sh2,) * (1 + n_payload) + (sh1,)))
 
     rep = P()
     sh1 = P(("q", "r"))
     sh2 = P(("q", "r"), None)
-    fn = jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=(rep,) * 4,
-        out_specs=(sh2,) * (1 + n_payload) + (sh1,)))
+    fns = {}
     rep_sh = NamedSharding(mesh, P())
     with mesh:
         planes = jax.device_put(jnp.asarray(planes), rep_sh)
         lengths = jax.device_put(jnp.asarray(lengths), rep_sh)
         freqs = jax.device_put(jnp.asarray(freqs), rep_sh)
         outs = {}
-        m_loc = steps_pd * c * (n_pad - 1)
-        for g in range(n_groups):
-            res = fn(planes, lengths, freqs, jnp.int32(g))
+        for gi, (off, fsteps) in enumerate(plan):
+            if fsteps not in fns:
+                fns[fsteps] = make_local(int(fsteps))
+            m_loc = fsteps * c * (n_pad - 1)
+            res = fns[fsteps](planes, lengths, freqs, jnp.int32(off))
             pos, payloads, counts = res[0], res[1:-1], res[-1]
             counts_h = np.asarray(counts)
             for d in range(n_dev):
@@ -1855,8 +1864,8 @@ def _mesh_compact_pass(mesh, planes, lengths, freqs, chunk, n_pad,
                 if k == 0:
                     continue
                 b = min(_bucket_pow2(k), m_loc)
-                base = (d * half_loc + g * steps_pd * c) * (n_pad - 1)
-                outs[(d, g)] = (
+                base = (d * half_loc + off * c) * (n_pad - 1)
+                outs[(d, gi)] = (
                     (np.asarray(pos[d, :b][:k], np.int64) + base,)
                     + tuple(np.asarray(p[d, :b][:k]) for p in payloads))
     rows = [outs[key] for key in sorted(outs)]
@@ -1951,17 +1960,16 @@ def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
                          f"({chunk})")
     _, _, pad_bits = plane_geometry(sketchsize64, bbits)
     nr = int(n_real) if n_real < n_pad else None
-    steps_pd, n_groups = _dispatch_groups(
-        half, chunk, n_pad, cap_rows=int(1.5e9 / (6 * n_pad)))
     klist_t = tuple(int(k) for k in klist)
     pos_out, flag_out = [], []
     total = 0
-    for g in range(n_groups):
-        s0 = g * steps_pd * chunk
+    for off, fsteps in _dispatch_plan(half, chunk, n_pad,
+                                      cap_rows=int(1.5e9 / (6 * n_pad))):
+        s0 = off * chunk
         pos, flags, count = _stream_qc_group(
             jnp.asarray(planes), jnp.asarray(lengths), jnp.asarray(freqs),
             jnp.int32(s0), jnp.float32(max_pi_dist), jnp.float32(max_a_dist),
-            int(chunk), int(steps_pd), klist_t, int(sketchsize64),
+            int(chunk), int(fsteps), klist_t, int(sketchsize64),
             int(bbits), int(pad_bits), bool(use_pallas), nr)
         k = int(count)
         total += k
@@ -1972,7 +1980,7 @@ def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
                 "--max-pi-dist/--max-a-dist")
         if k == 0:
             continue
-        m = steps_pd * chunk * (n_pad - 1)
+        m = fsteps * chunk * (n_pad - 1)
         b = min(_bucket_pow2(k), m)
         base = s0 * (n_pad - 1)
         pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
@@ -2074,18 +2082,17 @@ def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
                          f"({chunk})")
     _, _, pad_bits = plane_geometry(sketchsize64, bbits)
     nr = int(n_real) if n_real < n_pad else None
-    steps_pd, n_groups = _dispatch_groups(
-        half, chunk, n_pad, cap_rows=int(1.5e9 / (5 * n_pad)))
     klist_t = tuple(int(k) for k in klist)
     scale_dev = jnp.asarray(scale, jnp.float32)
     pos_out = []
     total = 0
-    for g in range(n_groups):
-        s0 = g * steps_pd * chunk
+    for off, fsteps in _dispatch_plan(half, chunk, n_pad,
+                                      cap_rows=int(1.5e9 / (5 * n_pad))):
+        s0 = off * chunk
         pos, count = _stream_boundary_group(
             jnp.asarray(planes), jnp.asarray(lengths), jnp.asarray(freqs),
             jnp.int32(s0), scale_dev, jnp.float32(bx), jnp.float32(by),
-            int(chunk), int(steps_pd), klist_t, int(sketchsize64),
+            int(chunk), int(fsteps), klist_t, int(sketchsize64),
             int(bbits), int(pad_bits), int(slope), bool(use_pallas), nr)
         k = int(count)
         total += k
@@ -2095,7 +2102,7 @@ def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
                 "the model boundary captures most of this population")
         if k == 0:
             continue
-        m = steps_pd * chunk * (n_pad - 1)
+        m = fsteps * chunk * (n_pad - 1)
         b = min(_bucket_pow2(k), m)
         base = s0 * (n_pad - 1)
         pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
@@ -2194,12 +2201,20 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     timings["synth"] = time.perf_counter() - t0
     log(f"synth: {n} genomes on device in {timings['synth']:.1f}s\n")
 
+    def divide_down(c, rows):
+        """Largest value <= c dividing rows (halving walk; 1 always
+        divides) — the fill/streaming twins require chunk | rows."""
+        c = max(1, min(c, rows))
+        while rows % c:
+            c //= 2
+        return c
+
     n_dev = len(jax.devices())
+    half = n // 2
     if streaming is None:
         streaming = 4.0 * n * n / max(n_dev, 1) > 6e9
     if sharded is None:
-        sharded = (not streaming and n_dev > 1
-                   and (n // 2) % n_dev == 0)
+        sharded = (not streaming and n_dev > 1 and half % n_dev == 0)
     t0 = time.perf_counter()
     if streaming:
         from .parallel.mesh import get_mesh
@@ -2209,15 +2224,15 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         # both fit a 16 GB chip (c=256 at n=65536 crashed the worker)
         c_max = max(32, int(2.5e9 / (2 * n * len(klist) * 16)))
         c_stream = 1 << (c_max.bit_length() - 1)
-        while (n // 2) % c_stream:
-            c_stream //= 2
-        mesh = (get_mesh() if n_dev > 1 and (n // 2) % n_dev == 0
-                else None)
+        mesh = get_mesh() if n_dev > 1 and half % n_dev == 0 else None
+        # chunk must divide the per-device rows, not just half
+        rows_loc = half // n_dev if mesh is not None else half
+        c_stream = divide_down(min(chunk, c_stream), rows_loc)
         if mesh is not None:
             log(f"dists: streaming sharded over {n_dev} devices\n")
         cd = StreamingCondensed(pop.planes, pop.lengths, pop.freqs, klist,
                                 sketchsize64, bbits,
-                                chunk=min(chunk, c_stream), knn=knn,
+                                chunk=c_stream, knn=knn,
                                 use_pallas=use_pallas,
                                 subsample=(subsample, seed), mesh=mesh)
         log("dists: streaming (no O(n^2) tensor; buffer would be "
@@ -2225,12 +2240,15 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         np.asarray(cd.knn_dist[-1, -1])
     elif sharded:
         cd = fill_condensed_sharded(pop.planes, pop.lengths, pop.freqs,
-                                    klist, sketchsize64, bbits, chunk=chunk,
+                                    klist, sketchsize64, bbits,
+                                    chunk=divide_down(chunk,
+                                                      half // n_dev),
                                     knn=knn, use_pallas=use_pallas)
         log(f"dists: folded buffer sharded over {n_dev} devices\n")
     else:
         cd = fill_condensed_device(pop.planes, pop.lengths, pop.freqs,
-                                   klist, sketchsize64, bbits, chunk=chunk,
+                                   klist, sketchsize64, bbits,
+                                   chunk=divide_down(chunk, half),
                                    knn=knn, use_pallas=use_pallas)
     if cd.buf is not None:
         np.asarray(cd.buf[-1, -1, -1])

@@ -470,6 +470,50 @@ class TestStreaming2DSweep:
             assert len(np.unique(pop.strain[labels == cl])) == 1
 
 
+class TestRaggedDispatchPlan:
+    """A dispatch budget that doesn't divide the step count produces a
+    smaller tail group; every pass must still equal the single-dispatch
+    result (and the plan must never degrade to 1-step dispatches)."""
+
+    def test_plan_shapes(self):
+        from poppunk_tpu import scale as sc
+
+        plan = sc._dispatch_plan(32, 4, 64, cap_rows=12)
+        assert plan == [(0, 3), (3, 3), (6, 2)]
+        assert sc._dispatch_plan(32, 4, 64) == [(0, 8)]
+
+    def test_ragged_equals_single_dispatch(self, pop, monkeypatch):
+        import jax
+
+        from poppunk_tpu import scale as sc
+        from poppunk_tpu.parallel.mesh import get_mesh
+
+        kwargs = dict(chunk=4, knn=3, subsample=(100, 7),
+                      use_pallas=False)
+        ref = sc.StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                    KLIST, SS64, BBITS, **kwargs)
+        scale = ref.max_scale()
+        offsets = np.linspace(0.0, 0.5, 10)
+        args1d = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
+        want = sweep_first_offsets(ref, *args1d)
+        want_counts = sc.sweep_counts_streaming(ref, *args1d)
+
+        # budget of 3 chunks per dispatch: n_steps=8 -> groups 3,3,2
+        monkeypatch.setattr(sc, "PAIRS_PER_DISPATCH", 3 * 4 * 2 * N)
+        for mesh in (None, get_mesh(len(jax.devices()))):
+            cd = sc.StreamingCondensed(pop.planes, pop.lengths,
+                                       pop.freqs, KLIST, SS64, BBITS,
+                                       mesh=mesh, **kwargs)
+            assert np.array_equal(cd.knn_col, ref.knn_col)
+            assert np.array_equal(cd.subsample_pairs(100, seed=7),
+                                  ref.subsample_pairs(100, seed=7))
+            got = sweep_first_offsets(cd, *args1d)
+            for a, b in zip(got, want):
+                assert np.array_equal(a, b)
+            assert np.array_equal(
+                sc.sweep_counts_streaming(cd, *args1d), want_counts)
+
+
 class TestMeshCompactPasses:
     """QC and fixed-boundary compaction passes sharded over the mesh
     equal the single-device twins exactly."""
