@@ -628,10 +628,8 @@ class _ShardedStream:
                     x, y = Xs[:, 0], Xs[:, 1]
 
                     def cell(xm, ym):
-                        linear = y * xm + x * ym - xm * ym
-                        d = jnp.where(xm * ym == 0,
-                                      jnp.sqrt(x * x + y * y), linear)
-                        return (d <= 0).sum(dtype=jnp.int32)
+                        return _inside_2d(x, y, xm, ym).sum(
+                            dtype=jnp.int32)
 
                     counts = jax.vmap(lambda ym: jax.vmap(
                         lambda xm: cell(xm, ym))(xg))(yg)
@@ -660,10 +658,7 @@ class _ShardedStream:
                     x, y = Xs[:, 0], Xs[:, 1]
 
                     def in_row(xm, ym):
-                        linear = y * xm + x * ym - xm * ym
-                        d = jnp.where(xm * ym == 0,
-                                      jnp.sqrt(x * x + y * y), linear)
-                        return (d <= 0) & (xm > 0)
+                        return _inside_2d(x, y, xm, ym) & (xm > 0)
 
                     inside = jax.vmap(in_row)(x_caps, yg).any(axis=0)
                     return None, (inside, x, y)
@@ -1041,9 +1036,7 @@ def _stream_sweep2d_counts(planes, lengths, freqs, s0, scale, xg, yg, c,
         x, y = Xs[:, 0], Xs[:, 1]
 
         def cell(xm, ym):
-            linear = y * xm + x * ym - xm * ym
-            d = jnp.where(xm * ym == 0, jnp.sqrt(x * x + y * y), linear)
-            return (d <= 0).sum(dtype=jnp.int32)
+            return _inside_2d(x, y, xm, ym).sum(dtype=jnp.int32)
 
         counts = jax.vmap(lambda ym: jax.vmap(
             lambda xm: cell(xm, ym))(xg))(yg)
@@ -1074,9 +1067,7 @@ def _stream_sweep2d_fetch(planes, lengths, freqs, s0, scale, x_caps, yg, c,
         x, y = Xs[:, 0], Xs[:, 1]
 
         def in_row(xm, ym):
-            linear = y * xm + x * ym - xm * ym
-            d = jnp.where(xm * ym == 0, jnp.sqrt(x * x + y * y), linear)
-            return (d <= 0) & (xm > 0)
+            return _inside_2d(x, y, xm, ym) & (xm > 0)
 
         inside = jax.vmap(in_row)(x_caps, yg).any(axis=0)
         return None, (inside, x, y)
@@ -1330,6 +1321,17 @@ def _line_d0_params(offsets, slope, x0, y0, x1, y1):
     t = line_dist(bpts.astype(np.float32), float(x_max[0]),
                   float(y_max[0]), slope)
     return float(x_max[0]), float(y_max[0]), np.maximum.accumulate(t)
+
+
+def _inside_2d(x, y, xm, ym):
+    """Pair (x, y) inside the slope-2 boundary through (xm, 0), (0, ym)
+    — ops/boundary.line_dist <= 0, incl. the degenerate-axis sqrt case.
+    THE single definition of the 2-D membership rule; every streaming
+    pass (sharded or not) must call this so the semantics cannot
+    drift."""
+    linear = y * xm + x * ym - xm * ym
+    d = jnp.where(xm * ym == 0, jnp.sqrt(x * x + y * y), linear)
+    return d <= 0
 
 
 @partial(jax.jit, static_argnames=("slope",))
@@ -2013,13 +2015,12 @@ def _stream_boundary_group(planes, lengths, freqs, s0, scale, bx, by, c,
         Xs = folded.reshape(-1, 2) / scale
         x, y = Xs[:, 0], Xs[:, 1]
         if slope == 2:
-            linear = y * bx + x * by - bx * by
-            d = jnp.where(bx * by == 0, jnp.sqrt(x * x + y * y), linear)
+            inside = _inside_2d(x, y, bx, by)
         elif slope == 0:
-            d = x - bx
+            inside = x - bx <= 0
         else:
-            d = y - by
-        return None, d <= 0
+            inside = y - by <= 0
+        return None, inside
 
     starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
     _, inside = jax.lax.scan(body, None, starts)
@@ -2051,14 +2052,12 @@ def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
             Xs = dpairs / scale_dev
             x, y = Xs[:, 0], Xs[:, 1]
             if slope == 2:
-                linear = y * bxd + x * byd - bxd * byd
-                d = jnp.where(bxd * byd == 0,
-                              jnp.sqrt(x * x + y * y), linear)
+                inside = _inside_2d(x, y, bxd, byd)
             elif slope == 0:
-                d = x - bxd
+                inside = x - bxd <= 0
             else:
-                d = y - byd
-            return (d <= 0,)
+                inside = y - byd <= 0
+            return (inside,)
 
         fold_kwargs = dict(
             klist=tuple(int(k) for k in klist),
