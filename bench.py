@@ -456,6 +456,10 @@ def main():
         _, wp, _ = plane_geometry(SS64, BBITS)
         _, frac = kernel_ceiling(dev_rate, wp)
         out["ceiling_frac"] = round(frac, 3)
+    else:
+        # an honest record that this run never reached the TPU (tunnel
+        # down): the value is the XLA:CPU rate, not the chip's
+        out["backend"] = "cpu-fallback"
     print(json.dumps(out))
 
 
