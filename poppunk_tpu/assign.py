@@ -207,6 +207,11 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
 
     model = load_cluster_fit(_file_base(model_prefix) + "_fit.pkl",
                              _file_base(model_prefix) + "_fit.npz")
+    if not model.fitted or not getattr(model, "assign_points", True):
+        sys.stderr.write(
+            "Cannot assign points with an incompletely-fitted model\n"
+            "Please refit the model without --for-refine\n")
+        sys.exit(1)
     if model.type == "lineage" and (serial or stable):
         raise RuntimeError("lineage models cannot be used with --serial or --stable")
     model.set_threads(threads)
@@ -222,6 +227,7 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
             fit_type_list.append("accessory_refined")
 
     isolate_clustering = {}
+    dist_cache_key = dist_cache = None
     for fit_type in fit_type_list:
         ext = "" if fit_type == "default" else "_" + fit_type
         if os.path.isfile(distances + ".pkl"):
@@ -279,17 +285,30 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
             fused_slope = None
         post_spec = model_post_spec(model, slope=fused_slope)
 
-        with stage("query_distances", sync=True):
-            r_sketches = read_sketches(ref_db, r_names)
-            q_sketches = read_sketches(output, q_names)
-            out = query_db(r_sketches, q_sketches, kmers,
-                           use_rc=not strand_preserved, post_spec=post_spec)
-            if post_spec is not None:
-                qr_dist_mat, fused_assignments = out
-            else:
-                qr_dist_mat, fused_assignments = out, None
+        cache_hit = dist_cache_key == (tuple(r_names), tuple(q_names))
+        if cache_hit:
+            # same reference and query sets as the previous fit type:
+            # reuse the (already QC'd) matrix instead of re-dispatching
+            # the whole Q x R kernel (the reference reuses too,
+            # assign.py:500); per-slope classification runs host-side
+            sys.stderr.write("Reusing distances from previous fit type\n")
+            qr_dist_mat, fused_assignments = dist_cache, None
+        else:
+            with stage("query_distances", sync=True):
+                r_sketches = read_sketches(ref_db, r_names)
+                q_sketches = read_sketches(output, q_names)
+                out = query_db(r_sketches, q_sketches, kmers,
+                               use_rc=not strand_preserved,
+                               post_spec=post_spec)
+                if post_spec is not None:
+                    qr_dist_mat, fused_assignments = out
+                else:
+                    qr_dist_mat, fused_assignments = out, None
+            if fit_type == "default" and plot_fit > 0:
+                _plot_query_fits(ref_db, output, r_names, q_names, kmers,
+                                 plot_fit, not strand_preserved)
 
-        if qc_dict["run_qc"]:
+        if qc_dict["run_qc"] and not cache_hit:
             sys.stderr.write("Running QC on distance matrix\n")
             passing, failed_dist_qc = qc_dist_mat(qr_dist_mat, r_names,
                                                   q_names, ref_db, qc_dict)
@@ -314,17 +333,18 @@ def assign_query_hdf5(ref_db, q_names, output, qc_dict, update_db=False,
                 strand_preserved, graph_weights)
             merged_queries = []
             old_cluster_file = None
-            qq_dist_mat = model_qq_dists = None
+            qq_dist_mat = None
         else:
             (genome_network, isolate_clustering, merged_queries,
-             old_cluster_file, qq_dist_mat) = _assign_network(
-                model, fit_type, ext, r_names, q_names, qr_dist_mat,
-                prev_clustering_dir, output, kmers, qc_dict, serial, stable,
-                update_db, write_references, graph_weights, strand_preserved,
-                external_clustering, use_ref_graph, threads,
-                fused_assignments=fused_assignments)
-            if isolate_clustering is None:
-                continue  # all queries failed assignment QC for this type
+             old_cluster_file, qq_dist_mat, q_names, qr_dist_mat) = \
+                _assign_network(
+                    model, fit_type, ext, r_names, q_names, qr_dist_mat,
+                    prev_clustering_dir, output, kmers, qc_dict, serial,
+                    stable, update_db, write_references, graph_weights,
+                    strand_preserved, external_clustering, use_ref_graph,
+                    threads, fused_assignments=fused_assignments)
+        dist_cache_key = (tuple(r_names), tuple(q_names))
+        dist_cache = qr_dist_mat
 
         # ------------------------------------------------------------------
         # Database update / distance persistence (assign.py:735-817)
@@ -517,6 +537,9 @@ def _assign_network(model, fit_type, ext, r_names, q_names, qr_dist_mat,
             else:
                 isolate_clustering[q_names[query]] = "NA"
         _write_serial_csv(output, isolate_clustering)
+        if external_clustering is not None:
+            _serial_external_clusters(output, isolate_clustering,
+                                      external_clustering, r_names)
     else:
         sys.stderr.write("Assigning serially\n")
         assignments = np.asarray(query_assignments)
@@ -541,15 +564,56 @@ def _assign_network(model, fit_type, ext, r_names, q_names, qr_dist_mat,
             isolate_clustering[sample] = cluster
         _write_serial_csv(output, isolate_clustering)
         if external_clustering is not None:
-            new_clusters = defaultdict(set)
-            for sample, cl in isolate_clustering.items():
-                new_clusters[cl].add(sample)
-            print_external_clusters(list(new_clusters.values()),
-                                    external_clustering, _file_base(output),
-                                    set(r_names), print_ref=False)
+            _serial_external_clusters(output, isolate_clustering,
+                                      external_clustering, r_names)
 
     return (genome_network, isolate_clustering, merged_queries,
-            old_cluster_file, qq_dist_mat)
+            old_cluster_file, qq_dist_mat, q_names, qr_dist_mat)
+
+
+def _serial_external_clusters(output, isolate_clustering,
+                              external_clustering, r_names):
+    """External-cluster mapping after a serial/stable CSV write
+    (printExternalClusters, reference assign.py:731-733)."""
+    new_clusters = defaultdict(set)
+    for sample, cl in isolate_clustering.items():
+        new_clusters[cl].add(sample)
+    print_external_clusters(list(new_clusters.values()),
+                            external_clustering, _file_base(output),
+                            set(r_names), print_ref=False)
+
+
+def _plot_query_fits(ref_db, query_db_prefix, r_names, q_names, kmers,
+                     count, use_rc, seed=42):
+    """Random query-vs-reference k-mer fit plots (--plot-fit; the
+    reference passes number_plot_fits into queryDatabase,
+    assign.py:502/sketchlib.py:547)."""
+    try:
+        from .io.hdf5db import read_sketches
+        from .ops.distances import query_db
+        from .ops.kmer_fit import fit_kmer_curve_np
+        from .plotting import plot_fit
+
+        rng = np.random.default_rng(seed)
+        for i in range(count):
+            q = q_names[rng.integers(len(q_names))]
+            r = r_names[rng.integers(len(r_names))]
+            pair = read_sketches(ref_db, [r]) + read_sketches(
+                query_db_prefix, [q])
+            raw = query_db(pair, None, kmers, self_mode=True, jaccard=True,
+                           random_correct=False, use_rc=use_rc)[0]
+            corrected = query_db(pair, None, kmers, self_mode=True,
+                                 jaccard=True, random_correct=True,
+                                 use_rc=use_rc)[0]
+            dists = query_db(pair, None, kmers, self_mode=True,
+                             random_correct=True, use_rc=use_rc)[0]
+            raw_fit = fit_kmer_curve_np(raw, np.asarray(kmers))
+            plot_fit(kmers, raw, np.array(raw_fit), corrected,
+                     np.array(dists),
+                     _file_base(query_db_prefix) + f"_fit_example_{i + 1}",
+                     f"Example fit {i + 1} - {q} vs. {r}")
+    except Exception as e:  # plotting must never kill assignment
+        sys.stderr.write(f"Fit plotting failed: {e}\n")
 
 
 def _print_query_betweenness(G, r_names, q_names):

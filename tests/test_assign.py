@@ -87,6 +87,23 @@ class TestStableSerial:
                             if r.split("_iso")[0] == q.split("_iso")[0])
                 assert got[q] == ref_clusters[mate]
 
+    def test_stable_external_clustering(self, split_population, population,
+                                        tmp_path):
+        """--stable + --external-clustering writes the external mapping
+        (the reference runs printExternalClusters for stable AND serial
+        modes, assign.py:731-733)."""
+        db, rfile, qfile, refs, queries, ref_clusters = split_population
+        ext_csv = str(tmp_path / "external.csv")
+        with open(ext_csv, "w") as f:
+            f.write("sample,SeroGroup\n")
+            for name in refs:
+                f.write(f"{name},SG{population.strain_of[name]}\n")
+        out = str(tmp_path / "stable_ext")
+        assign_main(["--db", db, "--query", qfile, "--output", out,
+                     "--stable", "core", "--external-clustering", ext_csv])
+        assert os.path.isfile(
+            os.path.join(out, "stable_ext_external_clusters.csv"))
+
     def test_serial(self, split_population, tmp_path):
         db, rfile, qfile, refs, queries, ref_clusters = split_population
         out = str(tmp_path / "serial")
@@ -100,6 +117,46 @@ class TestStableSerial:
                 mate = next(r for r in refs
                             if r.split("_iso")[0] == q.split("_iso")[0])
                 assert got[q] == ref_clusters[mate]
+
+
+class TestMaxMergeQC:
+    def test_pruned_query_excluded_everywhere(self, split_population,
+                                              tmp_path, monkeypatch):
+        """A query failing assignment QC (--max-merge) must vanish from
+        EVERY output: clusters CSV, the persisted distances and the
+        partial query graph (the pruned name list must propagate out of
+        the network-assignment scope, reference assign.py:625-628)."""
+        import poppunk_tpu.assign as am
+
+        db, rfile, qfile, refs, queries, ref_clusters = split_population
+        victim = queries[0]
+
+        def fake_qc(r_list, q_list, assignments, max_clusters,
+                    cluster_file):
+            passing = [q for q in q_list if q != victim]
+            return passing, {victim: ["Failed graph QC (too many links)"]}
+
+        monkeypatch.setattr(am, "qc_query_assignments", fake_qc)
+        out = str(tmp_path / "mm")
+        assign_main(["--db", db, "--query", qfile, "--output", out,
+                     "--run-qc", "--max-pi-dist", "1", "--max-a-dist", "1",
+                     "--max-zero-dist", "1", "--max-merge", "2",
+                     "--save-partial-query-graph"])
+
+        got = read_clusters(os.path.join(out, "mm_clusters.csv"))
+        assert victim not in got
+        assert set(queries) - {victim} <= set(got)
+
+        from poppunk_tpu.utils import read_pickle
+
+        rlist, qlist, self_mode, X = read_pickle(
+            os.path.join(out, "mm.dists"))
+        assert victim not in qlist
+        assert X.shape[0] == len(rlist) * len(qlist)
+
+        subset = open(os.path.join(out, "mm_query.subset")).read().split()
+        assert victim not in subset
+        assert set(subset) <= set(rlist) | set(qlist)
 
 
 class TestNameClash:
