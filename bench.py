@@ -59,32 +59,43 @@ def _u64_to_u32_planes(planes64, wp):
     return out
 
 
-def _ensure_live_backend(probe_timeout=150):
+def _ensure_live_backend(probe_timeout=150, attempts=None, retry_wait=120):
     """Fall back to CPU if the tunnelled TPU backend HANGS (not errors).
 
     A wedged axon worker blocks jax.devices()/the first dispatch forever
     instead of raising (observed after worker crash loops), which would
     hang the driver's bench capture. Probe in a subprocess under a hard
-    timeout BEFORE the parent initialises any jax backend."""
+    timeout BEFORE the parent initialises any jax backend. The worker
+    sometimes recovers within minutes, so retry a few times
+    (POPPUNK_BENCH_PROBE_ATTEMPTS, default 3) before settling for the
+    CPU fallback number."""
     if os.environ.get("_POPPUNK_BENCH_BACKEND_OK"):
         return os.environ["_POPPUNK_BENCH_BACKEND_OK"] == "tpu"
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, numpy as np;"
-             "np.asarray(jax.numpy.ones((8, 8)).sum())"],
-            timeout=probe_timeout, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        os.environ["_POPPUNK_BENCH_BACKEND_OK"] = "tpu"
-        return True
-    except Exception:
-        sys.stderr.write(
-            "device backend probe failed/hung; falling back to CPU\n")
-        import jax
+    if attempts is None:
+        attempts = int(os.environ.get("POPPUNK_BENCH_PROBE_ATTEMPTS", "3"))
+    for attempt in range(max(1, attempts)):
+        if attempt:
+            sys.stderr.write(
+                f"device probe retry {attempt + 1}/{attempts} "
+                f"in {retry_wait}s\n")
+            time.sleep(retry_wait)
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np;"
+                 "np.asarray(jax.numpy.ones((8, 8)).sum())"],
+                timeout=probe_timeout, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            os.environ["_POPPUNK_BENCH_BACKEND_OK"] = "tpu"
+            return True
+        except Exception:
+            sys.stderr.write("device backend probe failed/hung\n")
+    sys.stderr.write("device backend unreachable; falling back to CPU\n")
+    import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        os.environ["_POPPUNK_BENCH_BACKEND_OK"] = "cpu"
-        return False
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["_POPPUNK_BENCH_BACKEND_OK"] = "cpu"
+    return False
 
 
 def bench_cpu(lib, planes64, nq, nr, threads):
