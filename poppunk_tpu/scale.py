@@ -1229,12 +1229,6 @@ def refine_fit_device_2d(cd, scale, mean0, mean1, max_move=0.9,
                       0.0).astype(np.float32)
     i, j, xs, ys = sweep2d_fetch_streaming(cd, scale, x_caps, y_max)
 
-    def memberships(xm, ym):
-        if xm * ym == 0:
-            return np.sqrt(xs * xs + ys * ys) <= 0
-        return ys * np.float32(xm) + xs * np.float32(ym) \
-            - np.float32(xm) * np.float32(ym) <= 0
-
     global_s = np.ones((grid, grid))
     xs64 = xs.astype(np.float64)
     ys64 = ys.astype(np.float64)
@@ -1286,7 +1280,7 @@ def refine_fit_device_2d(cd, scale, mean0, mean1, max_move=0.9,
             for ci, (xm, ym) in enumerate(cells):
                 if xm <= 0 or ym <= 0:
                     continue
-                mask = memberships(xm, ym)
+                mask = inside_2d_host(xs, ys, xm, ym)
                 scores[ci] = grow_network_scores(
                     cd.n, i[mask], j[mask],
                     np.zeros(int(mask.sum()), np.int32), 1, score_idx,
@@ -1327,11 +1321,23 @@ def _inside_2d(x, y, xm, ym):
     """Pair (x, y) inside the slope-2 boundary through (xm, 0), (0, ym)
     — ops/boundary.line_dist <= 0, incl. the degenerate-axis sqrt case.
     THE single definition of the 2-D membership rule; every streaming
-    pass (sharded or not) must call this so the semantics cannot
-    drift."""
+    pass (sharded or not) must call this (or its host twin
+    inside_2d_host) so the semantics cannot drift."""
     linear = y * xm + x * ym - xm * ym
     d = jnp.where(xm * ym == 0, jnp.sqrt(x * x + y * y), linear)
     return d <= 0
+
+
+def inside_2d_host(x, y, xm, ym):
+    """Host twin of _inside_2d for already-fetched pair coordinates —
+    same rule, numpy, f32 arithmetic like the device passes. Change the
+    two together."""
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+    if xm * ym == 0:
+        return np.sqrt(x * x + y * y) <= 0
+    return y * np.float32(xm) + x * np.float32(ym) \
+        - np.float32(xm) * np.float32(ym) <= 0
 
 
 @partial(jax.jit, static_argnames=("slope",))
@@ -1363,6 +1369,35 @@ def _bucket_pow2(k, lo=1024):
     while b < k:
         b *= 2
     return b
+
+
+@partial(jax.jit, static_argnames=("slope",))
+def _sweep_counts_chunk(chunk_x, scale, t, xm0, ym0, slope):
+    """First-offset histogram of one buffer chunk (counts only; the last
+    bin holds pairs outside the widest boundary)."""
+    d0 = _d0_chunk(chunk_x, scale, xm0, ym0, slope)
+    idx = jnp.searchsorted(t, d0, side="left")
+    return jnp.bincount(idx, length=t.shape[0] + 1)
+
+
+def sweep_counts_buffered(cd, scale, offsets, slope, x0, y0, x1, y1,
+                          chunk_rows=1024):
+    """Buffered twin of sweep_counts_streaming: cumulative in-boundary
+    pair count per offset from the folded device buffer, no pair
+    fetch."""
+    xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
+    t_dev = jnp.asarray(t, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    half = fold_rows(cd.n)
+    counts = np.zeros(len(t) + 1, np.int64)
+    for s in range(0, half, chunk_rows):
+        rows = min(chunk_rows, half - s)
+        chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
+        counts += np.asarray(
+            _sweep_counts_chunk(chunk_x, scale_dev, t_dev,
+                                jnp.float32(xm0), jnp.float32(ym0),
+                                int(slope)), np.int64)
+    return np.cumsum(counts[:-1])
 
 
 def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
@@ -1469,7 +1504,9 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
         else:
             chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
             m = chunk_x.shape[0]
-            pos, idx, d0, count = _sweep_gather(chunk_x, scale_dev, t_dev,
+            n_act = len(t) if _n_act is None else _n_act
+            pos, idx, d0, count = _sweep_gather(chunk_x, scale_dev,
+                                                t_dev[:n_act],
                                                 xm0_dev, ym0_dev, int(slope))
         k = int(count)
         if k == 0:
@@ -1647,9 +1684,10 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     ("sparse", i, j, idx, d0, s_range, params); for slope 0/1 the
     optimal value rides optimal_x / optimal_y respectively.
 
-    Streaming populations (no buffer) first run a counts-only histogram
-    pass, then fetch pairs only for offsets whose cumulative count is
-    <= max_sweep_fetch; denser offsets score 1 (worst). The widest grid
+    Every sparse-scored sweep (buffered or streaming) first runs a
+    counts-only histogram pass, then fetches pairs only for offsets
+    whose cumulative count is <= max_sweep_fetch; denser offsets score 1
+    (worst). The widest grid
     offsets sit past the between-strain mean and hold O(n_pairs/2)
     pairs — fetching them is the reference's memory cliff
     (PopPUNK/refine.py:197-202, a measured 21 GB host RSS here at 65k),
@@ -1674,10 +1712,16 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         global_s, edge_counts = matmul_sweep_scores(d0_sq, t_grid)
         if edge_counts[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
-    elif cd.buf is None:
+    else:
         from .network.incremental import grow_network_scores
 
-        cum = sweep_counts_streaming(cd, scale, s_range, slope, *line)
+        # counts-only pre-pass, buffered or streaming: the fetch cap
+        # applies to BOTH (the buffered widest offsets hold the same
+        # O(n_pairs/2) pairs; fetching them is the same host cliff)
+        if cd.buf is None:
+            cum = sweep_counts_streaming(cd, scale, s_range, slope, *line)
+        else:
+            cum = sweep_counts_buffered(cd, scale, s_range, slope, *line)
         if cum[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
         fetchable = np.nonzero(cum <= max_sweep_fetch)[0]
@@ -1710,14 +1754,6 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                     "sweep optimum sits in an offset denser than "
                     "2 * max_sweep_fetch — lower max_move")
             o_star = need
-    else:
-        from .network.incremental import grow_network_scores
-
-        i, j, idx, d0 = sweep_first_offsets(cd, scale, s_range, slope, *line)
-        if len(i) == cd.n_pairs:
-            raise RuntimeError("Boundary range includes all points")
-        global_s = grow_network_scores(cd.n, i, j, idx, n_grid, score_idx,
-                                       betweenness_sample, rng=rng)
     global_s[np.isnan(global_s)] = 1
     min_idx = int(np.argmin(global_s))
 

@@ -105,6 +105,70 @@ class TestDeviceSweep:
         assert host == dev
         assert len(dd0) == len(di)
 
+    def test_counts_buffered_matches_host(self, cd, host_condensed):
+        from poppunk_tpu.scale import sweep_counts_buffered
+
+        scale = host_condensed.max(axis=0)
+        Xs = host_condensed / scale
+        mean0, mean1 = np.array([0.1, 0.1]), np.array([0.7, 0.7])
+        offsets = np.linspace(0.0, 0.5, 20)
+        _, _, hidx = threshold_iterate_1d_fast(
+            Xs, offsets, 2, mean0[0], mean0[1], mean1[0], mean1[1])
+        want = np.cumsum(np.bincount(hidx, minlength=len(offsets)))
+        got = sweep_counts_buffered(cd, scale, offsets, 2, mean0[0],
+                                    mean0[1], mean1[0], mean1[1],
+                                    chunk_rows=8)
+        assert np.array_equal(got, want)
+
+    def test_buffered_fetch_honours_n_act(self, cd, host_condensed):
+        scale = host_condensed.max(axis=0)
+        Xs = host_condensed / scale
+        mean0, mean1 = np.array([0.1, 0.1]), np.array([0.7, 0.7])
+        offsets = np.linspace(0.0, 0.5, 20)
+        hi, hj, hidx = threshold_iterate_1d_fast(
+            Xs, offsets[:7], 2, mean0[0], mean0[1], mean1[0], mean1[1])
+        di, dj, didx, _ = sweep_first_offsets(
+            cd, scale, offsets, 2, mean0[0], mean0[1], mean1[0], mean1[1],
+            _n_act=7)
+        assert sorted(zip(hi, hj, hidx)) == sorted(zip(di, dj, didx))
+
+    @pytest.mark.parametrize("score_idx", [1, 0])
+    def test_refine_cap_matches_uncapped(self, cd, host_condensed,
+                                         score_idx):
+        """The buffered sparse branch with a binding max_sweep_fetch must
+        find the same boundary as the uncapped fetch (dense offsets past
+        the cap score worst and never hold the optimum)."""
+        from poppunk_tpu.scale import refine_fit_device
+
+        scale = host_condensed.max(axis=0)
+        Xs = host_condensed / scale
+        within = Xs[Xs[:, 0] < 0.3]
+        between = Xs[Xs[:, 0] >= 0.3]
+        mean0 = within.mean(axis=0)
+        mean1 = between.mean(axis=0)
+        kw = dict(score_idx=score_idx, betweenness_sample=1000, seed=1,
+                  no_local=True, max_move=0.05)
+        if score_idx == 0:  # force the sparse branch off the matmul path
+            import poppunk_tpu.scale as sc_mod
+            orig = sc_mod.MATMUL_SWEEP_MAX_N
+            sc_mod.MATMUL_SWEEP_MAX_N = 0
+            try:
+                full = refine_fit_device(cd, scale, mean0, mean1, **kw)
+                capped = refine_fit_device(cd, scale, mean0, mean1,
+                                           max_sweep_fetch=cd.n_pairs // 3,
+                                           **kw)
+            finally:
+                sc_mod.MATMUL_SWEEP_MAX_N = orig
+        else:
+            full = refine_fit_device(cd, scale, mean0, mean1, **kw)
+            capped = refine_fit_device(cd, scale, mean0, mean1,
+                                       max_sweep_fetch=cd.n_pairs // 3,
+                                       **kw)
+        assert capped[0] == pytest.approx(full[0])
+        assert capped[1] == pytest.approx(full[1])
+        # the capped fetch really fetched fewer pairs
+        assert len(capped[3][1]) < len(full[3][1])
+
 
 class TestMatmulSweep:
     """The all-on-device scorer vs the host sparse scorer, exactly."""
