@@ -175,6 +175,65 @@ def bench_device(nq, nr, iters=3):
     return nq * nr / dt, planes64, on_tpu
 
 
+def bench_kernel_ab(nq=2048, nr=4096, iters=3):
+    """Kernel-only A/B: standard per-k tiles vs the packed-lane
+    formulation (G k-mer lengths per lane row, MXU segment sums).
+    Prints both rates; run on the real chip to decide the default."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from poppunk_tpu.ops.distances import plane_geometry
+    from poppunk_tpu.ops.pallas_jaccard import (
+        _lane_groups, match_counts_pallas, match_counts_pallas_packed)
+
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        sys.stderr.write("kernel A/B needs the real chip\n")
+        return
+    w32, wp, pad_bits = plane_geometry(SS64, BBITS)
+    rng = np.random.default_rng(1)
+    planes = _u64_to_u32_planes(_synth_planes_u64(max(nq, nr), rng), wp)
+    pq = jnp.asarray(planes[:nq])
+    pr = jnp.asarray(planes[:nr])
+
+    def run(label, fn):
+        def sync(x):
+            return np.asarray(x[-1, -1, -1])
+
+        sync(fn())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sync(fn())
+        rate = nq * nr / ((time.perf_counter() - t0) / iters)
+        sys.stderr.write(f"{label}: {rate / 1e6:.1f} Mpairs/s\n")
+        return rate
+
+    base = run("standard (tq=64,tr=128,Wp=%d)" % wp,
+               jax.jit(lambda: match_counts_pallas(pq, pr, pad_bits)))
+    g, lanes, kg = _lane_groups(w32, len(KLIST), bbits=BBITS)
+    sys.stderr.write(f"packed pick: G={g}, lanes={lanes} "
+                     f"(occupancy {len(KLIST) * w32 / (kg * lanes):.1%})\n")
+    best = ("standard", base)
+    for tq, tr in ((32, 128), (16, 128), (32, 256), (64, 128)):
+        vmem = 2 * BBITS * (tq + tr) * lanes * 4
+        if vmem > 14 * 2**20:
+            continue
+        try:
+            rate = run(f"packed g={g} (tq={tq},tr={tr},L={lanes})",
+                       jax.jit(lambda tq=tq, tr=tr: match_counts_pallas_packed(
+                           pq, pr, w32, g=g, tq=tq, tr=tr)))
+        except Exception as e:  # noqa: BLE001 — VMEM overflow etc.
+            sys.stderr.write(f"packed tq={tq},tr={tr} failed: "
+                             f"{str(e)[:200]}\n")
+            continue
+        if rate > best[1]:
+            best = (f"packed tq={tq} tr={tr}", rate)
+    print(json.dumps({"metric": "kernel A/B best", "label": best[0],
+                      "value": round(best[1], 1), "unit": "pairs/s",
+                      "vs_standard": round(best[1] / base, 3)}))
+
+
 def bench_serving(nq=256, nr=4096, iters=3):
     # nr=4096 keeps the one-time reference upload feasible through this
     # sandbox's ~5-20 MB/s host<->device tunnel; the per-pair rate is
@@ -431,6 +490,9 @@ def main():
     _ensure_live_backend()
     if "--serve" in sys.argv:
         bench_serving()
+        return
+    if "--kernel-ab" in sys.argv:
+        bench_kernel_ab()
         return
     if "--fill-profile" in sys.argv:
         pos = sys.argv.index("--fill-profile")

@@ -197,9 +197,9 @@ def _dist_chunk(planes_q, planes_r, len_q, len_r, freq_q, freq_r, klist,
                 jaccard, use_pallas, post_name=None, post_static=(),
                 post_params=None):
     if use_pallas:
-        from .pallas_jaccard import match_counts_pallas
+        from .pallas_jaccard import match_counts_device
 
-        matches = match_counts_pallas(planes_q, planes_r, pad_bits)
+        matches = match_counts_device(planes_q, planes_r, pad_bits)
     else:
         matches = match_counts_xla(planes_q, planes_r, pad_bits)
     j = corrected_jaccards(matches, klist, len_q, len_r, freq_q, freq_r,

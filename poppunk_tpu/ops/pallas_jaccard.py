@@ -22,13 +22,26 @@ ops/distances.py plane layout notes.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# Opt-in kernel selection, read ONCE at import (a per-call env read inside
+# jitted trace bodies would go stale against jit's cache): set
+# POPPUNK_TPU_KERNEL=packed to route every device distance pass through
+# the packed-lane formulation. Default stays the standard per-k kernel
+# until a real-chip A/B (bench.py --kernel-ab) says otherwise.
+KERNEL_CHOICE = os.environ.get("POPPUNK_TPU_KERNEL", "standard").lower()
+
 DEFAULT_TQ = 64
 DEFAULT_TR = 128
+# packed-lane kernel: wider lane rows (G k-mer lengths back-to-back) need
+# a narrower query tile for the double-buffered operands to fit VMEM
+PACKED_TQ = 32
+PACKED_TR = 128
+_LANES = 128
 
 
 def _match_kernel(q_ref, r_ref, out_ref, *, bbits, pad_bits, tq, wp):
@@ -114,3 +127,146 @@ def match_counts_pallas(planes_q, planes_r, pad_bits, tq=DEFAULT_TQ,
         interpret=interpret,
     )(q_t, r_t)
     return jnp.moveaxis(out, 0, -1)[:nq, :nr]
+
+
+# ---------------------------------------------------------------------------
+# Packed-lane formulation (experimental alternative to match_counts_pallas)
+#
+# The standard kernel pads each k-mer length's w32 useful words up to a
+# 128-lane multiple (production geometry: 312 -> 384, 19% of every VPU op
+# wasted on padding). Here G k-mer lengths are packed back-to-back along
+# the lane axis (G * w32 rounded up once: G=2 at production is 624 -> 640,
+# 2.5% waste), the OR-of-diffs accumulates as a balanced tree (breaks the
+# serial plane chain), and the per-k lane sums come from ONE [TR, L] @
+# [L, G] f32 matmul on the MXU (exact: every partial sum < 2^24) instead
+# of unaligned lane slices.
+
+
+def _lane_groups(w32, k, vmem_budget=12 * 2**20, bbits=14,
+                 tq=PACKED_TQ, tr=PACKED_TR):
+    """Pick the k-mer group width G: the largest divisor-padded group
+    whose packed lane width minimises padding waste while the double-
+    buffered tile operands stay under the VMEM budget."""
+    best = None
+    for g in range(1, k + 1):
+        lanes = ((g * w32 + _LANES - 1) // _LANES) * _LANES
+        kg = -(-k // g)  # groups incl. a zero-padded remainder group
+        occupancy = (k * w32) / (kg * lanes)  # useful fraction of lane work
+        vmem = 2 * (bbits * (tq + tr) * lanes * 4)
+        if vmem > vmem_budget:
+            continue
+        key = (round(occupancy, 4), g)
+        if best is None or key > best[0]:
+            best = (key, g, lanes, kg)
+    _, g, lanes, kg = best
+    return g, lanes, kg
+
+
+def _match_kernel_packed(q_ref, r_ref, seg_ref, out_ref, *, bbits, tq,
+                         w32, g):
+    """q_ref [1,P,TQ,L] u32; r_ref [1,P,TR,L] u32; seg_ref [L,G] f32
+    (0/1 lane->k-group membership); out_ref [1,TQ,TR,G] i32.
+
+    matches[q, r, g] = g's w32*32 sketch bits minus the diff popcount of
+    its lane segment; segment sums ride the MXU via seg_ref. Pad lanes
+    (zero in both operands) contribute 0 diff bits to no segment."""
+    total = jnp.float32(w32 * 32)
+    for q in range(tq):
+        diffs = [q_ref[0, p, q, :][None, :] ^ r_ref[0, p, :, :]
+                 for p in range(bbits)]
+        while len(diffs) > 1:  # balanced OR tree: log2(P) depth, not P
+            nxt = [a | b for a, b in zip(diffs[::2], diffs[1::2])]
+            if len(diffs) % 2:
+                nxt.append(diffs[-1])
+            diffs = nxt
+        counts = jax.lax.population_count(diffs[0]).astype(jnp.float32)
+        segsum = jax.lax.dot_general(
+            counts, seg_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TR, G], exact < 2^24
+        out_ref[0, q, :, :] = (total - segsum).astype(jnp.int32)
+
+
+def pack_lane_groups(planes, w32, g, lanes, kg, plane_major=False):
+    """[n,K,P,Wp] (or [K,P,n,Wp]) u32 -> plane-major packed [KG,P,n,L]:
+    each group row holds G k-mer lengths' w32 useful words back-to-back,
+    zero-padded to L lanes (remainder groups zero-padded with whole
+    k-slots). One relayout pass in HBM."""
+    if not plane_major:
+        planes = planes.transpose(1, 2, 0, 3)  # [K, P, n, Wp]
+    K, P, n, _ = planes.shape
+    useful = planes[..., :w32]  # [K, P, n, w32]
+    if kg * g != K:
+        useful = jnp.pad(useful, ((0, kg * g - K), (0, 0), (0, 0), (0, 0)))
+    packed = useful.reshape(kg, g, P, n, w32)
+    packed = jnp.moveaxis(packed, 1, 3)  # [KG, P, n, G, w32]
+    packed = packed.reshape(kg, P, n, g * w32)
+    if lanes != g * w32:
+        packed = jnp.pad(packed, ((0, 0),) * 3 + ((0, lanes - g * w32),))
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("w32", "g", "tq", "tr",
+                                              "interpret", "plane_major"))
+def match_counts_pallas_packed(planes_q, planes_r, w32, g=None,
+                               tq=PACKED_TQ, tr=PACKED_TR,
+                               interpret=False, plane_major=False):
+    """Packed-lane twin of match_counts_pallas: same contract
+    ([nq,K,P,Wp] x [nr,K,P,Wp] u32 -> i32[nq,nr,K]; or plane-major
+    [K,P,n,Wp] inputs), parameterised by the useful word count w32
+    instead of pad_bits (pad_bits == (Wp - w32) * 32)."""
+    if plane_major:
+        K, P, nq, _ = planes_q.shape
+        nr = planes_r.shape[2]
+    else:
+        nq, K, P, _ = planes_q.shape
+        nr = planes_r.shape[0]
+    if g is None:
+        g, lanes, kg = _lane_groups(w32, K, bbits=P, tq=tq, tr=tr)
+    else:
+        lanes = ((g * w32 + _LANES - 1) // _LANES) * _LANES
+        kg = -(-K // g)
+    q_t = pack_lane_groups(planes_q, w32, g, lanes, kg, plane_major)
+    r_t = pack_lane_groups(planes_r, w32, g, lanes, kg, plane_major)
+    nq_p = ((nq + tq - 1) // tq) * tq
+    nr_p = ((nr + tr - 1) // tr) * tr
+    if nq_p != nq:
+        q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))
+    if nr_p != nr:
+        r_t = jnp.pad(r_t, ((0, 0), (0, 0), (0, nr_p - nr), (0, 0)))
+    lane_k = jnp.arange(lanes, dtype=jnp.int32) // w32
+    seg = ((lane_k[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :])
+           & (jnp.arange(lanes, dtype=jnp.int32)[:, None] < g * w32)
+           ).astype(jnp.float32)
+
+    grid = (kg, nq_p // tq, nr_p // tr)
+    out = pl.pallas_call(
+        functools.partial(_match_kernel_packed, bbits=P, tq=tq, w32=w32,
+                          g=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, P, tq, lanes), lambda k, qi, ri: (k, 0, qi, 0)),
+            pl.BlockSpec((1, P, tr, lanes), lambda k, qi, ri: (k, 0, ri, 0)),
+            pl.BlockSpec((lanes, g), lambda k, qi, ri: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, tr, g),
+                               lambda k, qi, ri: (k, qi, ri, 0)),
+        out_shape=jax.ShapeDtypeStruct((kg, nq_p, nr_p, g), jnp.int32),
+        interpret=interpret,
+    )(q_t, r_t, seg)
+    # [KG, nq, nr, G] -> [nq, nr, KG*G] -> drop the zero-padded k slots
+    out = jnp.moveaxis(out, 0, 2).reshape(nq_p, nr_p, kg * g)
+    return out[:nq, :nr, :K]
+
+
+def match_counts_device(planes_q, planes_r, pad_bits, plane_major=False):
+    """Kernel dispatcher for the device distance paths: the standard
+    per-k-tile kernel, or (POPPUNK_TPU_KERNEL=packed) the packed-lane
+    formulation — same contract either way."""
+    if KERNEL_CHOICE == "packed":
+        wp = planes_q.shape[-1]
+        return match_counts_pallas_packed(planes_q, planes_r,
+                                          wp - pad_bits // 32,
+                                          plane_major=plane_major)
+    return match_counts_pallas(planes_q, planes_r, pad_bits,
+                               plane_major=plane_major)

@@ -31,9 +31,9 @@ def _local_block(pq, pr, lq, lr, fq, fr, post_params, *, klist, sketchsize64,
                  post_name, post_static):
     """Distance tile for one device's (query shard, reference shard)."""
     if use_pallas:
-        from ..ops.pallas_jaccard import match_counts_pallas
+        from ..ops.pallas_jaccard import match_counts_device
 
-        matches = match_counts_pallas(pq, pr, pad_bits)
+        matches = match_counts_device(pq, pr, pad_bits)
     else:
         matches = match_counts_xla(pq, pr, pad_bits)
     j = corrected_jaccards(matches, klist, lq, lr, fq, fr,

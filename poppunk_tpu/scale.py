@@ -104,9 +104,9 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
                          axis=0)
 
     if use_pallas:
-        from .ops.pallas_jaccard import match_counts_pallas
+        from .ops.pallas_jaccard import match_counts_device
 
-        matches = match_counts_pallas(pq, planes, pad_bits,
+        matches = match_counts_device(pq, planes, pad_bits,
                                       plane_major=True)
     else:
         matches = match_counts_xla_t(pq, planes, pad_bits)
