@@ -229,6 +229,9 @@ def bench_kernel_ab(nq=2048, nr=4096, iters=3):
             continue
         if rate > best[1]:
             best = (f"packed tq={tq} tr={tr}", rate)
+    kernel_ceiling(base, wp)
+    if best[0] != "standard":
+        kernel_ceiling_packed(best[1], w32, kg, lanes)
     print(json.dumps({"metric": "kernel A/B best", "label": best[0],
                       "value": round(best[1], 1), "unit": "pairs/s",
                       "vs_standard": round(best[1] / base, 3)}))
@@ -340,6 +343,21 @@ def kernel_ceiling(pairs_per_s, wp):
         f"roofline: {ops_per_pair} u32 lane-ops/pair -> VPU ceiling "
         f"{ceiling / 1e6:.1f} Mpairs/s; achieved {pairs_per_s / 1e6:.1f} "
         f"= {frac:.0%} of speed-of-light\n")
+    return ceiling, frac
+
+
+def kernel_ceiling_packed(pairs_per_s, w32, kg, lanes):
+    """Roofline twin for the packed-lane formulation: kg lane groups of
+    `lanes` u32 words per pair, (2*bbits - 1) XOR/OR tree ops + popcount
+    per lane; the per-k lane sums ride the MXU, not the VPU."""
+    vpu_ops = 1024 * 4 * 1.5e9
+    ops_per_pair = kg * lanes * ((2 * BBITS - 1) + 1)
+    ceiling = vpu_ops / ops_per_pair
+    frac = pairs_per_s / ceiling
+    sys.stderr.write(
+        f"packed roofline: {ops_per_pair} u32 lane-ops/pair -> VPU "
+        f"ceiling {ceiling / 1e6:.1f} Mpairs/s; achieved "
+        f"{pairs_per_s / 1e6:.1f} = {frac:.0%} of speed-of-light\n")
     return ceiling, frac
 
 
