@@ -1380,22 +1380,51 @@ def _sweep_counts_chunk(chunk_x, scale, t, xm0, ym0, slope):
     return jnp.bincount(idx, length=t.shape[0] + 1)
 
 
+@partial(jax.jit, static_argnames=("slope", "chunk_rows", "steps"))
+def _buf_sweep_counts(buf, start, scale, t, xm0, ym0, slope, chunk_rows,
+                      steps):
+    """Histogram over `steps` buffer chunks in ONE dispatch (lax.scan —
+    per-dispatch tunnel overhead dominates chunked host loops here).
+    int32 accumulation is safe: a dispatch covers <= PAIRS_PER_DISPATCH
+    < 2^31 pairs."""
+
+    def step(acc, s):
+        rows = jax.lax.dynamic_slice_in_dim(
+            buf, start + s * chunk_rows, chunk_rows, 0)
+        counts = _sweep_counts_chunk(rows.reshape(-1, 2), scale, t,
+                                     xm0, ym0, slope)
+        return acc + counts, None
+
+    acc0 = jnp.zeros(t.shape[0] + 1, jnp.int32)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(steps))
+    return acc
+
+
 def sweep_counts_buffered(cd, scale, offsets, slope, x0, y0, x1, y1,
                           chunk_rows=1024):
     """Buffered twin of sweep_counts_streaming: cumulative in-boundary
-    pair count per offset from the folded device buffer, no pair
-    fetch."""
+    pair count per offset from the folded device buffer, no pair fetch.
+    Full chunks ride scanned dispatches bounded by PAIRS_PER_DISPATCH;
+    the ragged tail is one extra small dispatch."""
     xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
     t_dev = jnp.asarray(t, jnp.float32)
     scale_dev = jnp.asarray(scale, jnp.float32)
+    xm0_d, ym0_d = jnp.float32(xm0), jnp.float32(ym0)
     half = fold_rows(cd.n)
+    chunk_rows = min(chunk_rows, half)
+    steps_cap = max(1, int(PAIRS_PER_DISPATCH // ((cd.n - 1) * chunk_rows)))
     counts = np.zeros(len(t) + 1, np.int64)
-    for s in range(0, half, chunk_rows):
-        rows = min(chunk_rows, half - s)
-        chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
+    full = half // chunk_rows
+    for s0 in range(0, full, steps_cap):
+        steps = min(steps_cap, full - s0)
         counts += np.asarray(
-            _sweep_counts_chunk(chunk_x, scale_dev, t_dev,
-                                jnp.float32(xm0), jnp.float32(ym0),
+            _buf_sweep_counts(cd.buf, jnp.int32(s0 * chunk_rows),
+                              scale_dev, t_dev, xm0_d, ym0_d, int(slope),
+                              chunk_rows, steps), np.int64)
+    if full * chunk_rows < half:
+        tail = cd.buf[full * chunk_rows:half].reshape(-1, 2)
+        counts += np.asarray(
+            _sweep_counts_chunk(tail, scale_dev, t_dev, xm0_d, ym0_d,
                                 int(slope)), np.int64)
     return np.cumsum(counts[:-1])
 

@@ -105,7 +105,11 @@ class TestDeviceSweep:
         assert host == dev
         assert len(dd0) == len(di)
 
-    def test_counts_buffered_matches_host(self, cd, host_condensed):
+    @pytest.mark.parametrize("chunk_rows", [8, 7, 64])
+    def test_counts_buffered_matches_host(self, cd, host_condensed,
+                                          chunk_rows):
+        """chunk_rows=8 divides half (pure scan), 7 leaves a ragged tail
+        chunk, 64 > half clamps to one full chunk."""
         from poppunk_tpu.scale import sweep_counts_buffered
 
         scale = host_condensed.max(axis=0)
@@ -117,7 +121,7 @@ class TestDeviceSweep:
         want = np.cumsum(np.bincount(hidx, minlength=len(offsets)))
         got = sweep_counts_buffered(cd, scale, offsets, 2, mean0[0],
                                     mean0[1], mean1[0], mean1[1],
-                                    chunk_rows=8)
+                                    chunk_rows=chunk_rows)
         assert np.array_equal(got, want)
 
     def test_buffered_fetch_honours_n_act(self, cd, host_condensed):
