@@ -34,6 +34,10 @@ from jax.experimental import pallas as pl
 # the packed-lane formulation. Default stays the standard per-k kernel
 # until a real-chip A/B (bench.py --kernel-ab) says otherwise.
 KERNEL_CHOICE = os.environ.get("POPPUNK_TPU_KERNEL", "standard").lower()
+if KERNEL_CHOICE not in ("standard", "packed"):
+    raise ValueError(
+        f"POPPUNK_TPU_KERNEL={KERNEL_CHOICE!r}: expected 'standard' or "
+        "'packed'")
 
 DEFAULT_TQ = 64
 DEFAULT_TR = 128
@@ -158,6 +162,12 @@ def _lane_groups(w32, k, vmem_budget=12 * 2**20, bbits=14,
         key = (round(occupancy, 4), g)
         if best is None or key > best[0]:
             best = (key, g, lanes, kg)
+    if best is None:
+        raise ValueError(
+            f"packed kernel: even g=1 (lanes="
+            f"{((w32 + _LANES - 1) // _LANES) * _LANES}) exceeds the "
+            f"{vmem_budget >> 20} MiB VMEM budget at tq={tq}, tr={tr} — "
+            "pass smaller tiles or use the standard kernel")
     _, g, lanes, kg = best
     return g, lanes, kg
 
@@ -234,9 +244,9 @@ def match_counts_pallas_packed(planes_q, planes_r, w32, g=None,
         q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))
     if nr_p != nr:
         r_t = jnp.pad(r_t, ((0, 0), (0, 0), (0, nr_p - nr), (0, 0)))
+    # pad lanes (index >= g*w32) have lane_k >= g and match no column
     lane_k = jnp.arange(lanes, dtype=jnp.int32) // w32
-    seg = ((lane_k[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :])
-           & (jnp.arange(lanes, dtype=jnp.int32)[:, None] < g * w32)
+    seg = (lane_k[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :]
            ).astype(jnp.float32)
 
     grid = (kg, nq_p // tq, nr_p // tr)
@@ -259,14 +269,33 @@ def match_counts_pallas_packed(planes_q, planes_r, w32, g=None,
     return out[:nq, :nr, :K]
 
 
+_PLANE_MAJOR_NOTE = [False]
+
+
 def match_counts_device(planes_q, planes_r, pad_bits, plane_major=False):
     """Kernel dispatcher for the device distance paths: the standard
     per-k-tile kernel, or (POPPUNK_TPU_KERNEL=packed) the packed-lane
-    formulation — same contract either way."""
+    formulation — same contract either way.
+
+    plane_major callers keep the REFERENCE tensor resident in the
+    kernel's layout precisely so no per-call full-tensor relayout ever
+    happens (at 65k genomes that relayout is a measured
+    RESOURCE_EXHAUSTED); the packed kernel would repack it every call,
+    so those callers stay on the standard kernel until pre-packed
+    residency lands (the follow-up if the on-chip A/B wins)."""
     if KERNEL_CHOICE == "packed":
-        wp = planes_q.shape[-1]
-        return match_counts_pallas_packed(planes_q, planes_r,
-                                          wp - pad_bits // 32,
-                                          plane_major=plane_major)
+        if plane_major:
+            if not _PLANE_MAJOR_NOTE[0]:
+                _PLANE_MAJOR_NOTE[0] = True
+                import sys
+                sys.stderr.write(
+                    "POPPUNK_TPU_KERNEL=packed: plane-major (resident "
+                    "reference) passes stay on the standard kernel — "
+                    "packing would relayout the full reference tensor "
+                    "per dispatch\n")
+        else:
+            wp = planes_q.shape[-1]
+            return match_counts_pallas_packed(planes_q, planes_r,
+                                              wp - pad_bits // 32)
     return match_counts_pallas(planes_q, planes_r, pad_bits,
                                plane_major=plane_major)

@@ -315,6 +315,16 @@ class TestPallasKernelOracle:
         assert calls[0][0] == "std"
         assert calls[1][0] == "packed"
         assert calls[1][1][2] == 128 - 64 // 32  # w32 from pad_bits
+        # plane-major (resident reference) passes must NOT be repacked
+        # per call — they stay on the standard kernel even when packed
+        pj.match_counts_device(q, q, 64, plane_major=True)
+        assert calls[2][0] == "std"
+
+    def test_lane_groups_rejects_oversize_geometry(self):
+        from poppunk_tpu.ops.pallas_jaccard import _lane_groups
+
+        with pytest.raises(ValueError, match="VMEM"):
+            _lane_groups(704, 6, bbits=14, tq=64, tr=256)
 
     def test_lane_group_selection_production_geometry(self):
         """At production geometry (w32=312, K=6, P=14) the auto-picker
