@@ -53,10 +53,11 @@ def fetch_network(network_dir, model, ref_list, ref_graph=False,
     stems.append(base + suffix + "_graph")
     if model.type == "lineage":
         stems.insert(0, base + "_rank_" + str(min(model.ranks)) + "_graph")
-    # native format first, then the reference's graph-tool .gt so published
-    # PopPUNK databases work as-is (PopPUNK/network.py:120-176)
+    # native format first, then the reference's graph-tool .gt and its
+    # GPU-mode cugraph edge list so published PopPUNK databases work
+    # as-is (PopPUNK/network.py:120-176)
     candidates = [stem + ext for stem in stems
-                  for ext in (GRAPH_SUFFIX, ".gt")]
+                  for ext in (GRAPH_SUFFIX, ".gt", ".csv.gz")]
 
     network_file = next((c for c in candidates if os.path.isfile(c)), None)
     if network_file is None:

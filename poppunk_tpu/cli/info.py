@@ -76,7 +76,7 @@ def main(arg_list=None):
     if not args.simple:
         stem = os.path.join(db, os.path.basename(db) + "_graph")
         network_file = args.network_file or next(
-            (stem + ext for ext in (GRAPH_SUFFIX, ".gt")
+            (stem + ext for ext in (GRAPH_SUFFIX, ".gt", ".csv.gz")
              if os.path.isfile(stem + ext)), stem + GRAPH_SUFFIX)
         G = None
         if os.path.isfile(network_file):

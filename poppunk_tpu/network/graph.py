@@ -192,10 +192,16 @@ class Graph:
         from .gt_format import read_gt
 
         n, edges, directed, props = read_gt(path)
+        if directed:
+            raise ValueError(
+                f"{path} stores a directed graph; PopPUNK networks are "
+                "undirected and directed .gt files are not supported")
         weights = None
         for (key_type, name), values in props.items():
             if key_type == 2 and name == "weight":
-                weights = np.asarray(values, dtype=np.float64)
+                # copy: frombuffer views pin the whole file's bytes and
+                # are read-only
+                weights = np.array(values, dtype=np.float64)
         return cls(n, edges, weights)
 
     def save_graphml(self, path, vertex_labels=None):
@@ -266,12 +272,11 @@ def save_network(G, prefix=None, suffix=None, use_graphml=False,
     if suffix is not None:
         file_name += suffix
     os.makedirs(prefix, exist_ok=True)
+    if use_gt:  # written IN ADDITION to the primary format
+        G.save_gt(file_name + ".gt")
     if use_graphml:
         G.save_graphml(file_name + ".graphml", vertex_labels)
         return file_name + ".graphml"
-    if use_gt:
-        G.save_gt(file_name + ".gt")
-        return file_name + ".gt"
     G.save(file_name + GRAPH_SUFFIX)
     return file_name + GRAPH_SUFFIX
 

@@ -15,10 +15,12 @@ Layout (all multi-byte ints in the file's declared endianness):
   4. comment: uint64 length + bytes
   5. directed (1 byte bool)
   6. N = number of vertices (uint64)
-  7. out-adjacency: per vertex, out-degree then that many target indices,
-     each encoded with the smallest uint that can hold N
-     (1/2/4/8 bytes). Undirected graphs store each edge once, in the
-     source vertex's list.
+  7. out-adjacency: per vertex, the out-degree as a uint64, then that
+     many target indices each encoded with the smallest uint that can
+     hold N (1/2/4/8 bytes) — only the index values are compact, the
+     degree is full-width (a multigraph's degree can exceed N).
+     Undirected graphs store each edge once, in the source vertex's
+     list.
   8. property maps: uint64 count, then per map: key type (1 byte —
      0 graph / 1 vertex / 2 edge), name (uint64 len + bytes), value type
      index (1 byte into _VALUE_TYPES), then one value per key element
@@ -131,7 +133,7 @@ def read_gt(path):
 
     srcs, tgts = [], []
     for v in range(n):
-        deg = int(r.array(idx_dtype, 1)[0])
+        deg = r.u64()
         if deg:
             targets = r.array(idx_dtype, deg).astype(np.int64)
             srcs.append(np.full(deg, v, dtype=np.int64))
@@ -150,9 +152,17 @@ def read_gt(path):
             vt = _VALUE_TYPES[r.raw(1)[0]]
             count = {0: 1, 1: n, 2: edges.shape[0]}[key_type]
             props[(key_type, name)] = _read_property_value(r, vt, count)
-    except (ValueError, IndexError, KeyError):
-        # unsupported property payload: structure is complete, stop here
-        pass
+    except (ValueError, IndexError, KeyError) as e:
+        # A property value type we cannot size (long double /
+        # python::object / corrupt payload) makes every LATER map
+        # unreachable — byte offsets can't be resynced. The graph
+        # structure and all maps parsed so far are intact; say what was
+        # dropped instead of silently losing e.g. a later weight map.
+        import sys
+
+        sys.stderr.write(
+            f"WARNING: {path}: stopped reading .gt property maps ({e}); "
+            f"kept {sorted(nm for _, nm in props)}\n")
     return int(n), edges, directed, props
 
 
@@ -185,7 +195,7 @@ def write_gt(path, n_vertices, edges, weights=None,
         pos = 0
         for v in range(n):
             deg = int(counts[v])
-            f.write(np.asarray([deg], dtype=idx_dtype).tobytes())
+            f.write(struct.pack("<Q", deg))
             if deg:
                 f.write(by_src[pos : pos + deg, 1].astype(idx_dtype).tobytes())
                 pos += deg

@@ -1,6 +1,8 @@
 """Network layer tests: components, summary stats vs networkx oracles,
 cluster naming semantics, cliques, MST."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -234,11 +236,63 @@ class TestGtFormat:
     """graph-tool .gt binary interop (PopPUNK/network.py:120-176,
     1855-1874 — the reference's default network format)."""
 
+    def test_gt_golden_bytes(self, tmp_path):
+        """Byte-exact fixture hand-assembled from the published format
+        description: degree full u64, neighbor indices compact (u1 at
+        N=3), weight property in adjacency order. Catches reader/writer
+        bugs that a self-round-trip cancels out."""
+        import struct
+
+        from poppunk_tpu.network.gt_format import read_gt, write_gt
+
+        expect = (
+            b"\xe2\x9b\xbe gt"          # magic
+            + bytes([1])                  # version
+            + bytes([0])                  # little endian
+            + struct.pack("<Q", 0)        # empty comment
+            + bytes([0])                  # undirected
+            + struct.pack("<Q", 3)        # N
+            + struct.pack("<Q", 2)        # deg(v0) — full u64
+            + bytes([1, 2])               # targets, u1 (N < 2^8)
+            + struct.pack("<Q", 0)        # deg(v1)
+            + struct.pack("<Q", 0)        # deg(v2)
+            + struct.pack("<Q", 1)        # one property map
+            + bytes([2])                  # edge property
+            + struct.pack("<Q", 6) + b"weight"
+            + bytes([4])                  # value type: double
+            + struct.pack("<d", 1.5) + struct.pack("<d", 2.5)
+        )
+        fn = str(tmp_path / "golden.gt")
+        write_gt(fn, 3, np.array([[0, 1], [0, 2]]),
+                 weights=np.array([1.5, 2.5]), comment="")
+        with open(fn, "rb") as f:
+            assert f.read() == expect
+        n, edges, directed, props = read_gt(fn)
+        assert n == 3 and not directed
+        assert edges.tolist() == [[0, 1], [0, 2]]
+        np.testing.assert_array_equal(props[(2, "weight")], [1.5, 2.5])
+
+    def test_gt_directed_rejected(self, tmp_path):
+        import struct
+
+        from poppunk_tpu.network.graph import Graph
+
+        raw = (b"\xe2\x9b\xbe gt" + bytes([1, 0]) + struct.pack("<Q", 0)
+               + bytes([1]) + struct.pack("<Q", 1) + struct.pack("<Q", 0)
+               + struct.pack("<Q", 0))
+        fn = str(tmp_path / "directed.gt")
+        with open(fn, "wb") as f:
+            f.write(raw)
+        with pytest.raises(ValueError, match="directed"):
+            Graph.load_gt(fn)
+
     def test_gt_roundtrip(self, tmp_path):
         G = random_graph(25, 0.2, weights=True)
         fn = save_network(G, prefix=str(tmp_path / "db"), suffix="_graph",
                           use_gt=True)
-        assert fn.endswith(".gt")
+        # the native format stays the primary artefact; .gt is additional
+        assert fn.endswith(".graph.npz") and os.path.isfile(fn)
+        fn = fn[: -len(".graph.npz")] + ".gt"
         G2 = load_network_file(fn)
         assert G2.n_vertices == G.n_vertices
         # edge set equal regardless of per-vertex grouping order
@@ -257,6 +311,7 @@ class TestGtFormat:
         G = random_graph(40, 0.1, weights=False)
         fn_gt = save_network(G, prefix=str(tmp_path / "a"), suffix="_graph",
                              use_gt=True)
+        fn_gt = fn_gt[: -len(".graph.npz")] + ".gt"
         fn_npz = save_network(G, prefix=str(tmp_path / "b"), suffix="_graph")
         G_gt = load_network_file(fn_gt)
         G_npz = load_network_file(fn_npz)
