@@ -85,7 +85,10 @@ std::vector<Edge> prepare_edges(const int32_t *i_vec, const int32_t *j_vec,
     if (u > v) std::swap(u, v);
     int32_t t = t_vec[e];
     if (t < 0) t = 0;
-    if (t >= n_offsets) t = n_offsets - 1;
+    // t >= n_offsets means "never active in this sweep": DROP, matching
+    // the Python twin (grow_network_scores counts idx <= off only).
+    // Also the n_offsets <= 0 guard: everything drops, no hist[-1].
+    if (t >= n_offsets) continue;
     edges.push_back({u, v, t});
   }
   std::sort(edges.begin(), edges.end(), [](const Edge &a, const Edge &b) {
@@ -415,8 +418,12 @@ void sweep_scores_v2(const int32_t *i_vec, const int32_t *j_vec,
 #else
     int n_threads = 1;
 #endif
-    std::vector<std::vector<double>> bc_tls(
-        n_threads, std::vector<double>(comp_start[n_comps], 0.0));
+    // dirty empty <=> tasks empty: skip the O(threads * n) accumulator
+    // zeroing so fully-cached offsets stay nearly free (the scores below
+    // still flow from the cache)
+    std::vector<std::vector<double>> bc_tls;
+    if (!tasks.empty())
+      bc_tls.assign(n_threads, std::vector<double>(comp_start[n_comps], 0.0));
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 16)
 #endif

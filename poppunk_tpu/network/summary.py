@@ -53,7 +53,9 @@ def betweenness_max_per_component(G, labels, sizes, sample_sources=None,
         n = sub.n_vertices
         sources = np.arange(n)
         scale = 1.0
-        if sample_sources is not None and n > sample_sources:
+        # sample_sources <= 0 means sampling disabled (all sources), the
+        # native engine's convention (graph_core.cpp sweep_scores_v2)
+        if sample_sources is not None and 0 < sample_sources < n:
             rng = rng or np.random.default_rng(1)
             sources = rng.choice(n, size=sample_sources, replace=False)
             scale = n / sample_sources

@@ -1804,8 +1804,9 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             t_sub = np.maximum.accumulate([
                 offset_threshold(float(s), s_range, slope, *line)
                 for s in sub_s])
-            keep = d0 <= t_sub[-1]  # the native engine clamps
-            # out-of-range offsets IN (prepare_edges), so exclude first
+            # cheap pre-filter: never-active pairs would be dropped by
+            # the scorer anyway (both engines); skip the searchsorted
+            keep = d0 <= t_sub[-1]
             idx2 = np.searchsorted(t_sub, d0[keep],
                                    side="left").astype(np.int32)
             scores = grow_network_scores(cd.n, i[keep], j[keep], idx2,

@@ -68,6 +68,25 @@ def test_empty_edges():
     np.testing.assert_allclose(got, 1.0)
 
 
+@pytest.mark.parametrize("score_idx", [0, 1])
+def test_never_active_edges_dropped(score_idx):
+    """Edges with idx >= n_offsets are 'never active in this sweep': the
+    native engine must DROP them (like the Python twin), not clamp them
+    into the last offset."""
+    from poppunk_tpu.network.incremental import grow_network_scores
+
+    i = np.array([0, 1, 2, 0], dtype=np.int32)
+    j = np.array([1, 2, 3, 4], dtype=np.int32)
+    idx = np.array([0, 1, 5, 17], dtype=np.int32)  # last two out of range
+    n_offsets = 3
+    keep = idx < n_offsets
+    want = grow_network_scores(6, i[keep], j[keep], idx[keep], n_offsets,
+                               score_idx=score_idx, betweenness_sample=100)
+    got = grow_network_scores(6, i, j, idx, n_offsets,
+                              score_idx=score_idx, betweenness_sample=100)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
 def test_duplicate_edges_are_safe():
     # same pair emitted at two offsets must not double-count
     i = np.array([0, 0, 1])
