@@ -35,7 +35,7 @@ def core_distances(X, min_samples):
     return dists[:, -1], tree
 
 
-def mutual_reachability_mst(X, core, n_jobs=1):
+def mutual_reachability_mst(X, core):
     """MST over the complete mutual reachability graph.
 
     Returns edges [(u, v, w)] sorted ascending by w, length n-1.
@@ -69,6 +69,9 @@ def mutual_reachability_mst(X, core, n_jobs=1):
     return edges[order]
 
 
+_BORUVKA_RUN = None
+
+
 def _boruvka_round(X, core, comp, n, tile):
     """One Boruvka round on device: for every vertex, the minimum
     mutual-reachability edge leaving its component.
@@ -79,34 +82,40 @@ def _boruvka_round(X, core, comp, n, tile):
     whole round is a single dispatch — the point of Boruvka here: O(log n)
     dispatches total instead of Prim's n sequential scan steps.
     """
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
+    # the jitted kernel is built once and cached at module level: a fresh
+    # jax.jit per round would defeat the in-process jit cache and pay a
+    # trace + (remote) compile-cache lookup every round
+    global _BORUVKA_RUN
+    if _BORUVKA_RUN is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
 
-    @partial(jax.jit, static_argnames=("n_", "tile_"))
-    def run(Xd, cored, compd, n_, tile_):
-        inf = jnp.float32(3.4e38)
-        n_pad = Xd.shape[0]
-        col_pad = jnp.arange(n_pad) >= n_
+        @partial(jax.jit, static_argnames=("n_", "tile_"))
+        def run(Xd, cored, compd, n_, tile_):
+            inf = jnp.float32(3.4e38)
+            n_pad = Xd.shape[0]
+            col_pad = jnp.arange(n_pad) >= n_
 
-        def row_tile(_, s):
-            xq = jax.lax.dynamic_slice_in_dim(Xd, s, tile_, axis=0)
-            cq = jax.lax.dynamic_slice_in_dim(cored, s, tile_)
-            gq = jax.lax.dynamic_slice_in_dim(compd, s, tile_)
-            d2 = ((xq[:, None, :] - Xd[None, :, :]) ** 2).sum(-1)
-            mr = jnp.maximum(jnp.sqrt(d2),
-                             jnp.maximum(cq[:, None], cored[None, :]))
-            same = gq[:, None] == compd[None, :]
-            mr = jnp.where(same | col_pad[None, :], inf, mr)
-            w = mr.min(axis=1)
-            j = mr.argmin(axis=1).astype(jnp.int32)
-            return None, (w, j)
+            def row_tile(_, s):
+                xq = jax.lax.dynamic_slice_in_dim(Xd, s, tile_, axis=0)
+                cq = jax.lax.dynamic_slice_in_dim(cored, s, tile_)
+                gq = jax.lax.dynamic_slice_in_dim(compd, s, tile_)
+                d2 = ((xq[:, None, :] - Xd[None, :, :]) ** 2).sum(-1)
+                mr = jnp.maximum(jnp.sqrt(d2),
+                                 jnp.maximum(cq[:, None], cored[None, :]))
+                same = gq[:, None] == compd[None, :]
+                mr = jnp.where(same | col_pad[None, :], inf, mr)
+                w = mr.min(axis=1)
+                j = mr.argmin(axis=1).astype(jnp.int32)
+                return None, (w, j)
 
-        starts = jnp.arange(n_pad // tile_, dtype=jnp.int32) * tile_
-        _, (w, j) = jax.lax.scan(row_tile, None, starts)
-        return w.reshape(-1), j.reshape(-1)
+            starts = jnp.arange(n_pad // tile_, dtype=jnp.int32) * tile_
+            _, (w, j) = jax.lax.scan(row_tile, None, starts)
+            return w.reshape(-1), j.reshape(-1)
 
-    return run(X, core, comp, int(n), int(tile))
+        _BORUVKA_RUN = run
+    return _BORUVKA_RUN(X, core, comp, int(n), int(tile))
 
 
 def boruvka_mst_device(X, core, tile=1024):
@@ -124,7 +133,7 @@ def boruvka_mst_device(X, core, tile=1024):
 
     n = X.shape[0]
     n_pad = -(-n // tile) * tile
-    Xp = np.zeros((n_pad, 2), np.float32)
+    Xp = np.zeros((n_pad, X.shape[1]), np.float32)
     Xp[:n] = X
     corep = np.full(n_pad, 3.4e38, np.float32)
     corep[:n] = core
@@ -293,12 +302,15 @@ def compute_stability(tree, n):
     """Stability per condensed cluster: sum over members of
     (lambda_p - lambda_birth)."""
     births = {}
+    cap = _finite_max(tree)
     for p, c, lam in zip(tree.parent, tree.child, tree.lambda_val):
         if c >= n:
-            births[c] = lam
+            # cap like lam_eff below: a cluster born at a zero-distance
+            # split (infinite lambda) must not poison its stability sum
+            # with -inf
+            births[c] = lam if np.isfinite(lam) else cap
     births[n] = 0.0
     stability = {}
-    cap = _finite_max(tree)
     for p, lam, sz in zip(tree.parent, tree.lambda_val, tree.child_size):
         birth = births.get(p, 0.0)
         lam_eff = lam if np.isfinite(lam) else cap  # zero-distance merges
@@ -408,7 +420,6 @@ class HDBSCAN:
         # prediction thresholds
         self._cluster_max_lambda = {}
         self._cluster_birth_lambda = {}
-        self._point_lambda = np.zeros(n)
         point_lambda = {}
         cluster_birth = {}
         for p, c, lam in zip(self._condensed.parent, self._condensed.child,
@@ -417,12 +428,8 @@ class HDBSCAN:
                 point_lambda[int(c)] = lam
             else:
                 cluster_birth[int(c)] = lam
-        # birth lambda of each *selected* cluster (walk not needed: the
-        # label's lambda range is [birth, max member lambda])
-        self._selected_birth = {}
         for pt, lab in enumerate(self.labels_):
             lam = point_lambda.get(pt, 0.0)
-            self._point_lambda[pt] = lam
             if lab >= 0 and np.isfinite(lam):
                 self._cluster_max_lambda[lab] = max(
                     self._cluster_max_lambda.get(lab, 0.0), lam
@@ -432,21 +439,36 @@ class HDBSCAN:
             self._cluster_birth_lambda[ids[c]] = cluster_birth.get(int(c), 0.0)
         return self
 
-    def approximate_predict(self, Y):
+    def approximate_predict(self, Y, _chunk=262144):
         """Assign new points to fitted clusters (hdbscan-style): each point
-        joins its nearest fitted neighbour's cluster unless its mutual
-        reachability to that neighbour exceeds the cluster's persistence
-        range (then noise)."""
+        joins the cluster of its minimum-mutual-reachability neighbour
+        among its min_samples nearest fitted points (the reference
+        hdbscan's _find_neighbor_and_lambda — NOT simply the
+        Euclidean-nearest, whose cluster can differ when that point is
+        noise with a large core distance), unless the mutual reachability
+        exceeds the cluster's persistence range (then noise).
+
+        Queries run in chunks: the [m, min_samples] kNN buffers at the
+        decision-grid batch size (1M points x up to 1023 neighbours)
+        would otherwise be tens of GB."""
         Y = np.asarray(Y, dtype=np.float64)
-        d, idx = self._tree.query(Y, k=min(self.min_samples, self._X.shape[0]),
-                                  workers=-1)
-        if d.ndim == 1:
-            d = d[:, None]
-            idx = idx[:, None]
-        core_y = d[:, -1]
-        nn = idx[:, 0]
-        nn_dist = d[:, 0]
-        mr = np.maximum(np.maximum(nn_dist, core_y), self._core[nn])
+        k = min(self.min_samples, self._X.shape[0])
+        m = Y.shape[0]
+        nn = np.zeros(m, dtype=np.int64)
+        mr = np.zeros(m, dtype=np.float64)
+        for s in range(0, m, max(1, _chunk // max(k, 1))):
+            e = min(m, s + max(1, _chunk // max(k, 1)))
+            d, idx = self._tree.query(Y[s:e], k=k, workers=-1)
+            if d.ndim == 1:
+                d = d[:, None]
+                idx = idx[:, None]
+            core_y = d[:, -1]
+            mr_all = np.maximum(np.maximum(d, core_y[:, None]),
+                                self._core[idx])
+            best = np.argmin(mr_all, axis=1)
+            rows = np.arange(e - s)
+            nn[s:e] = idx[rows, best]
+            mr[s:e] = mr_all[rows, best]
         labels = self.labels_[nn].copy()
         probs = np.zeros(Y.shape[0])
         n_labels = int(labels.max()) + 1 if labels.size and labels.max() >= 0 else 0
