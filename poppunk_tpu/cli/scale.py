@@ -185,8 +185,6 @@ def _pad_geometry(n_real, chunk, n_devices, use_mesh, n_kmers=6):
     """(chunk, n_pad, mesh?) honouring the folded layout's divisibility:
     n_pad/2 must divide by chunk (and by the device count when sharded).
     Pads are zero-sketch genomes masked exactly via n_real."""
-    import jax
-
     c = int(chunk)
     # per-chunk transients are ~16 bytes * 2c * n * K across the match/
     # correction/fit buffers; budget ~2.5 GB so planes + chunk both fit
@@ -233,6 +231,11 @@ def main(arg_list=None):
     ref_db = args.ref_db.rstrip("/")
     output = setup_output(args.output)
     ranks = sorted(int(x) for x in args.ranks.split(","))
+    if args.write_lineages and min(ranks) < 1:
+        # fail NOW, not after the hours-long fit (the reference validates
+        # rank 0 at startup, __main__.py)
+        sys.stderr.write("Rank must be at least 1\n")
+        sys.exit(1)
     knn = args.knn
     if args.write_lineages:
         # the standard lineage search depth (reference __init__.py
@@ -253,6 +256,11 @@ def main(arg_list=None):
     n_pairs = n_real * (n_real - 1) // 2
     if n_real < 3:
         sys.stderr.write("Need at least 3 samples to fit a model\n")
+        sys.exit(1)
+    if args.write_lineages and max(ranks) >= n_real:
+        sys.stderr.write(
+            f"Maximum rank ({max(ranks)}) must be less than the number "
+            f"of samples ({n_real})\n")
         sys.exit(1)
     if args.use_model:
         return _use_model(args, ref_db, output, names, sketches, klist)
@@ -384,7 +392,9 @@ def main(arg_list=None):
         _write_lineages(cd, ranks, names, output, args)
 
     if args.mandrake:
-        _mandrake_embedding(args, planes, lengths, freqs, klist,
+        # reuse cd's device-resident tensors: passing the host numpy
+        # planes would re-upload multi-GB over the ~10 MB/s tunnel
+        _mandrake_embedding(args, cd.planes, cd.lengths, cd.freqs, klist,
                             sketches[0].sketchsize64, sketches[0].bbits,
                             chunk, mesh, names, output, n_real)
 
@@ -427,6 +437,14 @@ def _use_model(args, ref_db, output, names, sketches, klist):
     else:
         slope, bx, by = model.slope, model.optimal_x, model.optimal_y
     n = len(names)
+    for flag, val in (("--write-lineages", args.write_lineages),
+                      ("--mandrake", args.mandrake),
+                      ("--extract-references", args.extract_references),
+                      ("--indiv-refine", args.indiv_refine)):
+        if val:
+            sys.stderr.write(
+                f"WARNING: {flag} is ignored with --use-model (the "
+                "boundary pass skips the kNN/fit stages those need)\n")
     sys.stderr.write(
         f"Applying existing boundary to {n} genomes "
         f"({n * (n - 1) // 2} pairs, one streaming pass)\n")
@@ -442,7 +460,7 @@ def _use_model(args, ref_db, output, names, sketches, klist):
     i, j = fetch_within_boundary(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
         sketches[0].bbits, chunk, n, model.scale, bx, by, slope,
-        mesh=mesh)
+        mesh=mesh, max_fetch=max(args.max_sweep_fetch, 100_000_000))
     sys.stderr.write(
         f"Boundary pass: {len(i)} within-strain pairs in "
         f"{time.perf_counter() - t0:.1f}s\n")
@@ -511,7 +529,7 @@ def _run_qc(args, ref_db, output, names, sketches, klist):
     # defaults: max_pi 0.1, max_a 0.5, prop_zero 0.05)
     qc_dict = qc_dict_from_args(args)
     n = len(names)
-    pass_sketch, fail_sketch = sketch_qc(ref_db, names, qc_dict)
+    _, fail_sketch = sketch_qc(ref_db, names, qc_dict)
 
     sys.stderr.write(
         "Running streaming QC on distances (cutoffs: core "
@@ -527,7 +545,10 @@ def _run_qc(args, ref_db, output, names, sketches, klist):
     i, j, flags = qc_bad_pairs_streaming(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
         sketches[0].bbits, chunk, n, qc_dict["max_pi_dist"],
-        qc_dict["max_a_dist"], mesh=mesh)
+        qc_dict["max_a_dist"], mesh=mesh,
+        # prop_zero >= 1 disables the zero rule: skip zero-pair
+        # compaction (clonal populations hold O(n_pairs) zero pairs)
+        check_zero=qc_dict["prop_zero"] < 1)
     long_mask = (flags & 1) > 0
     long_edges = list(zip(i[long_mask].tolist(), j[long_mask].tolist()))
     failed_idx = prune_edges(long_edges, query_start=n)
@@ -550,15 +571,17 @@ def _run_qc(args, ref_db, output, names, sketches, klist):
         return names, sketches
 
     write_qc_failure_report(sorted(failed), fail_dicts, output)
-    if args.qc_keep:
-        sys.stderr.write(
-            f"{len(failed)} samples failed QC (kept; see _qcreport.txt)\n")
-        return names, sketches
     if args.retain_failures:
+        # before the qc_keep return: the host twin remove_qc_fail writes
+        # the retained-failures db regardless of no_remove (qc.py)
         remove_from_db(
             db_h5_path(ref_db),
             os.path.join(output, f"failed.{os.path.basename(output)}.h5"),
             set(names) - failed, full_names=True)
+    if args.qc_keep:
+        sys.stderr.write(
+            f"{len(failed)} samples failed QC (kept; see _qcreport.txt)\n")
+        return names, sketches
     tmp = os.path.join(output, f"filtered.{os.path.basename(output)}.h5")
     remove_from_db(db_h5_path(ref_db), tmp, failed, full_names=True)
     os.rename(tmp, db_h5_path(output))
@@ -583,10 +606,11 @@ def _network_and_clusters(cd, sweep, s_opt, names, output, args,
     # streaming populations never take the matmul branch
     # (refine_fit_device routes on cd.buf), so sweeps are sparse
     if sweep[0] == "sparse2d":
+        from ..scale import inside_2d_host
+
         _, i, j, xs, ys = sweep
         bx, by = boundary
-        mask = ys * np.float32(bx) + xs * np.float32(by) \
-            - np.float32(bx) * np.float32(by) <= 0
+        mask = inside_2d_host(xs, ys, bx, by)
     else:
         kind, i, j, idx, d0, s_range, line = sweep
         assert kind == "sparse"

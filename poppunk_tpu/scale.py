@@ -1945,14 +1945,16 @@ def _mesh_compact_pass(mesh, planes, lengths, freqs, chunk, n_pad,
 
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
                                    "bbits", "pad_bits", "use_pallas",
-                                   "n_real"))
+                                   "n_real", "check_zero"))
 def _stream_qc_group(planes, lengths, freqs, s0, max_pi, max_a, c, steps,
                      klist, sketchsize64, bbits, pad_bits, use_pallas,
-                     n_real=None):
+                     n_real=None, check_zero=True):
     """Compact the pairs failing distance QC (too-long core/accessory or
     zero in either column) from `steps` folded chunks. Returns
     (pos, flags bitmask 1=long 2=zero, count). Pad pairs (+inf) are
-    excluded by the isfinite gate."""
+    excluded by the isfinite gate. check_zero=False (prop_zero >= 1,
+    rule disabled) skips zero-pair compaction — clonal populations hold
+    O(n_pairs) zero pairs, which would swamp max_fetch for nothing."""
 
     def body(_, s):
         folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
@@ -1962,9 +1964,11 @@ def _stream_qc_group(planes, lengths, freqs, s0, max_pi, max_a, c, steps,
         core, acc = d[:, 0], d[:, 1]
         finite = jnp.isfinite(core)
         long_bad = finite & ((core > max_pi) | (acc > max_a))
-        zero_bad = finite & ((core == 0) | (acc == 0))
-        return None, (long_bad.astype(jnp.uint8)
-                      + 2 * zero_bad.astype(jnp.uint8))
+        flags = long_bad.astype(jnp.uint8)
+        if check_zero:
+            zero_bad = finite & ((core == 0) | (acc == 0))
+            flags = flags + 2 * zero_bad.astype(jnp.uint8)
+        return None, flags
 
     starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
     _, flags = jax.lax.scan(body, None, starts)
@@ -1979,7 +1983,7 @@ def _stream_qc_group(planes, lengths, freqs, s0, max_pi, max_a, c, steps,
 def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
                            bbits, chunk, n_real, max_pi_dist, max_a_dist,
                            max_fetch=40_000_000, use_pallas=None,
-                           mesh=None):
+                           mesh=None, check_zero=True):
     """Distance-QC pre-pass over a plane-major population with no O(n^2)
     anywhere: the streaming twin of qc.qc_dist_mat's row scan
     (qcDistMat, PopPUNK/qc.py:295-369 loads the full condensed matrix).
@@ -1999,9 +2003,10 @@ def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
         def pair_fn(d):
             core, acc = d[:, 0], d[:, 1]
             finite = jnp.isfinite(core)
-            flags = ((finite & ((core > mp) | (acc > ma))).astype(jnp.uint8)
-                     + 2 * (finite & ((core == 0)
-                                      | (acc == 0))).astype(jnp.uint8))
+            flags = (finite & ((core > mp) | (acc > ma))).astype(jnp.uint8)
+            if check_zero:
+                flags = flags + 2 * (finite & ((core == 0) | (acc == 0))
+                                     ).astype(jnp.uint8)
             return flags > 0, flags
 
         fold_kwargs = dict(
@@ -2031,14 +2036,20 @@ def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
     klist_t = tuple(int(k) for k in klist)
     pos_out, flag_out = [], []
     total = 0
+    # device conversion ONCE, not per dispatch group: jnp.asarray on a
+    # host tensor re-uploads multi-GB planes over the ~10 MB/s tunnel
+    planes_d = jnp.asarray(planes)
+    lengths_d = jnp.asarray(lengths)
+    freqs_d = jnp.asarray(freqs)
     for off, fsteps in _dispatch_plan(half, chunk, n_pad,
                                       cap_rows=int(1.5e9 / (6 * n_pad))):
         s0 = off * chunk
         pos, flags, count = _stream_qc_group(
-            jnp.asarray(planes), jnp.asarray(lengths), jnp.asarray(freqs),
+            planes_d, lengths_d, freqs_d,
             jnp.int32(s0), jnp.float32(max_pi_dist), jnp.float32(max_a_dist),
             int(chunk), int(fsteps), klist_t, int(sketchsize64),
-            int(bbits), int(pad_bits), bool(use_pallas), nr)
+            int(bbits), int(pad_bits), bool(use_pallas), nr,
+            check_zero=bool(check_zero))
         k = int(count)
         total += k
         if total > max_fetch:
@@ -2151,11 +2162,15 @@ def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
     scale_dev = jnp.asarray(scale, jnp.float32)
     pos_out = []
     total = 0
+    # device conversion ONCE, not per dispatch group (multi-GB re-upload)
+    planes_d = jnp.asarray(planes)
+    lengths_d = jnp.asarray(lengths)
+    freqs_d = jnp.asarray(freqs)
     for off, fsteps in _dispatch_plan(half, chunk, n_pad,
                                       cap_rows=int(1.5e9 / (5 * n_pad))):
         s0 = off * chunk
         pos, count = _stream_boundary_group(
-            jnp.asarray(planes), jnp.asarray(lengths), jnp.asarray(freqs),
+            planes_d, lengths_d, freqs_d,
             jnp.int32(s0), scale_dev, jnp.float32(bx), jnp.float32(by),
             int(chunk), int(fsteps), klist_t, int(sketchsize64),
             int(bbits), int(pad_bits), int(slope), bool(use_pallas), nr)
