@@ -169,7 +169,10 @@ def apply_post(dists, post_spec):
 
 def model_post_spec(model, slope=None):
     """(name, static, params) classifying pairs like ``model.assign`` —
-    or None if the model has no device classifier (dbscan, lineage)."""
+    or None if the model has no device classifier (lineage). dbscan uses
+    a quantised decision grid built from the exact host predictor:
+    exact for any pair more than half a grid cell from a decision
+    boundary (serve.py module docstring)."""
     if getattr(model, "type", None) == "refine":
         if slope is None:
             slope = model.slope

@@ -64,16 +64,29 @@ class AssignSession:
         self.use_rc = not strand_preserved
         self.kmers = tuple(int(k) for k in read_db_params(ref_db)[0])
 
-        # serving reference set: the clique-pruned .refs subset if present
+        # serving reference set: the clique-pruned .refs subset if present.
+        # Reference ORDER follows the .dists pkl when available — the CLI
+        # stable path takes r_names from read_pickle(distances)
+        # (assign.py), and 1-NN tie-breaking is "first min", so a
+        # different order could resolve duplicate-genome ties to a
+        # different cluster than poppunk_assign --stable.
+        from .io.hdf5db import get_seqs_in_db
+
+        dist_pkl = _file_base(ref_db) + ".dists"
+        if os.path.isfile(dist_pkl + ".pkl"):
+            from .utils import read_pickle
+
+            all_names = read_pickle(dist_pkl, distances=False)[0]
+        else:
+            all_names = get_seqs_in_db(db_h5_path(ref_db))
         r_names = None
         refs_file = base + ".refs"
         if os.path.isfile(refs_file) and not use_full_network:
             with open(refs_file) as f:
                 wanted = frozenset(line.rstrip() for line in f)
-            from .io.hdf5db import get_seqs_in_db
-
-            r_names = [n for n in get_seqs_in_db(db_h5_path(ref_db))
-                       if n in wanted]
+            r_names = [n for n in all_names if n in wanted]
+        elif os.path.isfile(dist_pkl + ".pkl"):
+            r_names = list(all_names)
         sketches = read_sketches(ref_db, r_names)
         self.r_names = [s.name for s in sketches]
         self.ss64 = sketches[0].sketchsize64
@@ -94,7 +107,9 @@ class AssignSession:
 
         dist_col = 0 if stable == "core" else 1
         self.post_spec = stable_post_spec(self.model, dist_col)
-        assert self.post_spec is not None
+        if self.post_spec is None:  # not assert: must survive python -O
+            raise RuntimeError(
+                f"no fused classifier for model type {self.model.type}")
 
     def _dispatch(self, planes_q, len_q, freq_q):
         """One fused dispatch: dists + classification + 1-NN on device;
@@ -108,6 +123,16 @@ class AssignSession:
 
     def assign_sketches(self, sketches):
         """{query name: cluster or 'NA'} for already-sketched queries."""
+        bad = [s.name for s in sketches
+               if s.sketchsize64 != self.ss64 or s.bbits != self.bbits]
+        if bad:
+            # same-Wp mismatches (e.g. ss64 32 vs 64 both pad to one lane
+            # tile) would pass every shape check and return confidently
+            # wrong clusters
+            raise ValueError(
+                f"query sketch geometry does not match the reference db "
+                f"(sketchsize64={self.ss64}, bbits={self.bbits}): "
+                + ", ".join(bad[:5]))
         planes_q, len_q, freq_q = pack_planes(sketches, self.kmers)
         out = {}
         for start in range(0, len(sketches), self.chunk):
@@ -131,21 +156,33 @@ class AssignSession:
         return out
 
     def assign_files(self, q_files, threads=1):
-        """Sketch query inputs (an rfile path, or parallel name/file
-        lists) then assign — no query database is written. Returns
-        {name: cluster or 'NA'}."""
+        """Sketch query inputs (an rfile path, or a (names, files) pair
+        of parallel lists) then assign — no query database is written.
+        Returns {name: cluster or 'NA'}."""
         from .io.hdf5db import _sketch_one
         from .sketch.minhash import SketchParams
         from .utils import read_rfile
 
-        names, sequences = read_rfile(q_files)
+        if isinstance(q_files, (tuple, list)) and len(q_files) == 2 \
+                and not isinstance(q_files[0], str):
+            names, sequences = list(q_files[0]), list(q_files[1])
+        elif isinstance(q_files, str):
+            names, sequences = read_rfile(q_files)
+        else:
+            raise TypeError(
+                "q_files must be an rfile path or a (names, files) pair "
+                "of parallel lists")
         params = SketchParams(klist=self.kmers, sketchsize64=self.ss64,
                               bbits=self.bbits, use_rc=self.use_rc)
         jobs = [(n, f, params) for n, f in zip(names, sequences)]
         if threads > 1 and len(jobs) > 1:
             from multiprocessing import get_context
 
-            with get_context("fork").Pool(min(threads, len(jobs))) as pool:
+            # spawn, not fork: __init__ already started the JAX backend
+            # (device-resident reference tensor), and forking after
+            # client init can deadlock children on inherited runtime
+            # mutexes
+            with get_context("spawn").Pool(min(threads, len(jobs))) as pool:
                 sketches = pool.map(_sketch_one, jobs)
         else:
             sketches = [_sketch_one(j) for j in jobs]

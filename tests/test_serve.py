@@ -162,3 +162,41 @@ def test_dbscan_grid_matches_exact_predict():
     quant = grid[ix, iy]
     # identical for all but boundary-grazing points
     assert (quant == exact).mean() > 0.97
+
+
+def test_geometry_mismatch_rejected(refine_db):
+    """Same-Wp geometry mismatches (e.g. ss64 32 vs 64 pad to the same
+    lane tile) pass every shape check and would return confidently wrong
+    clusters — the session must reject them up-front."""
+    from poppunk_tpu.serve import AssignSession
+    from poppunk_tpu.sketch.minhash import Sketch
+
+    session = AssignSession(refine_db)
+    ss = session.ss64 // 2  # any value != the db's geometry
+    wrong = Sketch(name="q0", usigs={k: np.zeros(ss * session.bbits,
+                                                 np.uint64)
+                                     for k in session.kmers},
+                   sketchsize64=ss, bbits=session.bbits,
+                   length=2_000_000, missing_bases=0,
+                   base_freq=(0.25, 0.25, 0.25, 0.25))
+    with pytest.raises(ValueError, match="geometry"):
+        session.assign_sketches([wrong])
+
+
+def test_assign_files_accepts_parallel_lists(population, population_dir,
+                                             refine_db, tmp_path):
+    from poppunk_tpu.serve import AssignSession
+
+    qfile = _query_rfile(population, population_dir, tmp_path)
+    names, files = [], []
+    with open(qfile) as f:
+        for line in f:
+            n, p = line.split()
+            names.append(n)
+            files.append(p)
+    session = AssignSession(refine_db)
+    via_rfile = session.assign_files(qfile)
+    via_lists = session.assign_files((names, files))
+    assert via_lists == via_rfile
+    with pytest.raises(TypeError, match="rfile path"):
+        session.assign_files(["a.fa", "b.fa"])
