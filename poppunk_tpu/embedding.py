@@ -6,9 +6,10 @@ of accessory distances. That access pattern (billions of single-pair
 updates) is hostile to TPUs, so this is re-designed as *batched* SGD under
 one jit: every step applies the attractive gradient over all kNN edges at
 once (segment-sum) and a resampled set of repulsive pairs, with the same
-Student-t kernel and linearly decaying learning rate. maxIter counts
-single-pair updates for CLI compatibility and is converted to batched
-epochs.
+Student-t kernel (learning rate is constant with adaptive per-coordinate
+gains, sklearn-style, rather than the reference's linear eta decay).
+maxIter counts single-pair updates for CLI compatibility and is converted
+to batched epochs.
 
 Output: a graphviz .dot of node positions named
 ``<p>_perplexity<P>_accessory_mandrake.dot`` (mandrake.py:62), coordinates
@@ -24,36 +25,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _perplexity_probabilities(dists, perplexity):
+def _perplexity_probabilities(dists, perplexity, n_iter=50):
     """Per-row bandwidth calibration: binary-search beta so the conditional
     distribution over the kNN has the requested perplexity (standard t-SNE
-    input calibration). dists: [n, k]."""
+    input calibration). dists: [n, k].
+
+    All rows search together on [n, k] arrays — a per-row Python loop is
+    interpreter-bound at the scale tier (65k rows x 50 iterations)."""
     n, k = dists.shape
     target = np.log(max(min(perplexity, k - 1), 1))
-    d2 = dists ** 2
-
-    def row_probs(row):
-        beta_lo, beta_hi, beta = 0.0, np.inf, 1.0
-        for _ in range(50):
-            p = np.exp(-row * beta)
-            s = p.sum()
-            if s <= 0:
-                p = np.ones_like(row) / row.shape[0]
-                break
-            p /= s
-            h = -(p * np.log(p + 1e-12)).sum()
-            if abs(h - target) < 1e-4:
-                break
-            if h > target:
-                beta_lo = beta
-                beta = beta * 2 if beta_hi == np.inf else (beta + beta_hi) / 2
-            else:
-                beta_hi = beta
-                beta = (beta + beta_lo) / 2
-        return p
-
-    P = np.stack([row_probs(d2[i]) for i in range(n)])
-    return P
+    d2 = dists.astype(np.float64) ** 2
+    beta = np.ones(n)
+    beta_lo = np.zeros(n)
+    beta_hi = np.full(n, np.inf)
+    p = np.full((n, k), 1.0 / k)
+    for _ in range(n_iter):
+        raw = np.exp(-d2 * beta[:, None])
+        s = raw.sum(axis=1)
+        ok = s > 0
+        p = np.where(ok[:, None], raw / np.maximum(s, 1e-300)[:, None],
+                     1.0 / k)
+        h = -(p * np.log(p + 1e-12)).sum(axis=1)
+        done = np.abs(h - target) < 1e-4
+        if done.all():
+            break
+        high = h > target  # entropy too high -> raise beta
+        beta_lo = np.where(high & ~done, beta, beta_lo)
+        beta_hi = np.where(~high & ~done, beta, beta_hi)
+        beta = np.where(
+            done, beta,
+            np.where(high,
+                     np.where(np.isinf(beta_hi), beta * 2,
+                              (beta + beta_hi) / 2),
+                     (beta + beta_lo) / 2))
+    return p
 
 
 # Above this many points the dense [n, n] gradient (exact t-SNE repulsion,
@@ -103,53 +108,54 @@ def _sce_optimize_dense(key, Pmat, n, epochs, eta0=200.0):
     return Y
 
 
-@partial(jax.jit, static_argnames=("n", "epochs", "n_repu"))
-def _sce_optimize_sampled(key, I, J, P, n, epochs, n_repu=8, eta0=None):
-    """Sampled-repulsion variant for large n: attraction over the kNN edge
-    list, repulsion from freshly sampled pairs with a self-normalising Z
-    estimate (the LargeVis/SCE estimator), momentum SGD + exaggeration."""
-    key, init_key = jax.random.split(key)
-    Y0 = jax.random.normal(init_key, (n, 2), jnp.float32) * 1e-4
-    if eta0 is None:
-        eta0 = 200.0
+@partial(jax.jit, static_argnames=("n", "epochs", "n_neg"))
+def _sce_optimize_sampled(key, I, J, P, n, epochs, n_neg=5, eta0=1.0,
+                          gamma=1.0):
+    """Sampled-repulsion variant for large n: attraction over the kNN
+    edge list, repulsion from per-edge negative samples with BOUNDED
+    per-sample forces (the LargeVis/UMAP gradient family, batched).
 
-    P = P / P.sum()
-    exagg_end = epochs // 4
-    n_samples = n * n_repu
+    Why not the t-SNE q^2/Z Monte-Carlo estimator: its per-sample weight
+    carries a 1/Z factor that GROWS as the embedding spreads, so a
+    sampled close pair gets an unbounded kick, which spreads the
+    embedding further — a measured runaway (clusters never separated,
+    spread exploding with epochs). Here every sampled force is clipped
+    to +-4 and each point's displacement is averaged over its
+    contribution count, so steps stay bounded no matter the geometry.
+    Linear eta decay, as the reference wtsne anneals."""
+    key, init_key = jax.random.split(key)
+    Y0 = jax.random.normal(init_key, (n, 2), jnp.float32) * 1e-2
+    w = P / jnp.maximum(P.max(), 1e-12)  # per-edge weight in (0, 1]
 
     def step(carry, it):
-        Y, V, key = carry
-        exagg = jnp.where(it < exagg_end, 12.0, 1.0)
-        momentum = jnp.where(it < exagg_end, 0.5, 0.8)
+        Y, key = carry
+        eta = eta0 * (1.0 - it / epochs)
 
-        # attraction along kNN edges: 4 * exagg * P_ij q_ij (y_i - y_j)
+        # attraction along kNN edges: w * 2q * (y_i - y_j), clipped
         d = Y[I] - Y[J]  # [E, 2]
-        q = 1.0 / (1.0 + (d ** 2).sum(-1))  # [E]
-        grad_att = (exagg * P * q)[:, None] * d  # [E, 2]
+        d2 = (d ** 2).sum(-1)
+        g_att = jnp.clip((w * 2.0 / (1.0 + d2))[:, None] * d, -4, 4)
         g = jnp.zeros_like(Y)
-        g = g.at[I].add(grad_att)
-        g = g.at[J].add(-grad_att)
+        g = g.at[I].add(-g_att)
+        g = g.at[J].add(g_att)
 
-        # repulsion from sampled pairs: -(q^2/Z)(y_i - y_j), Z estimated
-        # from the same sample (self-normalising)
+        # repulsion: n_neg fresh negatives per edge, bounded kernel
         key, k1 = jax.random.split(key)
-        rep = jax.random.randint(k1, (n_samples, 2), 0, n)
-        dr = Y[rep[:, 0]] - Y[rep[:, 1]]
-        qr = 1.0 / (1.0 + (dr ** 2).sum(-1))
-        n_pairs = n * (n - 1.0)
-        Zest = jnp.maximum(qr.mean() * n_pairs, 1e-12)
-        grad_rep = (qr ** 2)[:, None] * dr * (n_pairs / n_samples / Zest)
-        g = g.at[rep[:, 0]].add(-grad_rep)
-        g = g.at[rep[:, 1]].add(grad_rep)
+        neg = jax.random.randint(k1, (I.shape[0], n_neg), 0, n)
+        dn = Y[I][:, None, :] - Y[neg]
+        dn2 = (dn ** 2).sum(-1)
+        rep = gamma * 2.0 / ((0.001 + dn2) * (1.0 + dn2))
+        g_rep = jnp.clip((w[:, None] * rep)[:, :, None] * dn, -4, 4)
+        g = g.at[I].add(g_rep.sum(axis=1))
 
-        V = momentum * V - eta0 * 4.0 * g
-        Y = Y + V
+        # per-point step: average of its (bounded) kicks, not the sum —
+        # a hub with many edges must not take a proportionally huge step
+        deg = jnp.zeros(n).at[I].add(1.0 + n_neg).at[J].add(1.0)
+        Y = Y + eta * g / jnp.maximum(deg, 1.0)[:, None]
         Y = Y - Y.mean(0)
-        return (Y, V, key), None
+        return (Y, key), None
 
-    (Y, _, _), _ = jax.lax.scan(
-        step, (Y0, jnp.zeros_like(Y0), key), jnp.arange(epochs)
-    )
+    (Y, _), _ = jax.lax.scan(step, (Y0, key), jnp.arange(epochs))
     return Y
 
 
@@ -180,7 +186,8 @@ def _sce_from_knn(I, J, dists, n, knn, perplexity, max_iter, seed):
     ).reshape(-1)
 
     # reference maxIter counts single-edge updates; we do all E edges/epoch
-    epochs = int(min(max(max_iter // max(len(I), 1), 250), 1000))
+    # (floor 1 so a small --iter stays an honest speed/quality knob)
+    epochs = int(min(max(max_iter // max(len(I), 1), 1), 1000))
     if n <= DENSE_LIMIT:
         Pmat = np.zeros((n, n), dtype=np.float32)
         Pmat[np.asarray(I), np.asarray(J)] += P

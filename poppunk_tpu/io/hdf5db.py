@@ -49,7 +49,12 @@ def create_database_dir(out_prefix, kmers=None):
                 with h5py.File(db_file, "r") as db:
                     for sample in db["sketches"]:
                         prev = np.asarray(db["sketches"][sample].attrs["kmers"])
-                        if not set(prev).issuperset(set(int(k) for k in kmers)):
+                        # reference direction (sketchlib.py:86-99): keep
+                        # only if every previously-calculated k is in the
+                        # requested range — a stale superset DB would let
+                        # later appends create inconsistent k sets
+                        if not set(int(k) for k in prev).issubset(
+                                set(int(k) for k in kmers)):
                             sys.stderr.write(f"Removing old database {db_file}\n")
                             os.remove(db_file)
                         break
@@ -67,6 +72,13 @@ def write_sketches(db_prefix, sketches, codon_phased=False, overwrite=False):
         os.remove(path)
     with h5py.File(path, "a") as db:
         grp = db.require_group("sketches")
+        prev_v = grp.attrs.get("sketch_version")
+        if prev_v is not None and str(prev_v) != str(SKETCH_VERSION):
+            # restamping would mask a real mixed-version database from
+            # join_dbs' version guard
+            raise RuntimeError(
+                f"database {path} has sketch_version {prev_v}; cannot "
+                f"append version {SKETCH_VERSION} sketches")
         grp.attrs["sketch_version"] = SKETCH_VERSION
         grp.attrs["codon_phased"] = codon_phased
         for sk in sketches:
@@ -249,6 +261,15 @@ def _kmeans_freqs(freqs, n_clusters, n_iter=25, seed=1):
             members = freqs[assign == c]
             if members.shape[0]:
                 centroids[c] = members.mean(axis=0)
+    # drop empty clusters (identical base freqs collapse the init
+    # centroids) and remap — an empty cluster's mean length is NaN and
+    # would be persisted into the random matches table
+    used = np.unique(assign)
+    if len(used) < n_clusters:
+        remap = np.zeros(n_clusters, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        assign = remap[assign]
+        centroids = centroids[used]
     return assign.astype(np.uint16), centroids
 
 
@@ -281,11 +302,12 @@ def _write_random_group(db, use_rc=True, klist=None):
     lengths = np.array([sketches[s].attrs["length"] for s in names], dtype=np.float64)
     freqs = np.stack([np.asarray(sketches[s].attrs["base_freq"]) for s in names])
 
-    from ..sketch.random_match import random_jaccard
+    from ..sketch.random_match import random_jaccard_table
 
     assign, centroids = _kmeans_freqs(freqs, RANDOM_N_CLUSTERS)
     n_clusters = centroids.shape[0]
-    # representative length per cluster (mean member length)
+    # representative length per cluster (mean member length; clusters are
+    # guaranteed non-empty by _kmeans_freqs)
     c_len = np.array([lengths[assign == c].mean() for c in range(n_clusters)])
 
     grp.attrs["k_min"] = int(min(klist))
@@ -295,13 +317,10 @@ def _write_random_group(db, use_rc=True, klist=None):
     grp.create_dataset("table_values", data=assign)
     grp.create_dataset("cluster_centroids", data=centroids)
     matches = grp.create_group("matches")
-    c1 = np.repeat(np.arange(n_clusters), n_clusters)
-    c2 = np.tile(np.arange(n_clusters), n_clusters)
-    for k in klist:
-        table = random_jaccard(int(k), c_len[c1], c_len[c2],
-                               centroids[c1], centroids[c2],
-                               use_rc=use_rc).reshape(n_clusters, n_clusters)
-        matches.create_dataset(str(int(k)), data=table.astype(np.float32))
+    tables = random_jaccard_table([int(k) for k in klist], c_len,
+                                  centroids, use_rc=use_rc)
+    for ki, k in enumerate(klist):
+        matches.create_dataset(str(int(k)), data=tables[ki])
 
 
 def add_random(db_prefix, sequence_names=None, klist=None, strand_preserved=False,
@@ -312,19 +331,17 @@ def add_random(db_prefix, sequence_names=None, klist=None, strand_preserved=Fals
     and the reference-schema clustered Bernoulli table (see
     _write_random_group).
     """
-    if sequence_names is not None and len(sequence_names) <= 2:
-        sys.stderr.write("Cannot add random match chances with this few genomes\n")
-        return
     with h5py.File(db_h5_path(db_prefix), "r+") as db:
+        n = (len(sequence_names) if sequence_names is not None
+             else len(db["sketches"].keys()))
+        if n <= 2:
+            sys.stderr.write(
+                "Cannot add random match chances with this few genomes\n")
+            return
         if "random" in db and not overwrite:
             sys.stderr.write("Using existing random match chances in DB\n")
             return
         _write_random_group(db, use_rc=not strand_preserved, klist=klist)
-
-
-def has_random(db_prefix):
-    with h5py.File(db_h5_path(db_prefix), "r") as db:
-        return "random" in db
 
 
 def _sketch_one(args):

@@ -49,3 +49,21 @@ def test_generate_embedding_dot(tmp_path):
     # idempotent no-overwrite
     fn2 = generate_embedding(labels, D, 5, out, overwrite=False)
     assert fn2 == fn
+
+
+def test_sampled_repulsion_branch(monkeypatch):
+    """The n > DENSE_LIMIT path (every scale-tier --mandrake run) must
+    separate clusters too — forced here by lowering the limit."""
+    import poppunk_tpu.embedding as emb
+
+    monkeypatch.setattr(emb, "DENSE_LIMIT", 16)
+    D, labels = two_cluster_distmat()
+    Y = emb.sce_embedding(D, perplexity=10, knn=10, max_iter=200_000)
+    c0 = Y[labels == 0].mean(0)
+    c1 = Y[labels == 1].mean(0)
+    between = np.linalg.norm(c0 - c1)
+    within = max(
+        np.linalg.norm(Y[labels == 0] - c0, axis=1).mean(),
+        np.linalg.norm(Y[labels == 1] - c1, axis=1).mean(),
+    )
+    assert between > 1.5 * within

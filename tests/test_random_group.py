@@ -96,3 +96,43 @@ def test_join_copies_group(tmp_path):
     with h5py.File(db_h5_path(out), "r") as db:
         assert "random" in db
         assert db["random"]["table_keys"].shape == (7,)
+
+
+def test_identical_freqs_no_nan(tmp_path):
+    """Identical base frequencies collapse the k-means init centroids;
+    the empty cluster must be dropped, not persisted as NaN rows in the
+    matches table."""
+    rng = np.random.default_rng(3)
+    freq = np.array([0.25, 0.25, 0.25, 0.25])
+    sketches = [Sketch(
+        name=f"s{i}",
+        usigs={k: rng.integers(0, 2**63, 14 * 2, dtype=np.uint64)
+               for k in KLIST},
+        sketchsize64=2, bbits=14, length=50_000,
+        missing_bases=0, base_freq=freq.copy(),
+    ) for i in range(6)]
+    prefix = str(tmp_path / "dup")
+    write_sketches(prefix, sketches)
+    add_random(prefix, sequence_names=[f"s{i}" for i in range(6)],
+               klist=KLIST)
+    with h5py.File(db_h5_path(prefix), "r") as db:
+        for k in KLIST:
+            table = np.asarray(db[f"random/matches/{k}"])
+            assert np.isfinite(table).all(), table
+            assert table.shape[0] == table.shape[1] == 1  # one cluster
+
+
+def test_add_random_counts_db_when_names_none(tmp_path, capsys):
+    rng = np.random.default_rng(4)
+    sketches = [Sketch(
+        name=f"s{i}",
+        usigs={k: rng.integers(0, 2**63, 14 * 2, dtype=np.uint64)
+               for k in KLIST},
+        sketchsize64=2, bbits=14, length=50_000,
+        missing_bases=0, base_freq=rng.dirichlet([10] * 4),
+    ) for i in range(2)]
+    prefix = str(tmp_path / "tiny")
+    write_sketches(prefix, sketches)
+    add_random(prefix, klist=KLIST)  # names=None: count from the db
+    with h5py.File(db_h5_path(prefix), "r") as db:
+        assert "random" not in db
