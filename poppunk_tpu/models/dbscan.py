@@ -126,11 +126,7 @@ class DBSCANFit(ClusterFit):
             raise RuntimeError("Trying to assign using an unfitted model")
         scale = np.array([1, 1], dtype=X.dtype) if no_scale else self.scale
         if use_grid:
-            cached = getattr(self, "_grid_cache", None)
-            if cached is None or cached[0].shape[0] != grid_resolution:
-                cached = self.decision_grid(grid_resolution)
-                self._grid_cache = cached
-            grid, x0, dx, y0, dy = cached
+            grid, x0, dx, y0, dy = self.decision_grid(grid_resolution)
             if progress:
                 sys.stderr.write("Assigning distances with DBSCAN model "
                                  f"(decision grid {grid_resolution})\n")
@@ -152,11 +148,21 @@ class DBSCANFit(ClusterFit):
 
     def decision_grid(self, resolution=1024, pad_frac=1.0):
         """Quantised approximate_predict over scaled distance space, for
-        the fused serving path (serve.py): labels int8[res, res] at cell
+        the fused serving path (serve.py): labels int16[res, res] at cell
         centres, plus the (x0, dx, y0, dy) affine mapping a scaled point
         to its cell. Exact wherever a pair sits more than half a cell from
         a decision boundary; the grid extends pad_frac beyond the fitted
-        range so out-of-range points resolve like far points (noise)."""
+        range so out-of-range points resolve like far points (noise).
+
+        Cached per (fitted model, resolution): the 1M-point exact predict
+        is the expensive part and both the serving path and bulk
+        grid-assign want the same grid. fit() replaces self.hdb, and the
+        cache keys on its identity, so a refit never serves stale
+        labels."""
+        cached = getattr(self, "_grid_cache", None)
+        if (cached is not None and cached[0] is self.hdb
+                and cached[1] == (resolution, pad_frac)):
+            return cached[2]
         hi = np.asarray(self.hdb._X).max(axis=0) * (1.0 + pad_frac)
         lo = np.zeros(2)
         dx = (hi[0] - lo[0]) / resolution
@@ -166,8 +172,12 @@ class DBSCANFit(ClusterFit):
         xx, yy = np.meshgrid(xc, yc, indexing="ij")
         pts = np.stack([xx.ravel(), yy.ravel()], axis=1)
         labels = self.hdb.approximate_predict(pts)[0]
-        grid = labels.reshape(resolution, resolution).astype(np.int8)
-        return grid, float(lo[0]), float(dx), float(lo[1]), float(dy)
+        # int16, not int8: --D has no upper bound and >= 128 clusters
+        # would wrap to garbage/negative (noise-like) ids
+        grid = labels.reshape(resolution, resolution).astype(np.int16)
+        out = (grid, float(lo[0]), float(dx), float(lo[1]), float(dy))
+        self._grid_cache = (self.hdb, (resolution, pad_frac), out)
+        return out
 
     def save(self):
         if not self.fitted:

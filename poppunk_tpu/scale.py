@@ -1639,6 +1639,10 @@ def _matmul_sweep_scores(d0_sq, ts, n):
         # count edges in int32 so the saturation guard is reliable
         n_edges = (d0_sq <= t).sum(dtype=jnp.int32) // 2
         density = n_edges.astype(jnp.float32) / possible
+        # per-element wedge/triangle counts are exact (< 2^24); the
+        # aggregate sums can exceed 2^24 at dense offsets, where XLA's
+        # tree reductions leave ~1e-6 relative error — negligible at
+        # grid granularity (ops/device_sweep.py docstring)
         wedges2 = (deg * (deg - 1.0)).sum()
         # bf16 operands double the MXU rate and stay exact: entries are
         # 0/1, accumulation is f32, row counts < 2^24

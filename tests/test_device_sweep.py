@@ -63,9 +63,13 @@ def test_native_matches_python(seed):
 
 
 def test_empty_edges():
+    """Empty networks score 0 (-0.0), matching the host twin
+    grow_network_scores — transitivity 0 times anything is 0."""
     got = sweep_scores_device(10, [], [], [], 5)
     assert got.shape == (5,)
-    np.testing.assert_allclose(got, 1.0)
+    z = np.zeros(0, np.int32)
+    want = grow_network_scores(10, z, z, z, 5, score_idx=0)
+    np.testing.assert_allclose(got, want)
 
 
 @pytest.mark.parametrize("score_idx", [0, 1])

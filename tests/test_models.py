@@ -133,7 +133,7 @@ class TestDBSCANFit:
         assert agree > 0.98
         # disagreements must hug a label boundary: re-predicting each
         # mismatched point's cell centre must give the grid's label
-        grid, x0, dx, y0, dy = model._grid_cache
+        grid, x0, dx, y0, dy = model.decision_grid(1024)
         Xs = X / model.scale
         bad = np.where(y_exact != y_grid)[0]
         for b in bad[:20]:
@@ -142,6 +142,23 @@ class TestDBSCANFit:
             centre = np.array([[x0 + (ix + 0.5) * dx,
                                 y0 + (iy + 0.5) * dy]])
             assert model.hdb.approximate_predict(centre)[0][0] == y_grid[b]
+
+    def test_grid_cache_invalidated_on_refit(self, tmp_path):
+        """A refit replaces self.hdb; grid assignment must come from the
+        NEW model, not a stale cached grid (the cache keys on the hdb
+        object's identity)."""
+        from poppunk_tpu.models.dbscan import DBSCANFit
+
+        X1 = make_dist_cloud(seed=0)
+        model = DBSCANFit(str(tmp_path / "dbscan_refit_db"))
+        model.fit(X1, max_num_clusters=3, min_cluster_prop=0.0001)
+        model.assign(X1, use_grid=True)  # populate the cache
+        X2 = make_dist_cloud(seed=5)[:, ::-1].copy()  # different geometry
+        y2 = model.fit(X2, max_num_clusters=3, min_cluster_prop=0.0001)
+        got = model.assign(X2, use_grid=True)
+        assert (got == y2).mean() > 0.98
+        # the cache really belongs to the new fit now
+        assert model._grid_cache[0] is model.hdb
 
 
 class TestRefineFit:
