@@ -209,8 +209,12 @@ def bench_kernel_ab(nq=2048, nr=4096, iters=3):
         sys.stderr.write(f"{label}: {rate / 1e6:.1f} Mpairs/s\n")
         return rate
 
+    # planes go in as jit ARGUMENTS — closing over them bakes tens of MB
+    # of constants into the HLO and the remote-compile tunnel rejects the
+    # payload (HTTP 413)
+    std_fn = jax.jit(lambda a, b: match_counts_pallas(a, b, pad_bits))
     base = run("standard (tq=64,tr=128,Wp=%d)" % wp,
-               jax.jit(lambda: match_counts_pallas(pq, pr, pad_bits)))
+               lambda: std_fn(pq, pr))
     g, lanes, kg = _lane_groups(w32, len(KLIST), bbits=BBITS)
     sys.stderr.write(f"packed pick: G={g}, lanes={lanes} "
                      f"(occupancy {len(KLIST) * w32 / (kg * lanes):.1%})\n")
@@ -220,9 +224,11 @@ def bench_kernel_ab(nq=2048, nr=4096, iters=3):
         if vmem > 14 * 2**20:
             continue
         try:
+            pk_fn = jax.jit(
+                lambda a, b, tq=tq, tr=tr: match_counts_pallas_packed(
+                    a, b, w32, g=g, tq=tq, tr=tr))
             rate = run(f"packed g={g} (tq={tq},tr={tr},L={lanes})",
-                       jax.jit(lambda tq=tq, tr=tr: match_counts_pallas_packed(
-                           pq, pr, w32, g=g, tq=tq, tr=tr)))
+                       lambda: pk_fn(pq, pr))
         except Exception as e:  # noqa: BLE001 — VMEM overflow etc.
             sys.stderr.write(f"packed tq={tq},tr={tr} failed: "
                              f"{str(e)[:200]}\n")

@@ -189,7 +189,10 @@ def _match_kernel_packed(q_ref, r_ref, seg_ref, out_ref, *, bbits, tq,
             if len(diffs) % 2:
                 nxt.append(diffs[-1])
             diffs = nxt
-        counts = jax.lax.population_count(diffs[0]).astype(jnp.float32)
+        # Mosaic has no u32->f32 convert; popcounts are <= 32, so the
+        # i32 hop is exact
+        counts = (jax.lax.population_count(diffs[0])
+                  .astype(jnp.int32).astype(jnp.float32))
         segsum = jax.lax.dot_general(
             counts, seg_ref[...],
             (((1,), (0,)), ((), ())),
