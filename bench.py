@@ -31,6 +31,18 @@ KLIST = (13, 16, 19, 22, 25, 28)
 SS64 = 156
 BBITS = 14
 
+# Set by --json-out PATH: every _emit() record is also appended to PATH as
+# one JSON line, so the --capture orchestrator can collect full-detail
+# records from subprocess runs.
+JSON_OUT = None
+
+
+def _emit(record):
+    print(json.dumps(record))
+    if JSON_OUT:
+        with open(JSON_OUT, "a") as fh:
+            fh.write(json.dumps(record) + "\n")
+
 
 def _build_baseline():
     lib = os.path.join(ROOT, "native", "libcpu_baseline.so")
@@ -317,14 +329,366 @@ def bench_serving(nq=256, nr=4096, iters=3):
         sys.stderr.write(f"serving {name}: {out[name] / 1e6:.1f} Mpairs "
                          f"classified/s = {out[name] / nr:.0f} genomes "
                          f"assigned/s ({nq} queries x {nr} refs)\n")
-    print(json.dumps({
+    _emit({
         "metric": "serving: query dists + model classification "
                   f"({nq} queries x {nr} device-resident refs); "
                   "genomes_assigned_per_s = value / n_refs",
         "value": round(out["fused"], 1),
         "unit": "pairs/s",
         "vs_baseline": round(out["fused"] / out["two_pass"], 2),
-    }))
+        "fused_pairs_per_s": round(out["fused"], 1),
+        "two_pass_pairs_per_s": round(out["two_pass"], 1),
+        "backend": "tpu" if on_tpu else "cpu-fallback",
+    })
+
+
+def bench_serving_prod(nq=2048, nr=20480, iters=3, n_strains=64):
+    """Production assign metric: genomes assigned/s against a ~20k-genome
+    DEVICE-RESIDENT reference set at production sketch geometry
+    (BASELINE.md "Scaling curve" row; reference hot path
+    PopPUNK/assign.py:502 + models.py:1085).
+
+    The reference sketches are synthesised ON DEVICE
+    (synth.synthetic_population_device) because this sandbox's host<->
+    device tunnel runs at ~5-20 MB/s — a 2.9 GB 20k-genome plane upload
+    is wall-clock infeasible here, while on real TPU hosts the one-time
+    DB load rides PCIe/DMA. Steady-state serving is what this measures:
+    per query batch, distances + boundary classification fused in one
+    dispatch, then device-side compaction of the within-strain (query,
+    ref) edge list — the O(E) output the network attach actually needs —
+    fetched to the host, where each query is joined to its neighbours'
+    cluster (the batch-mode attach of assign.py:576-661). Fetching the
+    raw |Q|x|R| sign matrix instead would be O(Q.R) host traffic; that
+    is the two-pass route bench_serving already measures.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.devices()
+    except Exception as e:
+        sys.stderr.write(f"backend init failed ({e}); forcing CPU\n")
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from poppunk_tpu.models.refine import RefineFit
+    from poppunk_tpu.ops.distances import (
+        core_accessory, corrected_jaccards, match_counts_xla_t,
+        plane_geometry)
+    from poppunk_tpu.ops.fused_assign import apply_post, model_post_spec
+    from poppunk_tpu.ops.pallas_jaccard import match_counts_device
+    from poppunk_tpu.synth import synthetic_population_device
+
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        nq, nr, n_strains = 32, 512, 8
+    # the separable-strain geometry the >20480 scale tiers plant
+    # (scale.py run_scale_pipeline synth_kwargs rationale): PopPUNK's
+    # model presumes a bimodal within/between structure
+    pop = synthetic_population_device(
+        nr + nq, KLIST, SS64, BBITS, n_strains=n_strains, seed=3,
+        chunk=2048, strain_div=(0.015, 0.03),
+        accessory_strain=(0.55, 0.75))
+    np.asarray(pop.planes[-1, -1, -1, -1])  # sync the synth
+    _, _, pad_bits = plane_geometry(SS64, BBITS)
+
+    # synth orders genomes by strain — a contiguous query slice would all
+    # come from one strain. Take a strided sample as queries (every
+    # (n/nq)-th genome) and the complement as the reference set, so
+    # queries span the strains like a real assignment batch.
+    n_all = nr + nq
+    qidx = np.arange(nq) * (n_all // nq)
+    mask = np.ones(n_all, bool)
+    mask[qidx] = False
+    ridx = np.flatnonzero(mask)
+    order = jnp.asarray(np.concatenate([ridx, qidx]))
+    planes_all = jnp.take(pop.planes, order, axis=2)
+    lengths_all = jnp.take(pop.lengths, order, axis=0)
+    freqs_all = jnp.take(pop.freqs, order, axis=0)
+    strain_all = np.asarray(pop.strain)[np.asarray(order)]
+    del pop
+    np.asarray(planes_all[-1, -1, -1, -1])  # sync the reorder
+
+    def small_block(planes, lengths, freqs, ns):
+        p = jax.lax.slice_in_dim(planes, 0, ns, axis=2)
+        if on_tpu:
+            m = match_counts_device(p, p, pad_bits, plane_major=True)
+        else:
+            m = match_counts_xla_t(p, p, pad_bits)
+        j = corrected_jaccards(m, KLIST, lengths[:ns], lengths[:ns],
+                               freqs[:ns], freqs[:ns], SS64, BBITS,
+                               random_correct=True, use_rc=True)
+        return core_accessory(j, KLIST)
+
+    # place the boundary empirically between the planted within/between
+    # blobs (a sampled ns x ns block, one small dispatch) so the attach
+    # agreement check below is meaningful
+    ns = min(512, nr)
+    d_small = np.asarray(jax.jit(small_block, static_argnums=3)(
+        planes_all, lengths_all, freqs_all, ns)).reshape(ns, ns, 2)
+    s_small = strain_all[:ns]
+    same = (s_small[:, None] == s_small[None, :]) & ~np.eye(ns, dtype=bool)
+    diff = ~(s_small[:, None] == s_small[None, :])
+    # pick the boundary rule (slope 0 = core only, 1 = accessory only,
+    # 2 = diagonal) with the widest relative within/between margin on
+    # the sampled block, then place it mid-margin
+    def margin(stat):
+        w_max, b_min = stat[same].max(), stat[diff].min()
+        rel = (b_min - w_max) / max(b_min, 1e-9)
+        return rel, (w_max + b_min) / 2
+
+    mx, bx1 = margin(d_small[..., 0])
+    my, by1 = margin(d_small[..., 1])
+    bx0 = (d_small[..., 0][same].max() + d_small[..., 0][diff].min()) / 2
+    by0 = (d_small[..., 1][same].max() + d_small[..., 1][diff].min()) / 2
+    t = d_small[..., 0] / max(bx0, 1e-9) + d_small[..., 1] / max(by0, 1e-9)
+    md, fd = margin(t)
+    model = RefineFit("/tmp/bench_refine")
+    model.scale = np.array([1.0, 1.0])
+    best = max((mx, 0), (my, 1), (md, 2))
+    if best[1] == 0:
+        model.slope, bx, by = 0, bx1, 0.0
+    elif best[1] == 1:
+        model.slope, bx, by = 1, 0.0, by1
+    else:
+        model.slope, bx, by = 2, fd * bx0, fd * by0
+    sys.stderr.write(f"boundary: slope {model.slope}, margins "
+                     f"core {mx:.3f} acc {my:.3f} diag {md:.3f}\n")
+    model.optimal_x, model.optimal_y = float(bx), float(by)
+    model.core_boundary, model.accessory_boundary = float(bx), float(by)
+    model.fitted = True
+    spec = model_post_spec(model)
+
+    # within pairs per query ~ |query's strain| ~ nr/n_strains on average
+    # (dirichlet sizes make some strains larger); 4x headroom
+    cap = int(4 * nq * max(nr // max(n_strains, 1), 1))
+
+    @jax.jit
+    def assign_batch(planes, lengths, freqs, params):
+        pq = jax.lax.slice_in_dim(planes, nr, nr + nq, axis=2)
+        pr = jax.lax.slice_in_dim(planes, 0, nr, axis=2)
+        if on_tpu:
+            m = match_counts_device(pq, pr, pad_bits, plane_major=True)
+        else:
+            m = match_counts_xla_t(pq, pr, pad_bits)
+        j = corrected_jaccards(m, KLIST, lengths[nr:], lengths[:nr],
+                               freqs[nr:], freqs[:nr], SS64, BBITS,
+                               random_correct=True, use_rc=True)
+        d = core_accessory(j, KLIST)
+        sign = apply_post(d, (spec[0], spec[1], params)).reshape(nq, nr)
+        within = (sign == -1).ravel()
+        pos = jnp.nonzero(within, size=cap, fill_value=-1)[0]
+        return pos.astype(jnp.int32), within.sum(dtype=jnp.int32)
+
+    args = (planes_all, lengths_all, freqs_all, spec[2])
+    ref_cluster = strain_all[:nr]
+
+    def full_assign():
+        pos_d, n_within_d = assign_batch(*args)
+        pos = np.asarray(pos_d)  # O(E) edge fetch — the production output
+        n_within = int(np.asarray(n_within_d))
+        pos = pos[pos >= 0]
+        q, r = pos // nr, pos % nr
+        # batch attach: each query joins its neighbours' component;
+        # queries with no within-edge found a novel cluster (-1)
+        sentinel = np.iinfo(np.int64).max
+        clusters = np.full(nq, sentinel, np.int64)
+        np.minimum.at(clusters, q, ref_cluster[r])
+        clusters[clusters == sentinel] = -1
+        return n_within, clusters
+
+    n_within, clusters = full_assign()  # compile + warm
+    assert n_within <= cap, f"{n_within} within pairs > cap {cap}"
+    # sanity: the boundary was placed between the planted blobs, so the
+    # attach must agree with each query's planted strain
+    truth = strain_all[nr:]
+    agree = float((clusters == truth).mean())
+    sys.stderr.write(f"attach agreement vs planted strains: "
+                     f"{agree:.3f} ({n_within} within pairs)\n")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        full_assign()
+    dt = (time.perf_counter() - t0) / iters
+
+    # device-only rate (scalar sync, no edge fetch) isolates the tunnel
+    np.asarray(assign_batch(*args)[1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(assign_batch(*args)[1])
+    dt_dev = (time.perf_counter() - t0) / iters
+
+    g_per_s = nq / dt
+    sys.stderr.write(
+        f"assign: {nq} queries x {nr} device-resident refs in {dt:.2f}s "
+        f"= {g_per_s:.0f} genomes/s ({nq * nr / dt / 1e6:.1f} Mpairs/s "
+        f"incl. edge fetch; device-only {nq / dt_dev:.0f} genomes/s)\n")
+    _emit({
+        "metric": f"production assign: genomes assigned/s vs {nr} "
+                  "device-resident refs (fused dists + boundary "
+                  "classification + device edge compaction + host attach)",
+        "value": round(g_per_s, 1),
+        "unit": "genomes/s",
+        "vs_baseline": None,
+        "n_refs": nr,
+        "n_queries_per_batch": nq,
+        "pairs_per_s": round(nq * nr / dt, 1),
+        "genomes_per_s_device_only": round(nq / dt_dev, 1),
+        "within_pairs_per_batch": int(n_within),
+        "attach_agreement": round(agree, 4),
+        "backend": "tpu" if on_tpu else "cpu-fallback",
+    })
+
+
+def _gen_sketch_bench_inputs(n_fasta=16, n_fastq=3, glen=2_000_000,
+                             coverage=10, read_len=150):
+    """Synthetic FASTA assemblies (~2 Mbp, realistic bacterial size,
+    docs/sketching.rst:73-81 geometry) and FASTQ read sets for the
+    sketching benchmark. Cached in /tmp across runs."""
+    d = "/tmp/poppunk_sketch_bench"
+    marker = os.path.join(d, ".done_v1")
+    fastas = [os.path.join(d, f"asm{i}.fa") for i in range(n_fasta)]
+    fastqs = [os.path.join(d, f"reads{i}.fastq") for i in range(n_fastq)]
+    if not os.path.isfile(marker):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(7)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for i, path in enumerate(fastas):
+            g = bases[rng.integers(0, 4, glen)]
+            lines = [g[s:s + 80].tobytes() for s in range(0, glen, 80)]
+            with open(path, "wb") as fh:
+                fh.write(b">asm%d\n" % i)
+                fh.write(b"\n".join(lines) + b"\n")
+        n_reads = glen * coverage // read_len
+        qual = b"I" * read_len
+        for i, path in enumerate(fastqs):
+            g = bases[rng.integers(0, 4, glen)]
+            starts = rng.integers(0, glen - read_len, n_reads)
+            with open(path, "wb") as fh:
+                for j, s in enumerate(starts):
+                    fh.write(b"@r%d\n" % j)
+                    fh.write(g[s:s + read_len].tobytes())
+                    fh.write(b"\n+\n")
+                    fh.write(qual)
+                    fh.write(b"\n")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fastas, fastqs
+
+
+def bench_sketch():
+    """Host sketching throughput: genomes/s for FASTA assemblies and
+    FASTQ read sets, single process (OpenMP across k-mer lengths) vs the
+    construct_database process pool (reference constructDatabase,
+    PopPUNK/sketchlib.py:348-434 — the stage that dominates create-db
+    wall clock at 20k-100k genomes, docs/sketching.rst:73-81)."""
+    import shutil
+
+    from poppunk_tpu.io.hdf5db import construct_database
+    from poppunk_tpu.sketch.minhash import SketchParams, sketch_codes
+    from poppunk_tpu.sketch.reader import read_sequence_input
+
+    ncpu = os.cpu_count() or 1
+    fastas, fastqs = _gen_sketch_bench_inputs()
+    params = SketchParams(klist=KLIST, sketchsize64=SS64, use_rc=True)
+    out = {}
+
+    # single-core kernel rate (parse excluded): one genome, threads=1
+    codes, _, _, _ = read_sequence_input([fastas[0]])
+    sketch_codes(codes, params, native_threads=1)  # warm (lib build)
+    t0 = time.perf_counter()
+    sketch_codes(codes, params, native_threads=1)
+    out["fasta_1core_kernel"] = 1 / (time.perf_counter() - t0)
+
+    db = "/tmp/poppunk_sketch_bench/db"
+    names = [f"asm{i}" for i in range(len(fastas))]
+    seqs = [[p] for p in fastas]
+    for label, threads in (("fasta_1proc", 1), (f"fasta_{ncpu}proc", ncpu)):
+        shutil.rmtree(db, ignore_errors=True)
+        t0 = time.perf_counter()
+        construct_database(None, KLIST, SS64, db, threads=threads,
+                           calc_random=False, names=names, sequences=seqs)
+        out[label] = len(fastas) / (time.perf_counter() - t0)
+
+    qnames = [f"reads{i}" for i in range(len(fastqs))]
+    qseqs = [[p] for p in fastqs]
+    for label, threads in (("fastq_1proc", 1), (f"fastq_{ncpu}proc", ncpu)):
+        shutil.rmtree(db, ignore_errors=True)
+        t0 = time.perf_counter()
+        construct_database(None, KLIST, SS64, db, threads=threads,
+                           calc_random=False, min_count=2,
+                           names=qnames, sequences=qseqs)
+        out[label] = len(fastqs) / (time.perf_counter() - t0)
+    shutil.rmtree(db, ignore_errors=True)
+
+    for k, v in out.items():
+        sys.stderr.write(f"sketch {k}: {v:.2f} genomes/s\n")
+    pooled = out[f"fasta_{ncpu}proc"]
+    _emit({
+        "metric": f"host sketching: FASTA genomes/s, {ncpu}-process pool "
+                  "(2 Mbp assemblies, production sketch geometry); "
+                  "detail keys: 1-core kernel, 1-proc (OpenMP over k), "
+                  "N-proc pools, FASTQ 10x-coverage reads min_count=2",
+        "value": round(pooled, 2),
+        "unit": "genomes/s",
+        "vs_baseline": round(pooled / out["fasta_1proc"], 2),
+        "detail": {k: round(v, 3) for k, v in out.items()},
+        "n_cores": ncpu,
+    })
+
+
+def bench_capture():
+    """Run every headline benchmark in its own subprocess and merge the
+    full-detail records into BENCH_scale.json — the committed, auditable
+    artefact for the scale/serve/sketch figures (VERDICT round-2 items
+    1/2/4). Subprocesses isolate device-memory footprints and let a
+    wedged tunnel kill one entry, not the whole capture; the artefact is
+    rewritten after every entry so partial progress persists."""
+    import datetime
+
+    entries = [
+        ("kernel", [], 1200),
+        ("sketch", ["--sketch"], 2400),
+        ("serve_4k", ["--serve"], 1200),
+        ("serve_prod_20k", ["--serve-prod"], 2400),
+        ("scale_20480", ["--scale", "20480"], 2400),
+        ("scale_65536", ["--scale", "65536"], 4800),
+    ]
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    out_path = os.path.join(ROOT, "BENCH_scale.json")
+    merged = {}
+    if os.path.isfile(out_path):
+        with open(out_path) as fh:
+            merged = json.load(fh)
+    merged.setdefault("meta", {})
+    for name, flags, tmo in entries:
+        if only and name not in only:
+            continue
+        tmp = f"/tmp/bench_capture_{name}.json"
+        if os.path.isfile(tmp):
+            os.remove(tmp)
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py"), *flags,
+             "--json-out", tmp],
+            timeout=tmo, cwd=ROOT)
+        wall = time.perf_counter() - t0
+        rec = {"rc": proc.returncode, "wall_s": round(wall, 1)}
+        if os.path.isfile(tmp):
+            with open(tmp) as fh:
+                lines = [json.loads(ln) for ln in fh if ln.strip()]
+            if lines:
+                rec.update(lines[-1])
+        merged[name] = rec
+        merged["meta"]["captured"] = datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds")
+        with open(out_path, "w") as fh:
+            json.dump(merged, fh, indent=1)
+            fh.write("\n")
+        sys.stderr.write(f"capture {name}: rc={proc.returncode} "
+                         f"{wall:.0f}s\n")
+    print(json.dumps({"metric": "capture", "value": len(merged) - 1,
+                      "unit": "entries", "vs_baseline": None}))
 
 
 def kernel_ceiling(pairs_per_s, wp):
@@ -417,7 +781,7 @@ def bench_scale(n=20480):
 
     stages = ", ".join(f"{k} {v:.1f}s" for k, v in out["timings"].items())
     sys.stderr.write(f"stages: {stages}\n")
-    print(json.dumps({
+    _emit({
         "metric": f"end-to-end {n}-genome pipeline, device-resident "
                   "(dists+kNN -> BGMM -> refine -> network; ARI "
                   f"{out['ari']:.3f} vs planted strains, "
@@ -426,7 +790,17 @@ def bench_scale(n=20480):
         "unit": "pairs/s",
         "vs_baseline": round(out["pairs_per_s"] / cpu_rate, 2)
         if cpu_rate == cpu_rate else None,
-    }))
+        "n": n,
+        "n_pairs": out["n_pairs"],
+        "ari": round(float(out["ari"]), 4),
+        "n_clusters": out.get("n_clusters"),
+        "pipeline_s": round(out["pipeline_s"], 1),
+        "stage_s": {k: round(v, 1) for k, v in out["timings"].items()},
+        "streaming": out.get("streaming"),
+        "peak_rss_growth_mib": round(grown_mb, 1),
+        "rss_limit_mib": round(limit_mb, 1),
+        "backend": "tpu" if on_tpu else "cpu-fallback",
+    })
 
 
 def bench_fill_profile(n=20480):
@@ -511,7 +885,19 @@ def bench_fill_profile(n=20480):
 
 
 def main():
+    global JSON_OUT
+    if "--json-out" in sys.argv:
+        JSON_OUT = sys.argv[sys.argv.index("--json-out") + 1]
+    if "--capture" in sys.argv:
+        bench_capture()  # orchestrates subprocesses; no backend needed here
+        return
+    if "--sketch" in sys.argv:
+        bench_sketch()  # host-only
+        return
     _ensure_live_backend()
+    if "--serve-prod" in sys.argv:
+        bench_serving_prod()
+        return
     if "--serve" in sys.argv:
         bench_serving()
         return
@@ -557,7 +943,7 @@ def main():
         # an honest record that this run never reached the TPU (tunnel
         # down): the value is the XLA:CPU rate, not the chip's
         out["backend"] = "cpu-fallback"
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

@@ -166,12 +166,27 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
     return;
   }
   std::vector<uint16_t> table((size_t)CM_HASHES << CM_WIDTH_BITS, 0);
+  // Insert pass: DRAM-latency bound (random touches over a 32 MB table);
+  // software prefetch ~PF iterations ahead hides most of the misses.
+  constexpr size_t PF = 16;
   for (int row = 0; row < CM_HASHES; ++row) {
     const uint64_t salt = (uint64_t)(row + 1) * 0x9E3779B97F4A7C15ULL;
     uint16_t *t = table.data() + ((size_t)row << CM_WIDTH_BITS);
-    for (uint64_t h : hashes) ++t[(h * salt) >> 33 & CM_MASK];
+    const size_t nh = hashes.size();
+    for (size_t i = 0; i < nh; ++i) {
+      if (i + PF < nh)
+        __builtin_prefetch(&t[(hashes[i + PF] * salt) >> 33 & CM_MASK], 1);
+      ++t[(hashes[i] * salt) >> 33 & CM_MASK];
+    }
   }
   for (uint64_t h : hashes) {
+    // a hash whose sign cannot lower its bin's current minimum can be
+    // skipped before the 4 random table reads: signs[] only ever
+    // decreases, so the final state is identical (bit-exact) — this
+    // prunes the estimate lookups to the few candidate minima
+    uint64_t sign = h % SIGN_MOD;
+    uint64_t bin = sign / binsize;
+    if (sign >= signs[bin]) continue;
     uint32_t est = 0xFFFFFFFFu;
     for (int row = 0; row < CM_HASHES; ++row) {
       const uint64_t salt = (uint64_t)(row + 1) * 0x9E3779B97F4A7C15ULL;
@@ -179,7 +194,9 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
       uint32_t c = t[(h * salt) >> 33 & CM_MASK];
       if (c < est) est = c;
     }
-    if (est >= (uint32_t)min_count) bin_one(h, binsize, signs);
+    if (est >= (uint32_t)min_count) {
+      signs[bin] = sign;
+    }
   }
 }
 

@@ -345,10 +345,16 @@ def add_random(db_prefix, sequence_names=None, klist=None, strand_preserved=Fals
 
 
 def _sketch_one(args):
-    name, files, params = args
+    # native_threads=1 when running inside the construct_database process
+    # pool: the pool already spans the cores across genomes, and letting
+    # every worker also fan OpenMP across k-mer lengths oversubscribes
+    # (P workers x min(n_k, cores) threads on cores CPUs)
+    name, files, params, *rest = args
+    native_threads = rest[0] if rest else None
     codes, length, missing, is_reads = read_sequence_input(files)
     return sketch_sequence(name, codes, params, length=length,
-                           missing_bases=missing, reads=is_reads)
+                           missing_bases=missing, reads=is_reads,
+                           native_threads=native_threads)
 
 
 def construct_database(assembly_list, klist, sketch_size64, o_prefix, threads=1,
@@ -381,14 +387,15 @@ def construct_database(assembly_list, klist, sketch_size64, o_prefix, threads=1,
         sys.stderr.write("Overwriting db: " + db_file + "\n")
         os.remove(db_file)
 
-    jobs = [(n, f, params) for n, f in zip(names, sequences)]
-    if threads > 1 and len(jobs) > 1:
+    if threads > 1 and len(names) > 1:
         from multiprocessing import get_context
 
+        jobs = [(n, f, params, 1) for n, f in zip(names, sequences)]
         with get_context("fork").Pool(processes=min(threads, len(jobs))) as pool:
             sketches = pool.map(_sketch_one, jobs)
     else:
-        sketches = [_sketch_one(j) for j in jobs]
+        sketches = [_sketch_one((n, f, params, None))
+                    for n, f in zip(names, sequences)]
 
     write_sketches(o_prefix, sketches, codon_phased=codon_phased)
     if calc_random:

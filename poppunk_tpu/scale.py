@@ -2299,6 +2299,7 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         streaming = 4.0 * n * n / max(n_dev, 1) > 6e9
     if sharded is None:
         sharded = (not streaming and n_dev > 1 and half % n_dev == 0)
+    out["streaming"] = bool(streaming)
     t0 = time.perf_counter()
     if streaming:
         from .parallel.mesh import get_mesh

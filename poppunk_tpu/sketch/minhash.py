@@ -180,14 +180,17 @@ def _phase_hashes(codes, k, use_rc, codon_phased):
     return h[valid]
 
 
-def sketch_codes(codes, params: SketchParams, reads=False, use_native=None):
+def sketch_codes(codes, params: SketchParams, reads=False, use_native=None,
+                 native_threads=None):
     """Sketch an encoded base array at every k in params.klist.
 
     Returns dict k -> packed usigs, plus densified flag.
 
     The native C++ core (native/sketch_core.cpp, bit-identical) handles
     every input mode: assemblies, reads (exact / count-min k-mer
-    filtering) and codon-phased spaced seeds.
+    filtering) and codon-phased spaced seeds. ``native_threads=1`` keeps
+    the per-genome OpenMP span out of the way when the caller runs a
+    process pool across genomes.
     """
     from .reader import filter_read_kmers
 
@@ -196,7 +199,8 @@ def sketch_codes(codes, params: SketchParams, reads=False, use_native=None):
     if use_native:
         from .native import sketch_codes_native
 
-        native = sketch_codes_native(codes, params, reads=reads)
+        native = sketch_codes_native(codes, params, threads=native_threads,
+                                     reads=reads)
         if native is not None:
             return native
 
@@ -214,7 +218,8 @@ def sketch_codes(codes, params: SketchParams, reads=False, use_native=None):
 
 
 def sketch_sequence(name, codes, params: SketchParams, length=None,
-                    missing_bases=None, reads=False) -> Sketch:
+                    missing_bases=None, reads=False,
+                    native_threads=None) -> Sketch:
     """Sketch one sample from its encoded (possibly concatenated) bases."""
     real = codes != INVALID_BASE
     n_real = int(real.sum())
@@ -224,7 +229,8 @@ def sketch_sequence(name, codes, params: SketchParams, length=None,
         missing_bases = int(codes.shape[0] - n_real)
     if length is None:
         length = int(codes.shape[0])
-    usigs, densified = sketch_codes(codes, params, reads=reads)
+    usigs, densified = sketch_codes(codes, params, reads=reads,
+                                    native_threads=native_threads)
     return Sketch(
         name=name,
         usigs=usigs,

@@ -64,6 +64,10 @@ def sketch_codes_native(codes, params, threads=None, reads=False):
     (exact / count-min multiplicity filtering, sketch/reader.py
     semantics) and codon-phased spaced seeds.
 
+    ``threads`` bounds the OpenMP span across k-mer lengths; pass 1 when
+    the caller already parallelises across genomes (the construct_database
+    process pool), or None to span min(n_k, cores) for a single genome.
+
     Returns (usigs dict k -> uint64 array, densified flag) or None if the
     native library is unavailable.
     """
