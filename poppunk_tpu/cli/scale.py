@@ -69,10 +69,25 @@ def get_options(arg_list=None):
                                "--use-model (default: --ref-db)")
 
     model_group = parser.add_argument_group("Model fit")
+    model_group.add_argument("--fit-model", choices=["bgmm", "dbscan"],
+                             default="bgmm",
+                             help="Start model for the boundary refinement "
+                                  "(the reference's dbscan is also fit on "
+                                  "a <=100k-pair subsample regardless of "
+                                  "N, PopPUNK/models.py:246-254, so both "
+                                  "starts stream at any scale)")
     model_group.add_argument("--model-subsample", type=int, default=100000,
-                             help="Maximum pairs in the BGMM fit subsample")
+                             help="Maximum pairs in the start-model fit "
+                                  "subsample (BGMM or HDBSCAN)")
     model_group.add_argument("--K", type=int, default=2,
                              help="Maximum number of mixture components")
+    model_group.add_argument("--D", type=int, default=100,
+                             help="Maximum number of clusters in DBSCAN "
+                                  "fitting")
+    model_group.add_argument("--min-cluster-prop", type=float,
+                             default=0.0001,
+                             help="Minimum proportion of points in a "
+                                  "DBSCAN cluster")
     model_group.add_argument("--pos-shift", type=float, default=0.0,
                              help="Maximum boundary movement past the "
                                   "between-strain mean (reference default)")
@@ -298,15 +313,32 @@ def main(arg_list=None):
 
     t0 = time.perf_counter()
     sub = cd.subsample_pairs(subsample, seed=args.seed)
-    start = BGMMFit("", max_samples=subsample, seed=args.seed)
-    start.fit(sub, max_components=args.K)
-    sys.stderr.write(
-        f"BGMM start model on {sub.shape[0]} subsampled pairs in "
-        f"{time.perf_counter() - t0:.1f}s\n")
+    if args.fit_model == "dbscan":
+        # reference semantics: dbscan is the default refine initialiser
+        # and its fit subsamples to <=100k pairs at ANY population size
+        # (PopPUNK/__main__.py:502-633, dbscan.py:54-60) — so the start
+        # model streams exactly like the BGMM one
+        from ..models.dbscan import DBSCANFit
+
+        start = DBSCANFit("", max_samples=subsample, seed=args.seed,
+                          assign_points=False)
+        start.fit(sub, args.D, args.min_cluster_prop)
+        mean0 = start.cluster_means[start.within_label]
+        mean1 = start.cluster_means[start.between_label]
+        sys.stderr.write(
+            f"DBSCAN start model ({start.n_clusters} clusters) on "
+            f"{start.subsampled_X.shape[0]} subsampled pairs in "
+            f"{time.perf_counter() - t0:.1f}s\n")
+    else:
+        start = BGMMFit("", max_samples=subsample, seed=args.seed)
+        start.fit(sub, max_components=args.K)
+        mean0 = start.means[start.within_label]
+        mean1 = start.means[start.between_label]
+        sys.stderr.write(
+            f"BGMM start model on {sub.shape[0]} subsampled pairs in "
+            f"{time.perf_counter() - t0:.1f}s\n")
 
     t0 = time.perf_counter()
-    mean0 = start.means[start.within_label]
-    mean1 = start.means[start.between_label]
     if args.unconstrained:
         from ..scale import refine_fit_device_2d
 
