@@ -179,7 +179,12 @@ def _match_kernel_packed(q_ref, r_ref, seg_ref, out_ref, *, bbits, tq,
 
     matches[q, r, g] = g's w32*32 sketch bits minus the diff popcount of
     its lane segment; segment sums ride the MXU via seg_ref. Pad lanes
-    (zero in both operands) contribute 0 diff bits to no segment."""
+    (zero in both operands) contribute 0 diff bits to no segment.
+
+    MAINTENANCE: CPU interpret-mode tests cannot surface Mosaic lowering
+    errors (e.g. the u32->f32 convert gap the i32 hop below works
+    around); after editing this kernel, smoke-compile it on the real
+    chip with ``python bench.py --kernel-ab``."""
     total = jnp.float32(w32 * 32)
     for q in range(tq):
         diffs = [q_ref[0, p, q, :][None, :] ^ r_ref[0, p, :, :]

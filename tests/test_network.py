@@ -272,7 +272,171 @@ class TestGtFormat:
         assert edges.tolist() == [[0, 1], [0, 2]]
         np.testing.assert_array_equal(props[(2, "weight")], [1.5, 2.5])
 
-    def test_gt_directed_rejected(self, tmp_path):
+    def test_gt_big_endian_golden_bytes(self, tmp_path):
+        """Big-endian files (written on s390x etc.; the format stores
+        the flag, PopPUNK/network.py reads either) — every multi-byte
+        int and double must honour the declared order."""
+        import struct
+
+        from poppunk_tpu.network.gt_format import read_gt
+
+        raw = (
+            b"\xe2\x9b\xbe gt" + bytes([1])
+            + bytes([1])                  # BIG endian
+            + struct.pack(">Q", 2) + b"hi"  # comment
+            + bytes([0])                  # undirected
+            + struct.pack(">Q", 300)      # N = 300 -> u2 indices
+            + struct.pack(">Q", 2)        # deg(v0)
+            + struct.pack(">H", 257) + struct.pack(">H", 1)
+            + struct.pack(">Q", 0) * 299  # deg(v1..v299)
+            + struct.pack(">Q", 2)        # two property maps
+            + bytes([2])                  # edge prop
+            + struct.pack(">Q", 6) + b"weight"
+            + bytes([4])                  # double
+            + struct.pack(">d", 0.25) + struct.pack(">d", -3.0)
+            + bytes([0])                  # graph prop
+            + struct.pack(">Q", 4) + b"name"
+            + bytes([6])                  # string
+            + struct.pack(">Q", 3) + b"abc"
+        )
+        fn = str(tmp_path / "be.gt")
+        with open(fn, "wb") as f:
+            f.write(raw)
+        n, edges, directed, props = read_gt(fn)
+        assert n == 300 and not directed
+        assert edges.tolist() == [[0, 257], [0, 1]]
+        np.testing.assert_array_equal(props[(2, "weight")], [0.25, -3.0])
+        assert props[(0, "name")] == ["abc"]
+
+    def test_gt_u4_index_width(self, tmp_path):
+        """N > 2^16 switches neighbour indices to u4 (the write path's
+        _index_dtype and the read path must agree at every width)."""
+        import struct
+
+        from poppunk_tpu.network.gt_format import read_gt, write_gt
+
+        n = 70_000
+        edges = np.array([[0, 65_599], [1, 69_999], [65_599, 2]])
+        fn = str(tmp_path / "u4.gt")
+        write_gt(fn, n, edges, weights=np.array([1.0, 2.0, 3.0]),
+                 comment="")
+        with open(fn, "rb") as f:
+            data = f.read()
+        # neighbour bytes for v0 sit right after its u64 degree:
+        # magic+ver+endian(8) + comment len(8) + directed(1) + N(8)
+        off = 8 + 8 + 1 + 8 + 8
+        assert struct.unpack_from("<I", data, off)[0] == 65_599
+        n2, e2, _, props = read_gt(fn)
+        assert n2 == n
+        assert sorted(map(tuple, e2.tolist())) == sorted(
+            map(tuple, edges.tolist()))
+        got = {tuple(e): w for e, w in
+               zip(e2.tolist(), props[(2, "weight")])}
+        assert got[(0, 65_599)] == 1.0 and got[(65_599, 2)] == 3.0
+
+    def test_gt_multiple_property_maps(self, tmp_path):
+        """Graph + vertex + several edge maps of mixed scalar/string/
+        vector types, all parsed in file order."""
+        import struct
+
+        from poppunk_tpu.network.gt_format import read_gt
+
+        def s(txt):
+            b = txt.encode()
+            return struct.pack("<Q", len(b)) + b
+
+        raw = (
+            b"\xe2\x9b\xbe gt" + bytes([1, 0])
+            + struct.pack("<Q", 0)        # comment
+            + bytes([0])                  # undirected
+            + struct.pack("<Q", 3)
+            + struct.pack("<Q", 2) + bytes([1, 2])   # v0 -> 1, 2
+            + struct.pack("<Q", 0) + struct.pack("<Q", 0)
+            + struct.pack("<Q", 5)        # five property maps
+            + bytes([0]) + s("title") + bytes([6]) + s("net")
+            + bytes([1]) + s("label") + bytes([6]) + s("a") + s("b") + s("c")
+            + bytes([1]) + s("size") + bytes([2])     # int32_t
+            + struct.pack("<iii", 7, 8, 9)
+            + bytes([2]) + s("weight") + bytes([4])
+            + struct.pack("<dd", 1.0, 2.0)
+            + bytes([2]) + s("vec") + bytes([11])     # vector<double>
+            + struct.pack("<Q", 2) + struct.pack("<dd", 0.5, 1.5)
+            + struct.pack("<Q", 1) + struct.pack("<d", 9.0)
+        )
+        fn = str(tmp_path / "multi.gt")
+        with open(fn, "wb") as f:
+            f.write(raw)
+        n, edges, _, props = read_gt(fn)
+        assert n == 3 and edges.shape == (2, 2)
+        assert props[(0, "title")] == ["net"]
+        assert props[(1, "label")] == ["a", "b", "c"]
+        np.testing.assert_array_equal(props[(1, "size")], [7, 8, 9])
+        np.testing.assert_array_equal(props[(2, "weight")], [1.0, 2.0])
+        assert [v.tolist() for v in props[(2, "vec")]] == [[0.5, 1.5],
+                                                           [9.0]]
+
+    def test_gt_unsupported_type_bails_keeps_parsed(self, tmp_path,
+                                                    capsys):
+        """A python::object (or long double) map cannot be sized, so the
+        reader keeps everything parsed so far, warns, and drops the
+        rest — without corrupting the structure section."""
+        import struct
+
+        from poppunk_tpu.network.gt_format import read_gt
+
+        def s(txt):
+            b = txt.encode()
+            return struct.pack("<Q", len(b)) + b
+
+        raw = (
+            b"\xe2\x9b\xbe gt" + bytes([1, 0])
+            + struct.pack("<Q", 0) + bytes([0]) + struct.pack("<Q", 2)
+            + struct.pack("<Q", 1) + bytes([1])       # v0 -> 1
+            + struct.pack("<Q", 0)
+            + struct.pack("<Q", 3)
+            + bytes([2]) + s("weight") + bytes([4]) + struct.pack("<d", 4.0)
+            + bytes([0]) + s("blob") + bytes([14])    # python::object
+            + b"\x00unsizable-pickle-bytes"
+            + bytes([2]) + s("late") + bytes([4]) + struct.pack("<d", 1.0)
+        )
+        fn = str(tmp_path / "bail.gt")
+        with open(fn, "wb") as f:
+            f.write(raw)
+        n, edges, _, props = read_gt(fn)
+        assert n == 2 and edges.tolist() == [[0, 1]]
+        np.testing.assert_array_equal(props[(2, "weight")], [4.0])
+        assert (0, "blob") not in props and (2, "late") not in props
+        err = capsys.readouterr().err
+        assert "stopped reading .gt property maps" in err
+        assert "weight" in err  # says what WAS kept
+
+    def test_gt_truncation_fuzz(self, tmp_path):
+        """Every proper prefix of a valid file either raises ValueError
+        (structure cut short) or returns with the property section
+        dropped — never crashes, never fabricates structure."""
+        import struct
+
+        from poppunk_tpu.network.gt_format import read_gt, write_gt
+
+        fn = str(tmp_path / "full.gt")
+        write_gt(fn, 5, np.array([[0, 1], [0, 4], [2, 3]]),
+                 weights=np.array([1.0, 2.0, 3.0]), comment="xyz")
+        with open(fn, "rb") as f:
+            data = f.read()
+        full = read_gt(fn)
+        tfn = str(tmp_path / "trunc.gt")
+        # the structure section ends where properties begin
+        struct_end = len(data) - (8 + 1 + 8 + 6 + 1 + 3 * 8)
+        for cut in range(len(data)):
+            with open(tfn, "wb") as f:
+                f.write(data[:cut])
+            try:
+                n, edges, directed, props = read_gt(tfn)
+            except ValueError:
+                assert cut < struct_end, cut
+                continue
+            # parsed fine: the structure must match the full file's
+            assert n == full[0] and edges.tolist() == full[1].tolist()
         import struct
 
         from poppunk_tpu.network.graph import Graph
