@@ -63,6 +63,10 @@ def _get_graph_lib():
             ctypes.POINTER(ctypes.c_int64), i32p, ctypes.c_int32, i32p,
             ctypes.c_int64, f64p,
         ]
+        lib.connected_components_native.restype = ctypes.c_int32
+        lib.connected_components_native.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+        ]
         _graph_lib = lib
     except Exception as e:  # noqa: BLE001 — fall back to Python
         sys.stderr.write(f"Native graph core unavailable ({e})\n")
@@ -90,6 +94,25 @@ def sweep_scores_native(n_vertices, i_vec, j_vec, idx_vec, n_offsets,
         ctypes.c_int32(int(betweenness_sample)), ctypes.c_uint64(int(seed)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
+
+
+def components_native(n_vertices, i_vec, j_vec):
+    """(labels int32[n], sizes) via the C++ union-find — O(n + m) host
+    memory where scipy's COO->CSR route (components_from_edges) peaks at
+    ~10x the edge bytes. Labels follow the scipy first-occurrence
+    convention (pinned equal in tests). None if the lib is unavailable."""
+    lib = _get_graph_lib()
+    if lib is None:
+        return None
+    i_vec = np.ascontiguousarray(i_vec, dtype=np.int32)
+    j_vec = np.ascontiguousarray(j_vec, dtype=np.int32)
+    labels = np.empty(int(n_vertices), dtype=np.int32)
+    n_comp = lib.connected_components_native(
+        i_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        j_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(i_vec.shape[0]), ctypes.c_int32(int(n_vertices)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return labels, np.bincount(labels, minlength=int(n_comp))
 
 
 def brandes_native(A, sources):

@@ -144,16 +144,30 @@ def _fold_block(planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
     col = col.at[jnp.arange(2 * c), row_ids].set(jnp.inf)  # mask self
     if n_real is not None and n_real < n:
         col = col.at[:, n_real:].set(jnp.inf)  # pads never neighbours
+    top_i, top_d = _seq_topk(col, knn)
+    return folded, top_i, top_d
+
+
+def _seq_topk(col, knn):
+    """k smallest entries per row of ``col`` ordered by (value, index)
+    ascending — ties resolve to the LOWEST index, matching lax.top_k.
+
+    For small k, successive min/argmin extractions instead of lax.top_k:
+    the VPU reduction passes are free next to the match kernel (measured
+    equal to a kNN-less fill at n=20480; top_k's sort network costs ~5%
+    there). Past ~16 neighbours the k sequential passes dominate and
+    top_k wins. Returns (idx i32 [rows, k], dist f32 [rows, k])."""
+    rows = col.shape[0]
     if knn > 16:
         neg_top, top_i = jax.lax.top_k(-col, knn)
-        return folded, top_i.astype(jnp.int32), -neg_top
+        return top_i.astype(jnp.int32), -neg_top
     tops_d, tops_i = [], []
     for _ in range(knn):
         a = col.argmin(axis=1).astype(jnp.int32)
         tops_d.append(jnp.take_along_axis(col, a[:, None], axis=1)[:, 0])
         tops_i.append(a)
-        col = col.at[jnp.arange(2 * c), a].set(jnp.inf)
-    return folded, jnp.stack(tops_i, axis=1), jnp.stack(tops_d, axis=1)
+        col = col.at[jnp.arange(rows), a].set(jnp.inf)
+    return jnp.stack(tops_i, axis=1), jnp.stack(tops_d, axis=1)
 
 
 @partial(jax.jit, static_argnames=("c", "klist", "sketchsize64", "bbits",
@@ -718,6 +732,399 @@ class _ShardedStream:
         return self._fetch_cache[key]
 
 
+class _ColShardedStream:
+    """Column-sharded streaming passes: device d owns genome (column)
+    block [d*n_loc, (d+1)*n_loc) of the PLANES — the one tensor whose
+    replicated residency caps the replicated mesh path (~17 GB at 128k
+    genomes / production geometry vs 16 GB of v5e HBM; see
+    streaming_hbm_accounting). Every device walks ALL folded row chunks
+    and computes its column slice of each chunk's distance tile.
+
+    SPMD structure per chunk step:
+      - the 2c chunk rows' planes are assembled from the column shards
+        (masked per-k gather + psum — O(c) ICI traffic, the only
+        collective besides the kNN merge);
+      - the local tile d[2c, n_loc, 2] is computed with the same kernel
+        + correction as _fold_block;
+      - pair-coverage reductions (counts/fetch/subsample/column maxima)
+        use the square-coordinate owned mask col > row (the folded chunk
+        covers exactly the upper-triangle entries of its 2c rows), so no
+        full-width buffer is ever materialised;
+      - the fused kNN takes each device's k best (value, index) and
+        merges them with a 2-key lax.sort — bit-identical to the
+        single-device sequential-argmin extraction, including ties.
+
+    Host-visible outputs mirror the SINGLE-device streaming layout
+    (replicated [n, k] kNN buffers, [fsteps, M, 2] subsample values), so
+    StreamingCondensed's post-processing is shared; fetch outputs come
+    back in local square coordinates and are decoded host-side by
+    sweep_first_offsets / sweep2d_fetch_streaming.
+    """
+
+    def __init__(self, mesh, n, n_loc, c, knn, klist, ss64, bbits,
+                 pad_bits, dist_col, use_pallas, n_real=None):
+        from jax.sharding import PartitionSpec as P
+
+        self.mesh = mesh
+        self.n_loc = n_loc
+        self.c = c
+        r_size = mesh.shape["r"]
+        n_lim = n if n_real is None else n_real
+
+        rep = P()
+        sh1 = P(("q", "r"))
+        sh2 = P(("q", "r"), None)
+        sh3 = P(("q", "r"), None, None)
+        shp = P(None, None, ("q", "r"), None)  # planes: genome axis
+
+        def col0_of():
+            dev = (jax.lax.axis_index("q") * r_size
+                   + jax.lax.axis_index("r"))
+            return dev * n_loc
+
+        def gather_rows(planes_loc, col0, ids):
+            """Assemble [K, P, 2c, Wp] chunk-row planes from the column
+            shards: masked per-k gather (axis-2 gathers relayout-copy
+            their operand, so one k-slice at a time bounds the
+            transient) + psum (each row lives in exactly one shard)."""
+            local = ids - col0
+            ok = (local >= 0) & (local < n_loc)
+            safe = jnp.clip(local, 0, n_loc - 1)
+
+            def per_k(k_planes):  # [P, n_loc, Wp]
+                g = k_planes[:, safe, :]
+                return jnp.where(ok[None, :, None], g, 0)
+
+            contrib = jax.lax.map(per_k, planes_loc)
+            return jax.lax.psum(contrib, ("q", "r"))
+
+        def tile(planes_loc, lengths, freqs, col0, s):
+            """Local distance tile for folded chunk s: d [2c, n_loc, 2],
+            plus the global row ids [2c] and column ids [n_loc]."""
+            row_ids = jnp.concatenate([s + jnp.arange(c),
+                                       n - s - c + jnp.arange(c)])
+            pq = gather_rows(planes_loc, col0, row_ids)
+            lq = lengths[row_ids]
+            fq = freqs[row_ids]
+            l_loc = jax.lax.dynamic_slice_in_dim(lengths, col0, n_loc)
+            f_loc = jax.lax.dynamic_slice_in_dim(freqs, col0, n_loc,
+                                                 axis=0)
+            if use_pallas:
+                from .ops.pallas_jaccard import match_counts_device
+
+                matches = match_counts_device(pq, planes_loc, pad_bits,
+                                              plane_major=True)
+            else:
+                matches = match_counts_xla_t(pq, planes_loc, pad_bits)
+            j = corrected_jaccards(matches, klist, lq, l_loc, fq, f_loc,
+                                   ss64, bbits, True, True)
+            d = core_accessory(j, klist)  # [2c, n_loc, 2]
+            col_ids = col0 + jnp.arange(n_loc)
+            return d, row_ids, col_ids
+
+        def pair_mask(row_ids, col_ids):
+            """Entries of the tile that ARE this chunk's condensed pairs
+            (owned exactly once across chunks x devices): upper triangle,
+            real genomes only."""
+            return ((col_ids[None, :] > row_ids[:, None])
+                    & (col_ids[None, :] < n_lim))
+
+        def make_stats(fsteps):
+            def stats_local(planes_loc, lengths, freqs, ki, kd, cmax,
+                            off, sub_loc):
+                col0 = col0_of()
+
+                def step(carry, xs):
+                    s_idx, loc = xs
+                    ki, kd, cm = carry
+                    s = (off + s_idx) * c
+                    d, row_ids, col_ids = tile(planes_loc, lengths,
+                                               freqs, col0, s)
+                    owned = pair_mask(row_ids, col_ids)
+                    # column maxima over owned pairs (pmax at the end)
+                    cm = jnp.maximum(
+                        cm, jnp.where(owned[..., None], d,
+                                      -jnp.inf).max(axis=(0, 1)))
+                    # subsample: decode each flat folded position to its
+                    # (square row, global col); owner contributes, the
+                    # host sums device partials
+                    r_l = loc // (n - 1)
+                    q = loc % (n - 1)
+                    in_first = q < n - 1 - (s + r_l)
+                    a_row = jnp.where(in_first, r_l, 2 * c - 1 - r_l)
+                    b_col = jnp.where(in_first, q + s + r_l + 1, q + 1)
+                    lcol = b_col - col0
+                    own = (lcol >= 0) & (lcol < n_loc)
+                    vals = d[a_row, jnp.clip(lcol, 0, n_loc - 1)]
+                    sub_vals = jnp.where(own[:, None], vals, 0.0)
+                    # fused kNN over the full rows: local k best by
+                    # (value, global index), merged across shards
+                    colv = d[..., dist_col]
+                    self_m = col_ids[None, :] == row_ids[:, None]
+                    bad = self_m | (col_ids >= n_lim)[None, :]
+                    li, ld = _seq_topk(
+                        jnp.where(bad, jnp.inf, colv), knn)
+                    gi = (col0 + li).astype(jnp.int32)
+                    cand_d = jax.lax.all_gather(
+                        ld, ("q", "r"), axis=1, tiled=True)  # [2c, D*k]
+                    cand_i = jax.lax.all_gather(
+                        gi, ("q", "r"), axis=1, tiled=True)
+                    sd, si = jax.lax.sort((cand_d, cand_i), num_keys=2,
+                                          dimension=1)
+                    top_i, top_d = si[:, :knn], sd[:, :knn]
+                    ki = jax.lax.dynamic_update_slice(ki, top_i[:c],
+                                                      (s, 0))
+                    ki = jax.lax.dynamic_update_slice(ki, top_i[c:],
+                                                      (n - s - c, 0))
+                    kd = jax.lax.dynamic_update_slice(kd, top_d[:c],
+                                                      (s, 0))
+                    kd = jax.lax.dynamic_update_slice(kd, top_d[c:],
+                                                      (n - s - c, 0))
+                    return (ki, kd, cm), sub_vals
+
+                xs = (jnp.arange(fsteps, dtype=jnp.int32), sub_loc)
+                (ki, kd, cmax), sub_vals = jax.lax.scan(
+                    step, (ki, kd, cmax), xs)
+                cmax = jax.lax.pmax(cmax, ("q", "r"))
+                return ki, kd, cmax, sub_vals[None]
+
+            return jax.jit(jax.shard_map(
+                stats_local, mesh=mesh,
+                in_specs=(shp, rep, rep, rep, rep, rep, rep, rep),
+                out_specs=(rep, rep, rep, sh3),
+                check_vma=False), donate_argnums=(3, 4, 5))
+
+        def make_counts(key):
+            slope, fsteps = key
+
+            def counts_local(planes_loc, lengths, freqs, off, scale, t,
+                             xm0, ym0):
+                col0 = col0_of()
+
+                def body(cum, s_idx):
+                    s = (off + s_idx) * c
+                    d, row_ids, col_ids = tile(planes_loc, lengths,
+                                               freqs, col0, s)
+                    owned = pair_mask(row_ids, col_ids).reshape(-1)
+                    d0 = _d0_chunk(d.reshape(-1, 2), scale, xm0, ym0,
+                                   slope)
+                    return cum + jax.vmap(
+                        lambda tv: ((d0 <= tv) & owned).sum(
+                            dtype=jnp.int32))(t), None
+
+                init = jax.lax.pcast(jnp.zeros(t.shape[0], jnp.int32),
+                                     ("q", "r"), to="varying")
+                cum, _ = jax.lax.scan(
+                    body, init, jnp.arange(fsteps, dtype=jnp.int32))
+                return cum[None]
+
+            return jax.jit(jax.shard_map(
+                counts_local, mesh=mesh,
+                in_specs=(shp,) + (rep,) * 7, out_specs=sh2))
+
+        def make_fetch(key):
+            slope, fsteps = key
+
+            def fetch_local(planes_loc, lengths, freqs, off, n_act,
+                            scale, t, xm0, ym0):
+                col0 = col0_of()
+
+                def body(_, s_idx):
+                    s = (off + s_idx) * c
+                    d, row_ids, col_ids = tile(planes_loc, lengths,
+                                               freqs, col0, s)
+                    owned = pair_mask(row_ids, col_ids).reshape(-1)
+                    d0 = _d0_chunk(d.reshape(-1, 2), scale, xm0, ym0,
+                                   slope)
+                    return None, (d0, owned)
+
+                _, (d0, owned) = jax.lax.scan(
+                    body, None, jnp.arange(fsteps, dtype=jnp.int32))
+                d0 = d0.reshape(-1)
+                owned = owned.reshape(-1)
+                idx = jnp.searchsorted(t, d0,
+                                       side="left").astype(jnp.int32)
+                active = owned & (idx < n_act)
+                m = d0.shape[0]
+                pos = jnp.sort(jnp.where(
+                    active, jnp.arange(m, dtype=jnp.int32), m))
+                safe = jnp.clip(pos, 0, m - 1)
+                return (pos[None], jnp.take(idx, safe)[None],
+                        jnp.take(d0, safe)[None], active.sum()[None])
+
+            return jax.jit(jax.shard_map(
+                fetch_local, mesh=mesh,
+                in_specs=(shp,) + (rep,) * 8,
+                out_specs=(sh2, sh2, sh2, sh1)))
+
+        def make_counts2d(fsteps):
+            def counts2d_local(planes_loc, lengths, freqs, off, scale,
+                               xg, yg):
+                col0 = col0_of()
+
+                def body(cum, s_idx):
+                    s = (off + s_idx) * c
+                    d, row_ids, col_ids = tile(planes_loc, lengths,
+                                               freqs, col0, s)
+                    owned = pair_mask(row_ids, col_ids).reshape(-1)
+                    Xs = d.reshape(-1, 2) / scale
+                    x, y = Xs[:, 0], Xs[:, 1]
+
+                    def cell(xm, ym):
+                        return (_inside_2d(x, y, xm, ym) & owned).sum(
+                            dtype=jnp.int32)
+
+                    counts = jax.vmap(lambda ym: jax.vmap(
+                        lambda xm: cell(xm, ym))(xg))(yg)
+                    return cum + counts, None
+
+                init = jax.lax.pcast(
+                    jnp.zeros((yg.shape[0], xg.shape[0]), jnp.int32),
+                    ("q", "r"), to="varying")
+                cum, _ = jax.lax.scan(
+                    body, init, jnp.arange(fsteps, dtype=jnp.int32))
+                return cum[None]
+
+            return jax.jit(jax.shard_map(
+                counts2d_local, mesh=mesh,
+                in_specs=(shp,) + (rep,) * 6, out_specs=sh3))
+
+        def make_fetch2d(fsteps):
+            def fetch2d_local(planes_loc, lengths, freqs, off, scale,
+                              x_caps, yg):
+                col0 = col0_of()
+
+                def body(_, s_idx):
+                    s = (off + s_idx) * c
+                    d, row_ids, col_ids = tile(planes_loc, lengths,
+                                               freqs, col0, s)
+                    owned = pair_mask(row_ids, col_ids).reshape(-1)
+                    Xs = d.reshape(-1, 2) / scale
+                    x, y = Xs[:, 0], Xs[:, 1]
+
+                    def in_row(xm, ym):
+                        return _inside_2d(x, y, xm, ym) & (xm > 0)
+
+                    inside = (jax.vmap(in_row)(x_caps, yg).any(axis=0)
+                              & owned)
+                    return None, (inside, x, y)
+
+                _, (inside, x, y) = jax.lax.scan(
+                    body, None, jnp.arange(fsteps, dtype=jnp.int32))
+                inside = inside.reshape(-1)
+                x = x.reshape(-1)
+                y = y.reshape(-1)
+                m = inside.shape[0]
+                pos = jnp.sort(jnp.where(
+                    inside, jnp.arange(m, dtype=jnp.int32), m))
+                safe = jnp.clip(pos, 0, m - 1)
+                return (pos[None], jnp.take(x, safe)[None],
+                        jnp.take(y, safe)[None], inside.sum()[None])
+
+            return jax.jit(jax.shard_map(
+                fetch2d_local, mesh=mesh,
+                in_specs=(shp,) + (rep,) * 6,
+                out_specs=(sh2, sh2, sh2, sh1)))
+
+        def make_pair_dists(m):
+            def pairs_local(planes_loc, lengths, freqs, ii, jj):
+                col0 = col0_of()
+                pi = gather_rows(planes_loc, col0, ii)
+                pj = gather_rows(planes_loc, col0, jj)
+
+                def per_k(ops):
+                    a, b = ops
+                    agree = ~(a.astype(jnp.uint32) ^ b.astype(jnp.uint32))
+                    allp = jax.lax.reduce(
+                        agree, jnp.uint32(0xFFFFFFFF),
+                        jax.lax.bitwise_and, dimensions=(0,))
+                    return jax.lax.population_count(allp).astype(
+                        jnp.int32).sum(axis=-1) - pad_bits
+
+                matches = jax.lax.map(per_k, (pi, pj)).T  # [m, K]
+
+                # per-pair correction: _random_jaccard_jnp broadcasts its
+                # length/freq args into a QxR cross matrix, so each pair
+                # must be corrected as its own 1x1 block (same shape
+                # discipline as _pair_block_dists)
+                def one(m_k, li, lj, fi, fj):
+                    jac = corrected_jaccards(
+                        m_k[None, None], klist, li[None], lj[None],
+                        fi[None], fj[None], ss64, bbits, True, True)
+                    return jac[0, 0]
+
+                jac = jax.vmap(one)(matches, lengths[ii], lengths[jj],
+                                    freqs[ii], freqs[jj])
+                return core_accessory(jac, klist)  # [m, 2]
+
+            return jax.jit(jax.shard_map(
+                pairs_local, mesh=mesh,
+                in_specs=(shp,) + (rep,) * 4, out_specs=P(),
+                check_vma=False))
+
+        self._caches = {}
+        self._makers = {"stats": make_stats, "counts": make_counts,
+                        "fetch": make_fetch, "counts2d": make_counts2d,
+                        "fetch2d": make_fetch2d,
+                        "pairs": make_pair_dists}
+
+    def _get(self, kind, key):
+        if (kind, key) not in self._caches:
+            self._caches[(kind, key)] = self._makers[kind](key)
+        return self._caches[(kind, key)]
+
+    def stats(self, fsteps):
+        return self._get("stats", int(fsteps))
+
+    def counts(self, slope, fsteps):
+        return self._get("counts", (int(slope), int(fsteps)))
+
+    def fetch(self, slope, fsteps):
+        return self._get("fetch", (int(slope), int(fsteps)))
+
+    def counts2d(self, fsteps):
+        return self._get("counts2d", ("2d", int(fsteps)))
+
+    def fetch2d(self, fsteps):
+        return self._get("fetch2d", ("2d", int(fsteps)))
+
+    def pair_dists(self, m):
+        return self._get("pairs", int(m))
+
+
+def streaming_hbm_accounting(n, klist, sketchsize64, bbits, chunk, knn,
+                             n_dev, shard_planes=False):
+    """Per-DEVICE resident + transient bytes for a streaming pass
+    (StreamingCondensed) at the given geometry — the planning arithmetic
+    behind the shard_planes auto-switch and the scale tests' asserted
+    memory bounds.
+
+    Returns a dict: planes (resident; replicated unless shard_planes),
+    row_state (kNN buffers + maxima), transient (one chunk's tile +
+    match counts), total."""
+    from .ops.distances import plane_geometry
+
+    _, wp, _ = plane_geometry(sketchsize64, bbits)
+    K = len(klist)
+    planes = K * bbits * n * wp * 4
+    if shard_planes:
+        planes = planes // n_dev
+        width = -(-n // n_dev)  # local columns per tile
+        knn_state = 2 * n * knn * 4  # replicated [n, k] idx + dist
+    else:
+        width = n
+        knn_state = 2 * n * knn * 4 // n_dev  # row-sharded
+    tile = 2 * chunk * width * 2 * 4  # d [2c, width, 2] f32
+    matches = 2 * chunk * width * K * 4  # i32 counts
+    rows = K * bbits * 2 * chunk * wp * 4 if shard_planes else 0
+    return {
+        "planes": planes,
+        "row_state": knn_state + 2 * 4,
+        "transient": tile + matches + rows,
+        "total": planes + knn_state + tile + matches + rows,
+    }
+
+
 class StreamingCondensed:
     """CondensedDevice twin that never stores the condensed matrix.
 
@@ -733,7 +1140,8 @@ class StreamingCondensed:
 
     def __init__(self, planes, lengths, freqs, klist, sketchsize64, bbits,
                  chunk=256, knn=5, dist_col=0, use_pallas=None,
-                 subsample=None, mesh=None, n_real=None):
+                 subsample=None, mesh=None, n_real=None,
+                 shard_planes=False):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         n = planes.shape[2]  # PADDED count (even); see n_real
@@ -743,7 +1151,19 @@ class StreamingCondensed:
             raise ValueError(f"n_real ({n_real}) must be <= n ({n})")
         half = fold_rows(n)
         self._mesh = mesh
-        if mesh is not None:
+        self._col = bool(shard_planes) and mesh is not None
+        if self._col:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            if n % n_dev:
+                raise ValueError(f"n ({n}) must be a multiple of the "
+                                 f"device count ({n_dev})")
+            self._n_loc = n // n_dev
+            self._n_dev = n_dev
+            chunk = min(chunk, half)
+            if half % chunk:
+                raise ValueError(
+                    f"n//2 ({half}) must be a multiple of chunk ({chunk})")
+        elif mesh is not None:
             n_dev = int(np.prod(list(mesh.shape.values())))
             if half % n_dev:
                 raise ValueError(f"n//2 ({half}) must be a multiple of "
@@ -1503,7 +1923,7 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
                         + off * cd.chunk) * (n_pad - 1)
                 parts[(d, gi)] = (
                     np.asarray(pos[d, :b][:k], np.int64) + base,
-                    np.asarray(idxs[d, :b][:k], np.int64),
+                    np.asarray(idxs[d, :b][:k], np.int32),
                     np.asarray(d0s[d, :b][:k], np.float32))
         for d in range(cd._n_dev):
             for gi in range(len(plan)):
@@ -1544,7 +1964,7 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
         b = min(_bucket_pow2(k), m)
         base = s * (n_pad - 1)
         pos_out.append(np.asarray(pos[:b][:k], np.int64) + base)
-        idx_out.append(np.asarray(idx[:b][:k], np.int64))
+        idx_out.append(np.asarray(idx[:b][:k], np.int32))
         d0_out.append(np.asarray(d0[:b][:k], np.float32))
     return _finalise_sweep(pos_out, idx_out, d0_out, n_pad)
 
@@ -1553,13 +1973,20 @@ def _finalise_sweep(pos_out, idx_out, d0_out, n):
     """Folded flat positions -> (i, j, first_offset, d0) host arrays.
 
     int32 outputs: n < 2^31 always, the native scorer consumes int32,
-    and at E ~ 1e7+ the fetch/RSS halves."""
+    and at E ~ 1e7+ the fetch/RSS halves. Decode PER PART, consuming
+    each int64 position buffer as it goes: a whole-fetch decode holds
+    pos + i + j in int64 at once — ~2 GB of transient peak-RSS at the
+    40M-pair fetch cap, vs one dispatch's worth here."""
     if not pos_out:
         z = np.zeros(0, np.int32)
         return z, z, z, np.zeros(0, np.float32)
-    pos = np.concatenate(pos_out)
-    i, j = fold_inverse(pos, n)
-    return (i.astype(np.int32), j.astype(np.int32),
+    i_parts, j_parts = [], []
+    while pos_out:
+        pos = pos_out.pop(0)
+        i, j = fold_inverse(pos, n)
+        i_parts.append(i.astype(np.int32))
+        j_parts.append(j.astype(np.int32))
+    return (np.concatenate(i_parts), np.concatenate(j_parts),
             np.concatenate(idx_out).astype(np.int32),
             np.concatenate(d0_out))
 
@@ -2253,6 +2680,7 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     from .models.bgmm import BGMMFit
     from .network.graph import Graph
     from .network.components import connected_components
+    from .network.incremental import components_native
     from .synth import synthetic_population_device
 
     timings = {}
@@ -2384,10 +2812,19 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         _, i, j, idx, d0, s_range, line = sweep
         t_final = offset_threshold(s_opt, s_range, 2, *line)
         mask = d0 <= t_final
-        edges = np.stack([i[mask], j[mask]], axis=1)
-        G = Graph(n, edges)
-        labels = connected_components(G)[0]
-        out["n_edges"] = int(edges.shape[0])
+        ei, ej = i[mask], j[mask]
+        del sweep, i, j, idx, d0, mask  # O(E) sweep buffers
+        # native union-find: scipy's COO->CSR components route peaks at
+        # ~10x the edge bytes (measured 5.2 GB host RSS at 65k genomes /
+        # 36M edges, tripping bench_scale's O(n^2) guard)
+        nat = components_native(n, ei, ej)
+        if nat is not None:
+            labels = nat[0]
+        else:
+            labels = connected_components(
+                Graph(n, np.stack([ei, ej], axis=1)))[0]
+        out["n_edges"] = int(ei.shape[0])
+        del ei, ej
     timings["network"] = time.perf_counter() - t0
     out["n_clusters"] = int(labels.max()) + 1
     log(f"network: {out['n_edges']} edges, {out['n_clusters']} clusters "
@@ -2398,8 +2835,12 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     # work, the kNN was accumulated inside the fill/stream pass
     t0 = time.perf_counter()
     rows, cols, _ = cd.knn_sparse()
-    lin_edges = np.stack([rows, cols], axis=1)
-    lin_labels = connected_components(Graph(n, lin_edges))[0]
+    nat = components_native(n, rows, cols)
+    if nat is not None:
+        lin_labels = nat[0]
+    else:
+        lin_labels = connected_components(
+            Graph(n, np.stack([rows, cols], axis=1)))[0]
     timings["lineage"] = time.perf_counter() - t0
     out["n_lineages"] = int(lin_labels.max()) + 1
     log(f"lineage: rank-{cd.knn_col.shape[1]} graph -> "
