@@ -1083,10 +1083,10 @@ class _ColShardedStream:
         return self._get("fetch", (int(slope), int(fsteps)))
 
     def counts2d(self, fsteps):
-        return self._get("counts2d", ("2d", int(fsteps)))
+        return self._get("counts2d", int(fsteps))
 
     def fetch2d(self, fsteps):
-        return self._get("fetch2d", ("2d", int(fsteps)))
+        return self._get("fetch2d", int(fsteps))
 
     def pair_dists(self, m):
         return self._get("pairs", int(m))
@@ -1232,10 +1232,54 @@ class StreamingCondensed:
             loc = np.zeros((n_steps, M), np.int32)
         loc_dev = jnp.asarray(loc)
 
+        if self._col:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # column-sharded: the PLANES (the tensor whose replicated
+            # residency caps the replicated mesh path past ~100k genomes)
+            # split over the genome axis; every device walks ALL folded
+            # chunks and owns its column slice of each tile
+            self._plan_rows = half
+            self._sh = _ColShardedStream(
+                mesh, n, self._n_loc, self.chunk, knn, self._klist,
+                self._ss64, self._bbits, self._pad_bits, int(dist_col),
+                self._use_pallas,
+                int(n_real) if n_real < n else None)
+            rep = NamedSharding(mesh, P())
+            shp = NamedSharding(mesh, P(None, None, ("q", "r"), None))
+            with mesh:
+                self.planes = jax.device_put(self.planes, shp)
+                self.lengths = jax.device_put(self.lengths, rep)
+                self.freqs = jax.device_put(self.freqs, rep)
+                ki = jax.device_put(jnp.zeros((n, knn), jnp.int32), rep)
+                kd = jax.device_put(jnp.zeros((n, knn), jnp.float32),
+                                    rep)
+                cmax = jax.device_put(
+                    jnp.full((2,), -jnp.inf, jnp.float32), rep)
+                sub_parts = []
+                for off, fsteps in _dispatch_plan(half, self.chunk, n):
+                    sub_slice = jax.device_put(
+                        jnp.asarray(loc[off:off + fsteps]), rep)
+                    ki, kd, cmax, sv = self._sh.stats(int(fsteps))(
+                        self.planes, self.lengths, self.freqs, ki, kd,
+                        cmax, jnp.int32(off), sub_slice)
+                    # each sampled pair is owned by exactly ONE device's
+                    # column shard; the rest contributed zeros
+                    sub_parts.append(np.asarray(sv).sum(axis=0))
+            if self._sub_spec is not None:
+                size, sseed, g_of, rank = self._sub_spec
+                sub_vals = np.concatenate(sub_parts)  # [n_steps, M, 2]
+                self._sub_vals = sub_vals[g_of, rank]
+            self.knn_row = np.arange(n_real, dtype=np.int64)
+            self.knn_col = np.asarray(ki).astype(np.int64)[:n_real]
+            self.knn_dist = np.asarray(kd)[:n_real]
+            self._cmax = np.asarray(cmax)
+            return
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_dev = self._n_dev
+            self._plan_rows = self._half_loc
             spc = self._half_loc // self.chunk
             plan = _dispatch_plan(self._half_loc, self.chunk, n)
             self._sh = _ShardedStream(
@@ -1352,6 +1396,16 @@ class StreamingCondensed:
         if pad:  # fixed block shape: one compiled program
             i = np.concatenate([i, np.zeros(pad, np.int64)])
             j = np.concatenate([j, np.ones(pad, np.int64)])
+        if self._col:
+            # planes are genome-sharded: gather each pair's rows from
+            # the column shards instead of a replicated-plane gather
+            fn = self._sh.pair_dists(block)
+            out = [np.asarray(fn(
+                self.planes, self.lengths, self.freqs,
+                jnp.asarray(i[s:s + block], jnp.int32),
+                jnp.asarray(j[s:s + block], jnp.int32)))
+                for s in range(0, m + pad, block)]
+            return np.concatenate(out)[:m]
         out = [np.asarray(_pair_block_dists(
             self.planes, self.lengths, self.freqs,
             jnp.asarray(i[s:s + block], jnp.int32),
@@ -1511,7 +1565,7 @@ def sweep2d_counts_streaming(cd, scale, x_grid, y_grid):
     n_pad = cd._n_pad
     cum = np.zeros((len(y_grid), len(x_grid)), np.int64)
     if cd._mesh is not None:
-        for off, fsteps in _dispatch_plan(cd._half_loc, cd.chunk, n_pad):
+        for off, fsteps in _dispatch_plan(cd._plan_rows, cd.chunk, n_pad):
             fn = cd._sh.counts2d(int(fsteps))
             cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
                       scale_dev, xg, yg)
@@ -1535,6 +1589,32 @@ def sweep2d_fetch_streaming(cd, scale, x_caps, y_grid):
     yg = jnp.asarray(y_grid, jnp.float32)
     scale_dev = jnp.asarray(scale, jnp.float32)
     n_pad = cd._n_pad
+    if getattr(cd, "_col", False):
+        plan = _dispatch_plan(fold_rows(n_pad), cd.chunk, n_pad,
+                              cap_rows=int(1.5e9 / (26 * cd._n_loc)))
+        i_out, j_out, x_out, y_out = [], [], [], []
+        for off, fsteps in plan:
+            fn = cd._sh.fetch2d(int(fsteps))
+            m_loc = fsteps * 2 * cd.chunk * cd._n_loc
+            pos, xs, ys, counts = fn(cd.planes, cd.lengths, cd.freqs,
+                                     jnp.int32(off), scale_dev, xc, yg)
+            counts_h = np.asarray(counts)
+            for d in range(cd._n_dev):
+                k = int(counts_h[d])
+                if k == 0:
+                    continue
+                b = min(_bucket_pow2(k), m_loc)
+                i, j = _col_decode(np.asarray(pos[d, :b][:k], np.int64),
+                                   off, cd.chunk, cd._n_loc, n_pad, d)
+                i_out.append(i)
+                j_out.append(j)
+                x_out.append(np.asarray(xs[d, :b][:k], np.float32))
+                y_out.append(np.asarray(ys[d, :b][:k], np.float32))
+        if not i_out:
+            z = np.zeros(0, np.int32)
+            return z, z, np.zeros(0, np.float32), np.zeros(0, np.float32)
+        return (np.concatenate(i_out), np.concatenate(j_out),
+                np.concatenate(x_out), np.concatenate(y_out))
     if cd._mesh is not None:
         # sharded fetch: reassembled in (device, group) order =
         # ascending global rows, matching the single-device path
@@ -1857,7 +1937,10 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
     scale_dev = jnp.asarray(scale, jnp.float32)
     cum = np.zeros(len(t), np.int64)
     if cd._mesh is not None:
-        for off, fsteps in _dispatch_plan(cd._half_loc, cd.chunk,
+        # row- and column-sharded counts share shape: [stacked devices,
+        # n_offsets] per dispatch, host-summed; only the plan differs
+        # (per-device rows vs all folded rows)
+        for off, fsteps in _dispatch_plan(cd._plan_rows, cd.chunk,
                                           cd._n_pad):
             fn = cd._sh.counts(int(slope), int(fsteps))
             cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
@@ -1877,6 +1960,19 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
             cd._use_pallas, nr)
         cum += np.asarray(cums, np.int64).sum(axis=0)
     return cum
+
+
+def _col_decode(pos, off, c, n_loc, n_pad, dev):
+    """Decode a column-sharded fetch's flat tile positions to global
+    (i, j) pairs, i < j. The tile layout is [fsteps, 2c, n_loc] row-major
+    with rows = folded chunk rows (first c: s..s+c-1; second c:
+    n-s-c..n-s-1) and columns = device dev's genome block."""
+    s_idx, rem = np.divmod(pos, 2 * c * n_loc)
+    a_row, lcol = np.divmod(rem, n_loc)
+    s = (off + s_idx) * c
+    i = np.where(a_row < c, s + a_row, n_pad - s - c + (a_row - c))
+    j = dev * n_loc + lcol
+    return i.astype(np.int32), j.astype(np.int32)
 
 
 def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
@@ -1899,6 +1995,41 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
     n_pad = getattr(cd, "_n_pad", cd.n)  # padded layout width
     half = fold_rows(n_pad)
     pos_out, idx_out, d0_out = [], [], []
+    if streaming and getattr(cd, "_col", False):
+        # column-sharded fetch: each device compacts its column slice of
+        # every chunk tile; positions come back in local tile coordinates
+        # and decode directly to (i, j) — no fold_inverse. Pair order is
+        # (device, dispatch, tile) — a different (but valid) permutation
+        # from the single-device folded order; all consumers are
+        # order-independent (sparse scorer, re-thresholding, network).
+        plan = _dispatch_plan(half, cd.chunk, n_pad,
+                              cap_rows=int(1.5e9 / (18 * cd._n_loc)))
+        n_act = len(t) if _n_act is None else _n_act
+        i_out, j_out = [], []
+        for off, fsteps in plan:
+            fn = cd._sh.fetch(int(slope), int(fsteps))
+            m_loc = fsteps * 2 * cd.chunk * cd._n_loc
+            pos, idxs, d0s, counts = fn(
+                cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
+                jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev)
+            counts_h = np.asarray(counts)
+            for d in range(cd._n_dev):
+                k = int(counts_h[d])
+                if k == 0:
+                    continue
+                b = min(_bucket_pow2(k), m_loc)
+                i, j = _col_decode(np.asarray(pos[d, :b][:k], np.int64),
+                                   off, cd.chunk, cd._n_loc, n_pad, d)
+                i_out.append(i)
+                j_out.append(j)
+                idx_out.append(np.asarray(idxs[d, :b][:k], np.int32))
+                d0_out.append(np.asarray(d0s[d, :b][:k], np.float32))
+        if not i_out:
+            z = np.zeros(0, np.int32)
+            return z, z, z, np.zeros(0, np.float32)
+        return (np.concatenate(i_out), np.concatenate(j_out),
+                np.concatenate(idx_out),
+                np.concatenate(d0_out))
     if streaming and cd._mesh is not None:
         # sharded fetch: every device compacts its own row range; host
         # buckets are reassembled in (device, group) order = ascending
@@ -2743,11 +2874,21 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         c_stream = divide_down(min(chunk, c_stream), rows_loc)
         if mesh is not None:
             log(f"dists: streaming sharded over {n_dev} devices\n")
+        shard_planes = False
+        if mesh is not None:
+            acct = streaming_hbm_accounting(
+                n, klist, sketchsize64, bbits, c_stream, knn, n_dev,
+                shard_planes=False)
+            shard_planes = acct["planes"] > 8e9 and n % n_dev == 0
+            if shard_planes:
+                log("dists: column-sharding the planes "
+                    f"({acct['planes'] / 2**30:.1f} GiB replicated)\n")
         cd = StreamingCondensed(pop.planes, pop.lengths, pop.freqs, klist,
                                 sketchsize64, bbits,
                                 chunk=c_stream, knn=knn,
                                 use_pallas=use_pallas,
-                                subsample=(subsample, seed), mesh=mesh)
+                                subsample=(subsample, seed), mesh=mesh,
+                                shard_planes=shard_planes)
         log("dists: streaming (no O(n^2) tensor; buffer would be "
             f"{4.0 * n * n / 2**30:.1f} GiB)\n")
         np.asarray(cd.knn_dist[-1, -1])

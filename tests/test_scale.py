@@ -760,6 +760,114 @@ class TestShardedStreaming:
         np.testing.assert_allclose(md0, sd0, rtol=1e-6, atol=1e-7)
 
 
+class TestColShardedStreaming:
+    """shard_planes=True StreamingCondensed == single-device streaming.
+
+    Column-sharded: the planes split over the genome axis (the 128k+
+    tier, where a REPLICATED plane tensor overflows per-device HBM);
+    every device walks all folded chunks and owns its column slice.
+    Fetch order differs from the folded single-device order (pairs come
+    back grouped by owning device), so fetches compare as sorted sets.
+    """
+
+    @pytest.fixture(scope="class")
+    def sc1(self, pop):
+        from poppunk_tpu.scale import StreamingCondensed
+
+        return StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=4, knn=5,
+                                  subsample=(200, 3))
+
+    @pytest.fixture(scope="class")
+    def csc(self, pop):
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import StreamingCondensed
+
+        mesh = get_mesh(len(jax.devices()))
+        return StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=4, knn=5,
+                                  subsample=(200, 3), mesh=mesh,
+                                  shard_planes=True)
+
+    def test_knn_and_scale_match(self, csc, sc1):
+        # distances are allclose, not bit-equal: the col-sharded program
+        # compiles with n_loc-wide tiles, so XLA may reassociate the
+        # correction epilogue's small reductions differently than the
+        # full-width program (measured 2e-7 relative on CPU)
+        assert np.array_equal(csc.knn_col, sc1.knn_col)
+        np.testing.assert_allclose(csc.knn_dist, sc1.knn_dist,
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(csc.max_scale(), sc1.max_scale(),
+                                   rtol=1e-6)
+
+    def test_predeclared_subsample_matches(self, csc, sc1):
+        np.testing.assert_allclose(csc.subsample_pairs(200, seed=3),
+                                   sc1.subsample_pairs(200, seed=3),
+                                   rtol=1e-4, atol=5e-6)
+
+    def test_recomputed_subsample_matches(self, csc, sc1):
+        # a (size, seed) NOT predeclared exercises the pair_dists
+        # cross-shard gather path
+        np.testing.assert_allclose(
+            csc.subsample_pairs(64, seed=11, block=32),
+            sc1.subsample_pairs(64, seed=11, block=32),
+            rtol=1e-4, atol=5e-6)
+
+    def test_sweep_matches_single_device(self, csc, sc1, cd):
+        from poppunk_tpu.scale import sweep_counts_streaming
+
+        scale = cd.max_scale()
+        offsets = np.linspace(0.0, 0.5, 20)
+        args = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
+        assert np.array_equal(sweep_counts_streaming(csc, *args),
+                              sweep_counts_streaming(sc1, *args))
+        si, sj, sidx, sd0 = sweep_first_offsets(sc1, *args)
+        mi, mj, midx, md0 = sweep_first_offsets(csc, *args)
+        o_s = np.lexsort((sj, si))
+        o_m = np.lexsort((mj, mi))
+        assert np.array_equal(mi[o_m], si[o_s])
+        assert np.array_equal(mj[o_m], sj[o_s])
+        assert np.array_equal(midx[o_m], sidx[o_s])
+        np.testing.assert_allclose(md0[o_m], sd0[o_s], rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_sweep2d_matches_single_device(self, csc, sc1, cd):
+        from poppunk_tpu.scale import (sweep2d_counts_streaming,
+                                       sweep2d_fetch_streaming)
+
+        scale = cd.max_scale()
+        xg = np.linspace(0.05, 0.9, 6)
+        yg = np.linspace(0.05, 0.9, 6)
+        assert np.array_equal(sweep2d_counts_streaming(csc, scale, xg, yg),
+                              sweep2d_counts_streaming(sc1, scale, xg, yg))
+        caps = np.where(np.arange(6) % 2 == 0, xg, 0.0)
+        si, sj, sx, sy = sweep2d_fetch_streaming(sc1, scale, caps, yg)
+        mi, mj, mx, my = sweep2d_fetch_streaming(csc, scale, caps, yg)
+        o_s = np.lexsort((sj, si))
+        o_m = np.lexsort((mj, mi))
+        assert np.array_equal(mi[o_m], si[o_s])
+        assert np.array_equal(mj[o_m], sj[o_s])
+        np.testing.assert_allclose(mx[o_m], sx[o_s], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(my[o_m], sy[o_s], rtol=1e-4, atol=1e-5)
+
+    def test_hbm_accounting(self):
+        # the shard_planes auto-switch arithmetic: at 131072 genomes /
+        # production geometry, replicated planes overflow a 16 GB v5e;
+        # column-sharded over 8 devices they fit with room for the tile
+        from poppunk_tpu.scale import streaming_hbm_accounting
+
+        prod = dict(klist=(13, 16, 19, 22, 25, 28), sketchsize64=156,
+                    bbits=14, chunk=256, knn=5, n_dev=8)
+        rep = streaming_hbm_accounting(131072, shard_planes=False, **prod)
+        col = streaming_hbm_accounting(131072, shard_planes=True, **prod)
+        assert rep["planes"] > 15e9  # replicated: does NOT fit
+        assert col["total"] < 8e9    # sharded: fits with headroom
+        # sharding splits exactly
+        assert col["planes"] * prod["n_dev"] == rep["planes"]
+
+
 class TestShardedFill:
     """fill_condensed_sharded over the 8-device mesh == single-device fill."""
 
