@@ -49,13 +49,52 @@ inline uint64_t mix64(uint64_t z) {
   return z;
 }
 
+// h % (2^61 - 1) without the divider: fold the top 3 bits down (exact —
+// h = a*2^61 + b with a <= 7, so a + b < 2*(2^61-1): one subtract).
+inline uint64_t mod_mersenne61(uint64_t h) {
+  uint64_t s = (h & SIGN_MOD) + (h >> 61);
+  return s >= SIGN_MOD ? s - SIGN_MOD : s;
+}
+
+// Exact unsigned division by a runtime constant via multiply-high + <= 2
+// fixup steps (m = floor((2^64-1)/d) underestimates 2^64/d by < 1, plus
+// < 1 from the floor: quotient error <= 2). The hardware 64-bit divide
+// this replaces is ~25-40 cycles PER K-MER in the binning hot loop.
+struct FastDiv {
+  uint64_t d, m;
+  explicit FastDiv(uint64_t d_) : d(d_), m(~0ULL / d_) {}
+  // branchless fixups (cmov): the first fires on ~half the inputs, a
+  // mispredicting branch there costs more than the divide it replaced
+  inline uint64_t div(uint64_t x) const {
+    const uint64_t dd = d;
+    uint64_t q = (uint64_t)(((__uint128_t)x * m) >> 64);
+    uint64_t r = x - q * dd;
+    uint64_t f = r >= dd;
+    q += f;
+    r -= f ? dd : 0;
+    q += r >= dd;
+    return q;
+  }
+};
+
 // Canonical (or forward-only) ntHash over all valid windows; min sign per
 // bin (one-permutation MinHash binning fused into the scan). Does NOT
 // reset signs — callers may accumulate several scans (codon phases) into
 // one bin array.
 void scan_and_bin(const uint8_t *codes, int64_t n, int k, bool use_rc,
-                  uint64_t binsize, uint64_t *signs) {
+                  const FastDiv &bindiv, uint64_t *signs) {
   if (n < k) return;
+  // per-scan rolled seed tables: the rolling update needs
+  // rol64(SEED[out], k) and rol64(SEED[COMP[in]], k - 1) — k is fixed
+  // here, so both are 5-entry lookups instead of per-step rotates
+  uint64_t seed_k[5], seed_rc[5];
+  for (int b = 0; b < 5; ++b) {
+    seed_k[b] = rol64(SEED[b], k);
+    seed_rc[b] = rol64(SEED[COMP[b]], k - 1);
+  }
+  // local copy: bindiv is reached through a reference that may alias the
+  // signs[] stores, forcing per-iteration reloads otherwise
+  const FastDiv bd = bindiv;
   int64_t j = 0;
   while (j + k <= n) {
     // ensure window [j, j+k) is fully valid; jump past invalid bases
@@ -78,17 +117,17 @@ void scan_and_bin(const uint8_t *codes, int64_t n, int k, bool use_rc,
 
     while (true) {
       uint64_t h = (use_rc && rh < fh) ? rh : fh;
-      uint64_t sign = h % SIGN_MOD;
-      uint64_t bin = sign / binsize;
+      uint64_t sign = mod_mersenne61(h);
+      uint64_t bin = bd.div(sign);
       if (sign < signs[bin]) signs[bin] = sign;
 
       if (j + k >= n) { j = n; break; }
       uint8_t in = codes[j + k];
       if (in == INVALID_BASE) { j = j + k + 1; break; }
       uint8_t out = codes[j];
-      fh = rol64(fh, 1) ^ rol64(SEED[out], k) ^ SEED[in];
+      fh = rol64(fh, 1) ^ seed_k[out] ^ SEED[in];
       if (use_rc)
-        rh = ror64(rh ^ SEED[COMP[out]], 1) ^ rol64(SEED[COMP[in]], k - 1);
+        rh = ror64(rh ^ SEED[COMP[out]], 1) ^ seed_rc[in];
       ++j;
     }
   }
@@ -134,9 +173,9 @@ void collect_hashes_for_k(const uint8_t *codes, int64_t n, int k, bool use_rc,
   }
 }
 
-inline void bin_one(uint64_t h, uint64_t binsize, uint64_t *signs) {
-  uint64_t sign = h % SIGN_MOD;
-  uint64_t bin = sign / binsize;
+inline void bin_one(uint64_t h, const FastDiv &bindiv, uint64_t *signs) {
+  uint64_t sign = mod_mersenne61(h);
+  uint64_t bin = bindiv.div(sign);
   if (sign < signs[bin]) signs[bin] = sign;
 }
 
@@ -152,7 +191,8 @@ constexpr uint64_t CM_MASK = (1ULL << CM_WIDTH_BITS) - 1;
 // multiset-identical to reader.py filter_read_kmers (both filter modes
 // keep or drop whole unique hashes, and min-per-bin is order-blind).
 void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
-                         bool exact, uint64_t binsize, uint64_t *signs) {
+                         bool exact, const FastDiv &bindiv,
+                         uint64_t *signs) {
   if (hashes.empty()) return;
   if (exact) {
     std::sort(hashes.begin(), hashes.end());
@@ -160,7 +200,7 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
     while (i < hashes.size()) {
       size_t run = i + 1;
       while (run < hashes.size() && hashes[run] == hashes[i]) ++run;
-      if (run - i >= (size_t)min_count) bin_one(hashes[i], binsize, signs);
+      if (run - i >= (size_t)min_count) bin_one(hashes[i], bindiv, signs);
       i = run;
     }
     return;
@@ -184,8 +224,8 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
     // skipped before the 4 random table reads: signs[] only ever
     // decreases, so the final state is identical (bit-exact) — this
     // prunes the estimate lookups to the few candidate minima
-    uint64_t sign = h % SIGN_MOD;
-    uint64_t bin = sign / binsize;
+    uint64_t sign = mod_mersenne61(h);
+    uint64_t bin = bindiv.div(sign);
     if (sign >= signs[bin]) continue;
     uint32_t est = 0xFFFFFFFFu;
     for (int row = 0; row < CM_HASHES; ++row) {
@@ -273,7 +313,7 @@ int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
                       int min_count, int exact_filter, int codon_phased,
                       int n_threads, uint64_t *usigs_out) {
   const int64_t nbins = (int64_t)sketchsize64 * 64;
-  const uint64_t binsize = (SIGN_MOD + (uint64_t)nbins - 1) / (uint64_t)nbins;
+  const FastDiv bindiv((SIGN_MOD + (uint64_t)nbins - 1) / (uint64_t)nbins);
   int densified_any = 0;
   int error = 0;
 
@@ -302,14 +342,14 @@ int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
       } else {
         collect_hashes_for_k(codes, n, klist[ki], use_rc != 0, hashes);
       }
-      bin_filtered_hashes(hashes, min_count, exact_filter != 0, binsize,
+      bin_filtered_hashes(hashes, min_count, exact_filter != 0, bindiv,
                           signs.data());
     } else if (codon_phased) {
       for (int ph = 0; ph < 3; ++ph)
         scan_and_bin(phases[ph].data(), (int64_t)phases[ph].size(),
-                     klist[ki], use_rc != 0, binsize, signs.data());
+                     klist[ki], use_rc != 0, bindiv, signs.data());
     } else {
-      scan_and_bin(codes, n, klist[ki], use_rc != 0, binsize, signs.data());
+      scan_and_bin(codes, n, klist[ki], use_rc != 0, bindiv, signs.data());
     }
     int rc = densify(signs.data(), nbins);
     if (rc < 0) {

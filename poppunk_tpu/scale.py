@@ -2309,10 +2309,13 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         # counts-only pre-pass, buffered or streaming: the fetch cap
         # applies to BOTH (the buffered widest offsets hold the same
         # O(n_pairs/2) pairs; fetching them is the same host cliff)
+        t_ph = time.perf_counter()
         if cd.buf is None:
             cum = sweep_counts_streaming(cd, scale, s_range, slope, *line)
         else:
             cum = sweep_counts_buffered(cd, scale, s_range, slope, *line)
+        sys.stderr.write(
+            f"refine: counts pass {time.perf_counter() - t_ph:.1f}s\n")
         if cum[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
         fetchable = np.nonzero(cum <= max_sweep_fetch)[0]
@@ -2327,12 +2330,17 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 f"{cum[o_star + 1]}..{cum[-1]} pairs (> max_sweep_fetch "
                 f"{max_sweep_fetch}); scored as 1\n")
         while True:  # o_star strictly widens, so <= n_grid iterations
+            t_ph = time.perf_counter()
             i, j, idx, d0 = sweep_first_offsets(
                 cd, scale, s_range, slope, *line, _n_act=o_star + 1)
+            t_sc = time.perf_counter()
             global_s = np.ones(n_grid)
             global_s[:o_star + 1] = grow_network_scores(
                 cd.n, i, j, idx, o_star + 1, score_idx,
                 betweenness_sample, rng=rng)
+            sys.stderr.write(
+                f"refine: fetch {len(i)} pairs {t_sc - t_ph:.1f}s, "
+                f"score {time.perf_counter() - t_sc:.1f}s\n")
             min_idx = int(np.argmin(global_s))
             # the local bracket reaches min_idx + 1: widen the fetch if
             # the argmin sits at the cap edge (pairs there must exist
@@ -2361,6 +2369,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
 
         lo, hi = s_range[min_idx - 1], s_range[min_idx + 1]
         s_opt, best = float(s_range[min_idx]), global_s[min_idx]
+        t_ph = time.perf_counter()
         for _level in range(2):
             sub_s = np.linspace(lo, hi, 18)[1:-1]
             t_sub = np.maximum.accumulate([
@@ -2379,6 +2388,8 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 best, s_opt = scores[k_min], float(sub_s[k_min])
             lo = sub_s[k_min - 1] if k_min > 0 else lo
             hi = sub_s[k_min + 1] if k_min < len(sub_s) - 1 else hi
+        sys.stderr.write(
+            f"refine: micro-grid {time.perf_counter() - t_ph:.1f}s\n")
     elif 0 < min_idx < n_grid - 1:
         if use_matmul:
             def local_score(s_val):
