@@ -208,6 +208,10 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
   std::vector<uint16_t> table((size_t)CM_HASHES << CM_WIDTH_BITS, 0);
   // Insert pass: DRAM-latency bound (random touches over a 32 MB table);
   // software prefetch ~PF iterations ahead hides most of the misses.
+  // Measured (20M hashes): 0.57 s for the 4 row passes; a fused 1-pass
+  // variant (4 increments per hash, 4 prefetches ahead) was NOT faster
+  // (0.60 s) — the prefetched row passes already saturate memory-level
+  // parallelism, so the row-major loop stays.
   constexpr size_t PF = 16;
   for (int row = 0; row < CM_HASHES; ++row) {
     const uint64_t salt = (uint64_t)(row + 1) * 0x9E3779B97F4A7C15ULL;
