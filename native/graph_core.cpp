@@ -32,6 +32,7 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#include <parallel/algorithm>
 #endif
 
 namespace {
@@ -91,19 +92,28 @@ std::vector<Edge> prepare_edges(const int32_t *i_vec, const int32_t *j_vec,
     if (t >= n_offsets) continue;
     edges.push_back({u, v, t});
   }
-  std::sort(edges.begin(), edges.end(), [](const Edge &a, const Edge &b) {
+  auto by_pair = [](const Edge &a, const Edge &b) {
     if (a.u != b.u) return a.u < b.u;
     if (a.v != b.v) return a.v < b.v;
     return a.t < b.t;
-  });
+  };
+#ifdef _OPENMP
+  __gnu_parallel::sort(edges.begin(), edges.end(), by_pair);
+#else
+  std::sort(edges.begin(), edges.end(), by_pair);
+#endif
   std::vector<Edge> uniq;
   uniq.reserve(edges.size());
   for (const Edge &e : edges) {
     if (!uniq.empty() && uniq.back().u == e.u && uniq.back().v == e.v) continue;
     uniq.push_back(e);
   }
-  std::stable_sort(uniq.begin(), uniq.end(),
-                   [](const Edge &a, const Edge &b) { return a.t < b.t; });
+  auto by_t = [](const Edge &a, const Edge &b) { return a.t < b.t; };
+#ifdef _OPENMP
+  __gnu_parallel::stable_sort(uniq.begin(), uniq.end(), by_t);
+#else
+  std::stable_sort(uniq.begin(), uniq.end(), by_t);
+#endif
   return uniq;
 }
 
@@ -185,8 +195,25 @@ std::vector<double> triangle_histogram(int32_t n, const std::vector<Edge> &edges
     std::copy(tmpt.begin(), tmpt.end(), outt.begin() + b);
   }
 
-  std::vector<double> hist(n_offsets, 0.0);
+  // OpenMP over source vertices, one histogram per thread: at 40M edges
+  // with ~640-member strain cliques the enumeration walks ~1e10 merge
+  // steps / 4.5e9 triangles — single-threaded it was ~150 s of the
+  // measured 183 s grow_network_scores call at the 65k tier. dynamic
+  // schedule: clique vertices carry most of the work.
+#ifdef _OPENMP
+  int n_threads = omp_get_max_threads();
+#else
+  int n_threads = 1;
+#endif
+  std::vector<std::vector<double>> hist_tls(
+      n_threads, std::vector<double>(n_offsets, 0.0));
+#pragma omp parallel for schedule(dynamic, 256)
   for (int32_t u = 0; u < n; ++u) {
+#ifdef _OPENMP
+    std::vector<double> &hist = hist_tls[omp_get_thread_num()];
+#else
+    std::vector<double> &hist = hist_tls[0];
+#endif
     for (int64_t k = outptr[u]; k < outptr[u + 1]; ++k) {
       int32_t v = outidx[k];
       int32_t t_uv = outt[k];
@@ -208,6 +235,9 @@ std::vector<double> triangle_histogram(int32_t n, const std::vector<Edge> &edges
       }
     }
   }
+  std::vector<double> hist(n_offsets, 0.0);
+  for (int th = 0; th < n_threads; ++th)
+    for (int32_t t = 0; t < n_offsets; ++t) hist[t] += hist_tls[th][t];
   return hist;
 }
 
