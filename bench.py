@@ -689,6 +689,18 @@ def bench_capture():
                 lines = [json.loads(ln) for ln in fh if ln.strip()]
             if lines:
                 rec.update(lines[-1])
+        # never replace a real-TPU record with a cpu-fallback or failed
+        # run: the tunnel flaps, and a wedged retry must not destroy the
+        # committed evidence
+        old = merged.get(name)
+        degraded = (rec.get("backend") == "cpu-fallback"
+                    or rec.get("rc") != 0)
+        if old and old.get("rc") == 0 and degraded \
+                and old.get("backend") != "cpu-fallback":
+            sys.stderr.write(f"capture {name}: keeping previous TPU "
+                             f"record (new run degraded: rc={rc}, "
+                             f"backend={rec.get('backend')})\n")
+            continue
         merged[name] = rec
         merged["meta"]["captured"] = datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds")
