@@ -425,7 +425,10 @@ def bench_serving_prod(nq=2048, nr=20480, iters=3, n_strains=64):
     # reference set: refs stay strain-ordered after the query reorder, so
     # a contiguous [0, ns) block can be a single strain (empty `diff`)
     ns = min(512, nr)
-    sidx = np.arange(ns) * (nr // ns)
+    # (i * nr) // ns spreads over the WHOLE reference range for any
+    # nr >= ns (a plain integer stride degenerates to a contiguous —
+    # possibly single-strain — block whenever ns <= nr < 2*ns)
+    sidx = (np.arange(ns) * nr) // ns
     d_small = np.asarray(jax.jit(small_block)(
         planes_all, lengths_all, freqs_all,
         jnp.asarray(sidx))).reshape(ns, ns, 2)
@@ -689,16 +692,18 @@ def bench_capture():
                 lines = [json.loads(ln) for ln in fh if ln.strip()]
             if lines:
                 rec.update(lines[-1])
-        # never replace a real-TPU record with a cpu-fallback or failed
-        # run: the tunnel flaps, and a wedged retry must not destroy the
-        # committed evidence
+        # never replace a record with a strictly worse one: the tunnel
+        # flaps, and a wedged retry must not destroy committed evidence.
+        # rank: clean TPU run > clean cpu-fallback > failed/timed-out
+        def rank(r):
+            if r is None or r.get("rc") != 0:
+                return 0
+            return 1 if r.get("backend") == "cpu-fallback" else 2
+
         old = merged.get(name)
-        degraded = (rec.get("backend") == "cpu-fallback"
-                    or rec.get("rc") != 0)
-        if old and old.get("rc") == 0 and degraded \
-                and old.get("backend") != "cpu-fallback":
-            sys.stderr.write(f"capture {name}: keeping previous TPU "
-                             f"record (new run degraded: rc={rc}, "
+        if old is not None and rank(rec) < rank(old):
+            sys.stderr.write(f"capture {name}: keeping previous record "
+                             f"(new run degraded: rc={rc}, "
                              f"backend={rec.get('backend')})\n")
             continue
         merged[name] = rec

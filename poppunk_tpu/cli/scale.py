@@ -294,26 +294,15 @@ def main(arg_list=None):
     planes, lengths, freqs = pack_planes(sketches, klist, plane_major=True,
                                          pad_to=n_pad)
     subsample = min(args.model_subsample, n_pairs)
-    shard_planes = False
-    if mesh is not None:
-        from ..scale import streaming_hbm_accounting
-
-        # replicated planes past ~half a 16 GB chip: switch to the
-        # column-sharded tier (planes split over the genome axis)
-        acct = streaming_hbm_accounting(
-            n_pad, klist, sketches[0].sketchsize64, sketches[0].bbits,
-            chunk, knn, len(jax.devices()), shard_planes=False)
-        shard_planes = acct["planes"] > 8e9
-        if shard_planes:
-            sys.stderr.write(
-                f"Column-sharding the planes ({acct['planes'] / 2**30:.1f}"
-                " GiB replicated) over the mesh\n")
     cd = StreamingCondensed(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
         sketches[0].bbits, chunk=chunk, knn=knn,
         dist_col=1 if args.use_accessory else 0,
         subsample=(subsample, args.seed), mesh=mesh, n_real=n_real,
-        shard_planes=shard_planes)
+        shard_planes="auto")
+    if cd._col:
+        sys.stderr.write("Column-sharded planes over the mesh "
+                         "(replicated residency would crowd HBM)\n")
     np.asarray(cd.knn_dist[-1, -1])  # sync
     dt = time.perf_counter() - t0
     sys.stderr.write(

@@ -104,6 +104,15 @@ def components_native(n_vertices, i_vec, j_vec):
     lib = _get_graph_lib()
     if lib is None:
         return None
+    # the C++ union-find indexes parent[] unchecked — validate BEFORE the
+    # int32 cast (which would silently wrap ids > 2^31) so bad edges
+    # raise here like the scipy path instead of corrupting memory
+    i_vec = np.asarray(i_vec)
+    j_vec = np.asarray(j_vec)
+    if len(i_vec) and (min(i_vec.min(), j_vec.min()) < 0
+                       or max(i_vec.max(), j_vec.max()) >= n_vertices):
+        raise IndexError("edge endpoint out of range "
+                         f"[0, {int(n_vertices)})")
     i_vec = np.ascontiguousarray(i_vec, dtype=np.int32)
     j_vec = np.ascontiguousarray(j_vec, dtype=np.int32)
     labels = np.empty(int(n_vertices), dtype=np.int32)

@@ -460,6 +460,24 @@ def _dispatch_plan(half, chunk, n, cap_rows=None):
             for s in range(0, n_steps, steps_pd)]
 
 
+def _pair_corrected_fit(matches, li, lj, fi, fj, klist, sketchsize64,
+                        bbits):
+    """[c, K] match counts + per-pair lengths/freqs -> f32[c, 2] dists.
+
+    Each pair is corrected as its own 1x1 block (_random_jaccard_jnp
+    broadcasts its length/freq args into a QxR cross matrix) — the ONE
+    definition shared by _pair_block_dists and the column-sharded
+    pair_dists gather so the two paths cannot drift."""
+    def one(m_k, a, b, u, v):
+        jac = corrected_jaccards(m_k[None, None], klist, a[None], b[None],
+                                 u[None], v[None], sketchsize64, bbits,
+                                 True, True)
+        return jac[0, 0]
+
+    jac = jax.vmap(one)(matches, li, lj, fi, fj)
+    return core_accessory(jac, klist)  # [c, 2]
+
+
 @partial(jax.jit, static_argnames=("klist", "sketchsize64", "bbits",
                                    "pad_bits"))
 def _pair_block_dists(planes, lengths, freqs, ii, jj, klist, sketchsize64,
@@ -485,16 +503,9 @@ def _pair_block_dists(planes, lengths, freqs, ii, jj, klist, sketchsize64,
             axis=-1) - pad_bits  # [c]
 
     matches = jax.lax.map(per_k, planes).T  # [c, K]
-
-    def one(m_k, li, lj, fi, fj):
-        jac = corrected_jaccards(m_k[None, None], klist, li[None], lj[None],
-                                 fi[None], fj[None], sketchsize64, bbits,
-                                 True, True)
-        return jac[0, 0]
-
-    jac = jax.vmap(one)(matches, lengths[ii], lengths[jj], freqs[ii],
-                        freqs[jj])
-    return core_accessory(jac, klist)  # [c, 2]
+    return _pair_corrected_fit(matches, lengths[ii], lengths[jj],
+                               freqs[ii], freqs[jj], klist, sketchsize64,
+                               bbits)
 
 
 class _ShardedStream:
@@ -751,8 +762,11 @@ class _ColShardedStream:
         covers exactly the upper-triangle entries of its 2c rows), so no
         full-width buffer is ever materialised;
       - the fused kNN takes each device's k best (value, index) and
-        merges them with a 2-key lax.sort — bit-identical to the
-        single-device sequential-argmin extraction, including ties.
+        merges them with a 2-key lax.sort — the same (value, index)
+        order as the single-device sequential-argmin extraction, on
+        distances that are allclose but not bit-equal (the n_loc-wide
+        program may reassociate the correction epilogue), so ranks can
+        swap at float-reassociation near-ties.
 
     Host-visible outputs mirror the SINGLE-device streaming layout
     (replicated [n, k] kNN buffers, [fsteps, M, 2] subsample values), so
@@ -1042,20 +1056,9 @@ class _ColShardedStream:
                         jnp.int32).sum(axis=-1) - pad_bits
 
                 matches = jax.lax.map(per_k, (pi, pj)).T  # [m, K]
-
-                # per-pair correction: _random_jaccard_jnp broadcasts its
-                # length/freq args into a QxR cross matrix, so each pair
-                # must be corrected as its own 1x1 block (same shape
-                # discipline as _pair_block_dists)
-                def one(m_k, li, lj, fi, fj):
-                    jac = corrected_jaccards(
-                        m_k[None, None], klist, li[None], lj[None],
-                        fi[None], fj[None], ss64, bbits, True, True)
-                    return jac[0, 0]
-
-                jac = jax.vmap(one)(matches, lengths[ii], lengths[jj],
-                                    freqs[ii], freqs[jj])
-                return core_accessory(jac, klist)  # [m, 2]
+                return _pair_corrected_fit(
+                    matches, lengths[ii], lengths[jj], freqs[ii],
+                    freqs[jj], klist, ss64, bbits)
 
             return jax.jit(jax.shard_map(
                 pairs_local, mesh=mesh,
@@ -1151,6 +1154,17 @@ class StreamingCondensed:
             raise ValueError(f"n_real ({n_real}) must be <= n ({n})")
         half = fold_rows(n)
         self._mesh = mesh
+        if shard_planes == "auto":
+            # replicated planes past ~half a 16 GB chip: switch to the
+            # column-sharded tier (planes split over the genome axis).
+            # ONE home for the policy — callers pass "auto"
+            shard_planes = False
+            if mesh is not None:
+                n_dev = int(np.prod(list(mesh.shape.values())))
+                acct = streaming_hbm_accounting(
+                    n, klist, sketchsize64, bbits, chunk, knn, n_dev,
+                    shard_planes=False)
+                shard_planes = acct["planes"] > 8e9 and n % n_dev == 0
         self._col = bool(shard_planes) and mesh is not None
         if self._col:
             n_dev = int(np.prod(list(mesh.shape.values())))
@@ -2885,21 +2899,15 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         c_stream = divide_down(min(chunk, c_stream), rows_loc)
         if mesh is not None:
             log(f"dists: streaming sharded over {n_dev} devices\n")
-        shard_planes = False
-        if mesh is not None:
-            acct = streaming_hbm_accounting(
-                n, klist, sketchsize64, bbits, c_stream, knn, n_dev,
-                shard_planes=False)
-            shard_planes = acct["planes"] > 8e9 and n % n_dev == 0
-            if shard_planes:
-                log("dists: column-sharding the planes "
-                    f"({acct['planes'] / 2**30:.1f} GiB replicated)\n")
         cd = StreamingCondensed(pop.planes, pop.lengths, pop.freqs, klist,
                                 sketchsize64, bbits,
                                 chunk=c_stream, knn=knn,
                                 use_pallas=use_pallas,
                                 subsample=(subsample, seed), mesh=mesh,
-                                shard_planes=shard_planes)
+                                shard_planes="auto")
+        if cd._col:
+            log("dists: column-sharded planes (replicated residency "
+                "would crowd per-device HBM)\n")
         log("dists: streaming (no O(n^2) tensor; buffer would be "
             f"{4.0 * n * n / 2**30:.1f} GiB)\n")
         np.asarray(cd.knn_dist[-1, -1])
