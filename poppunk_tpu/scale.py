@@ -2374,18 +2374,23 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         s_opt = float(s_range[min_idx])
     elif 0 < min_idx < n_grid - 1 and cd.buf is None:
         # micro-grid local refinement: the native engine scores a whole
-        # offset grid in ONE incremental pass, so two 16-point bisection
-        # levels (resolution ~grid_step/70) cost 2 passes over the edge
-        # set instead of ~15 sequential Brent evaluations of the same
-        # cost each (Brent was most of a measured 20-minute refine at
-        # 65k genomes)
+        # offset grid in ONE incremental pass, so bisection levels cost
+        # passes over the edge set instead of ~15 sequential Brent
+        # evaluations of the same cost each (Brent was most of a
+        # measured 20-minute refine at 65k genomes). For score_idx 0 the
+        # call cost is dominated by the triangle enumeration, which is
+        # INDEPENDENT of the offset count — one flat 147-point level
+        # (resolution ~ 2-level bisection's grid_step/73) costs ONE
+        # enumeration instead of two. Betweenness scoring (idx 1/2) IS
+        # per-offset, so bisection stays cheaper there.
         from .network.incremental import grow_network_scores
 
         lo, hi = s_range[min_idx - 1], s_range[min_idx + 1]
         s_opt, best = float(s_range[min_idx]), global_s[min_idx]
         t_ph = time.perf_counter()
-        for _level in range(2):
-            sub_s = np.linspace(lo, hi, 18)[1:-1]
+        levels = ((149,) if score_idx == 0 else (18, 18))
+        for n_sub in levels:
+            sub_s = np.linspace(lo, hi, n_sub)[1:-1]
             t_sub = np.maximum.accumulate([
                 offset_threshold(float(s), s_range, slope, *line)
                 for s in sub_s])
