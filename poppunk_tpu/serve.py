@@ -174,18 +174,21 @@ class AssignSession:
                 "of parallel lists")
         params = SketchParams(klist=self.kmers, sketchsize64=self.ss64,
                               bbits=self.bbits, use_rc=self.use_rc)
-        jobs = [(n, f, params) for n, f in zip(names, sequences)]
-        if threads > 1 and len(jobs) > 1:
+        if threads > 1 and len(names) > 1:
             from multiprocessing import get_context
 
             # spawn, not fork: __init__ already started the JAX backend
             # (device-resident reference tensor), and forking after
             # client init can deadlock children on inherited runtime
-            # mutexes
+            # mutexes. native_threads=1 per job: P workers x
+            # min(n_k, cores) OpenMP threads oversubscribes the host
+            # (same discipline as construct_database's pool)
+            jobs = [(n, f, params, 1) for n, f in zip(names, sequences)]
             with get_context("spawn").Pool(min(threads, len(jobs))) as pool:
                 sketches = pool.map(_sketch_one, jobs)
         else:
-            sketches = [_sketch_one(j) for j in jobs]
+            sketches = [_sketch_one((n, f, params))
+                        for n, f in zip(names, sequences)]
         return self.assign_sketches(sketches)
 
     def warmup(self):

@@ -118,10 +118,16 @@ def check_pp_sketchlib(exp):
         names.append(name)
         files.append([os.path.join(HERE, f) for f in fl])
     db = os.path.join(tmp, "ref")
+    # kwargs, mirroring the reference's own call sites
+    # (PopPUNK/sketchlib.py:410-422) — positional order there is easy to
+    # get wrong (use_rc sits between calc_random and min_count). The
+    # fixtures were generated with use_rc=True, min_count on the read
+    # set, count-min (exact=False) filtering.
     pp_sketchlib.constructDatabase(
-        db, names, files, list(exp["klist"]),
-        int(exp["sketchsize64"] * 64), False, 0, False,
-        int(exp["min_count"]), False, 1, False, 0)
+        db_name=db, samples=names, files=files, klist=list(exp["klist"]),
+        sketch_size=int(exp["sketchsize64"] * 64), codon_phased=False,
+        calc_random=False, use_rc=True, min_count=int(exp["min_count"]),
+        exact=False, num_threads=1)
     with h5py.File(db + ".h5", "r") as h5:
         for name in names:
             grp = h5["sketches"][name]
@@ -133,21 +139,22 @@ def check_pp_sketchlib(exp):
                 if got != digest:
                     failures.append(
                         f"pp-sketchlib: {name} k={k_str} sketch differs")
-    jac = pp_sketchlib.queryDatabase(db, db, names, names,
-                                     list(exp["klist"]), True, False, 1,
-                                     False, 0)
+    # raw jaccards (random_correct=False, jaccard=True) — the fixtures
+    # store correction-free per-k values; rows follow iterDistRows
+    # self-mode order, the same convention the fixture keys use
+    from poppunk_tpu.pairs import iter_dist_rows
+
+    jac = pp_sketchlib.queryDatabase(
+        ref_db_name=db, query_db_name=db, rList=names, qList=names,
+        klist=list(exp["klist"]), random_correct=False, jaccard=True,
+        num_threads=1)
     rows = {(p["a"], p["b"]): p for p in exp["pairs"]}
-    row = 0
-    for i in range(len(names)):
-        for j_ in range(i + 1, len(names)):
-            want = rows[(names[i], names[j_])]
-            wj = np.array([want["jaccard"][str(k)]
-                           for k in exp["klist"]])
-            if not np.allclose(np.asarray(jac)[row], wj, rtol=1e-5):
-                failures.append(
-                    f"pp-sketchlib: jaccard differs on "
-                    f"({names[i]},{names[j_]})")
-            row += 1
+    for row, (a, b) in enumerate(iter_dist_rows(names, names)):
+        want = rows[(a, b)]
+        wj = np.array([want["jaccard"][str(k)] for k in exp["klist"]])
+        if not np.allclose(np.asarray(jac)[row], wj, rtol=1e-5):
+            failures.append(
+                f"pp-sketchlib: jaccard differs on ({a},{b})")
     return failures
 
 

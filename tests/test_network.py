@@ -458,6 +458,8 @@ class TestGtFormat:
                 continue
             # parsed fine: the structure must match the full file's
             assert n == full[0] and edges.tolist() == full[1].tolist()
+
+    def test_gt_directed_rejected(self, tmp_path):
         import struct
 
         from poppunk_tpu.network.graph import Graph
