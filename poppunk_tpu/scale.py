@@ -1252,8 +1252,13 @@ class StreamingCondensed:
             # column-sharded: the PLANES (the tensor whose replicated
             # residency caps the replicated mesh path past ~100k genomes)
             # split over the genome axis; every device walks ALL folded
-            # chunks and owns its column slice of each tile
+            # chunks and owns its column slice of each tile.
+            # _plan_width: per-DEVICE tile width — the dispatch pair
+            # budget (and the ~1-min program-kill bound it encodes)
+            # applies to each device's n_loc-wide slice, so budgeting at
+            # full width would split n_dev x too many dispatches
             self._plan_rows = half
+            self._plan_width = self._n_loc
             self._sh = _ColShardedStream(
                 mesh, n, self._n_loc, self.chunk, knn, self._klist,
                 self._ss64, self._bbits, self._pad_bits, int(dist_col),
@@ -1271,7 +1276,8 @@ class StreamingCondensed:
                 cmax = jax.device_put(
                     jnp.full((2,), -jnp.inf, jnp.float32), rep)
                 sub_parts = []
-                for off, fsteps in _dispatch_plan(half, self.chunk, n):
+                for off, fsteps in _dispatch_plan(half, self.chunk,
+                                                  self._plan_width):
                     sub_slice = jax.device_put(
                         jnp.asarray(loc[off:off + fsteps]), rep)
                     ki, kd, cmax, sv = self._sh.stats(int(fsteps))(
@@ -1294,6 +1300,7 @@ class StreamingCondensed:
 
             n_dev = self._n_dev
             self._plan_rows = self._half_loc
+            self._plan_width = n
             spc = self._half_loc // self.chunk
             plan = _dispatch_plan(self._half_loc, self.chunk, n)
             self._sh = _ShardedStream(
@@ -1579,7 +1586,8 @@ def sweep2d_counts_streaming(cd, scale, x_grid, y_grid):
     n_pad = cd._n_pad
     cum = np.zeros((len(y_grid), len(x_grid)), np.int64)
     if cd._mesh is not None:
-        for off, fsteps in _dispatch_plan(cd._plan_rows, cd.chunk, n_pad):
+        for off, fsteps in _dispatch_plan(cd._plan_rows, cd.chunk,
+                                          cd._plan_width):
             fn = cd._sh.counts2d(int(fsteps))
             cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
                       scale_dev, xg, yg)
@@ -1604,7 +1612,7 @@ def sweep2d_fetch_streaming(cd, scale, x_caps, y_grid):
     scale_dev = jnp.asarray(scale, jnp.float32)
     n_pad = cd._n_pad
     if getattr(cd, "_col", False):
-        plan = _dispatch_plan(fold_rows(n_pad), cd.chunk, n_pad,
+        plan = _dispatch_plan(fold_rows(n_pad), cd.chunk, cd._plan_width,
                               cap_rows=int(1.5e9 / (26 * cd._n_loc)))
         i_out, j_out, x_out, y_out = [], [], [], []
         for off, fsteps in plan:
@@ -1955,7 +1963,7 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
         # n_offsets] per dispatch, host-summed; only the plan differs
         # (per-device rows vs all folded rows)
         for off, fsteps in _dispatch_plan(cd._plan_rows, cd.chunk,
-                                          cd._n_pad):
+                                          cd._plan_width):
             fn = cd._sh.counts(int(slope), int(fsteps))
             cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
                       scale_dev, t_dev, jnp.float32(xm0),
@@ -2016,7 +2024,7 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
         # (device, dispatch, tile) — a different (but valid) permutation
         # from the single-device folded order; all consumers are
         # order-independent (sparse scorer, re-thresholding, network).
-        plan = _dispatch_plan(half, cd.chunk, n_pad,
+        plan = _dispatch_plan(half, cd.chunk, cd._plan_width,
                               cap_rows=int(1.5e9 / (18 * cd._n_loc)))
         n_act = len(t) if _n_act is None else _n_act
         i_out, j_out = [], []
