@@ -925,6 +925,7 @@ def bench_scale(n=20480):
         "n_clusters": out.get("n_clusters"),
         "pipeline_s": round(out["pipeline_s"], 1),
         "stage_s": {k: round(v, 1) for k, v in out["timings"].items()},
+        "refine_phase_s": out.get("refine_phase_s"),
         "streaming": out.get("streaming"),
         "peak_rss_growth_mib": round(grown_mb, 1),
         "rss_limit_mib": round(limit_mb, 1),

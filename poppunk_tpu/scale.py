@@ -2281,7 +2281,7 @@ def components_device(d0_sq, threshold):
 def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                       score_idx=0, betweenness_sample=100, seed=42,
                       n_grid=40, max_sweep_fetch=40_000_000, slope=2,
-                      no_local=False):
+                      no_local=False, timings_out=None):
     """Global + local 1-D boundary refinement over the device buffer.
 
     Mirrors models/refine.refine_fit (constrained): 40-point global
@@ -2336,8 +2336,10 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             cum = sweep_counts_streaming(cd, scale, s_range, slope, *line)
         else:
             cum = sweep_counts_buffered(cd, scale, s_range, slope, *line)
-        sys.stderr.write(
-            f"refine: counts pass {time.perf_counter() - t_ph:.1f}s\n")
+        dt = time.perf_counter() - t_ph
+        sys.stderr.write(f"refine: counts pass {dt:.1f}s\n")
+        if timings_out is not None:
+            timings_out["counts"] = timings_out.get("counts", 0.0) + dt
         if cum[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
         fetchable = np.nonzero(cum <= max_sweep_fetch)[0]
@@ -2363,6 +2365,11 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             sys.stderr.write(
                 f"refine: fetch {len(i)} pairs {t_sc - t_ph:.1f}s, "
                 f"score {time.perf_counter() - t_sc:.1f}s\n")
+            if timings_out is not None:
+                timings_out["fetch"] = (timings_out.get("fetch", 0.0)
+                                        + t_sc - t_ph)
+                timings_out["score"] = (timings_out.get("score", 0.0)
+                                        + time.perf_counter() - t_sc)
             min_idx = int(np.argmin(global_s))
             # the local bracket reaches min_idx + 1: widen the fetch if
             # the argmin sits at the cap edge (pairs there must exist
@@ -2417,6 +2424,8 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             hi = sub_s[k_min + 1] if k_min < len(sub_s) - 1 else hi
         sys.stderr.write(
             f"refine: micro-grid {time.perf_counter() - t_ph:.1f}s\n")
+        if timings_out is not None:
+            timings_out["local"] = time.perf_counter() - t_ph
     elif 0 < min_idx < n_grid - 1:
         if use_matmul:
             def local_score(s_val):
@@ -2957,12 +2966,14 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     # the synthetic between-blob has no outliers, so a generous max_move
     # can put every pair inside the widest boundary (the reference-faithful
     # guard in refine_fit_device raises); back off until the sweep bites
+    refine_phases = {}
     while True:
         try:
             opt_x, opt_y, s_opt, sweep = refine_fit_device(
                 cd, model.scale, mean0, mean1, max_move=max_move,
                 score_idx=score_idx, seed=seed,
-                max_sweep_fetch=max_sweep_fetch)
+                max_sweep_fetch=max_sweep_fetch,
+                timings_out=refine_phases)
             break
         except RuntimeError:
             max_move /= 4
@@ -2970,6 +2981,9 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                 raise
             log(f"refine: sweep saturated, retrying max_move={max_move}\n")
     timings["refine"] = time.perf_counter() - t0
+    if refine_phases:
+        out["refine_phase_s"] = {k: round(v, 1)
+                                 for k, v in refine_phases.items()}
     log(f"refine: boundary ({opt_x * model.scale[0]:.4f}, "
         f"{opt_y * model.scale[1]:.4f}) via {sweep[0]} sweep in "
         f"{timings['refine']:.1f}s\n")
