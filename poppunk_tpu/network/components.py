@@ -17,7 +17,14 @@ import scipy.sparse.csgraph
 
 def connected_components(G):
     """(labels int64[n], sizes int64[n_comp]) — labels are arbitrary ids
-    ordered by first occurrence (scipy convention, same as graph-tool's)."""
+    ordered by first occurrence (scipy convention, same as graph-tool's).
+
+    Prefers the native union-find (bit-equal labels, pinned in
+    test_network.py; O(n+m) host memory where the scipy COO->CSR route
+    peaks at ~10x the edge bytes); scipy is the fallback."""
+    nat = _native_labels(G.n_vertices, G.edges[:, 0], G.edges[:, 1])
+    if nat is not None:
+        return nat
     n_comp, labels = scipy.sparse.csgraph.connected_components(
         G.adjacency(), directed=False
     )
@@ -25,9 +32,24 @@ def connected_components(G):
     return labels, sizes
 
 
+def _native_labels(n, i_vec, j_vec):
+    from .incremental import components_native
+
+    try:
+        return components_native(n, i_vec, j_vec)
+    except IndexError:
+        raise
+    except Exception:  # noqa: BLE001 — any load/ABI issue: scipy path
+        return None
+
+
 def components_from_edges(n, edges):
     """Components from a raw edge array without building a Graph."""
-    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    edges = np.asarray(edges).reshape(-1, 2)
+    nat = _native_labels(n, edges[:, 0], edges[:, 1])
+    if nat is not None:
+        return nat
+    edges = edges.astype(np.int64)
     data = np.ones(edges.shape[0], dtype=np.int8)
     mat = scipy.sparse.coo_matrix(
         (data, (edges[:, 0], edges[:, 1])), shape=(n, n)

@@ -51,15 +51,19 @@ class TestComponents:
         assert len(sizes) == nx.number_connected_components(g)
 
     def test_native_union_find_matches_scipy(self):
-        # run_scale_pipeline's network stage uses the native union-find
-        # (O(n+m) host memory); labels must be BIT-equal to the scipy
+        # connected_components prefers the native union-find (O(n+m)
+        # host memory); labels must be BIT-equal to the scipy
         # first-occurrence convention, not just the same partition
+        import scipy.sparse.csgraph
+
         from poppunk_tpu.network.incremental import components_native
 
         for seed in range(5):
             rng = np.random.default_rng(seed)
             G = random_graph(80, 0.04, rng=rng)
-            labels, sizes = connected_components(G)
+            n_comp, labels = scipy.sparse.csgraph.connected_components(
+                G.adjacency(), directed=False)
+            sizes = np.bincount(labels, minlength=n_comp)
             nat = components_native(G.n_vertices, G.edges[:, 0],
                                     G.edges[:, 1])
             if nat is None:
@@ -70,6 +74,9 @@ class TestComponents:
         nat = components_native(4, np.zeros(0), np.zeros(0))
         if nat is not None:
             np.testing.assert_array_equal(nat[0], np.arange(4))
+        # out-of-range endpoints raise instead of corrupting memory
+        with pytest.raises(IndexError):
+            components_native(4, np.array([0]), np.array([4]))
 
     def test_device_label_prop(self):
         import jax.numpy as jnp
