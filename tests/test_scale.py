@@ -697,6 +697,25 @@ class TestArbitraryPadStreaming:
                                 n_real=self.N_REAL, mesh=get_mesh(n_dev))
         self._check(sc, oracle)
 
+    def test_col_sharded_gap19(self, pop, oracle):
+        # column-sharded padded population: pads live INSIDE the last
+        # device's column shard and must be masked out of kNN, owned-pair
+        # reductions and fetches (n_lim masks in _ColShardedStream)
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import StreamingCondensed
+
+        n_dev = len(jax.devices())
+        if 80 % n_dev or (80 // 2) % 5:
+            pytest.skip("needs a device count dividing 80")
+        planes, lengths, freqs = self._padded(pop, 80)
+        sc = StreamingCondensed(planes, lengths, freqs, KLIST, SS64,
+                                BBITS, chunk=5, knn=5, subsample=(150, 3),
+                                n_real=self.N_REAL, mesh=get_mesh(n_dev),
+                                shard_planes=True)
+        self._check(sc, oracle)
+
 
 @pytest.mark.slow
 class TestManyStrainStreaming:
