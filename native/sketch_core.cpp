@@ -179,6 +179,157 @@ inline void bin_one(uint64_t h, const FastDiv &bindiv, uint64_t *signs) {
   if (sign < signs[bin]) signs[bin] = sign;
 }
 
+#if defined(__AVX512F__) && defined(__AVX512CD__)
+#define SKETCH_SIMD 1
+#include <immintrin.h>
+
+// --- AVX-512 scan: 8 segment lanes over one sequence -----------------
+//
+// The rolling ntHash recurrence TELESCOPES (each base's contribution is
+// rolled out exactly k steps later), so unlike the scalar scan no
+// restart is needed at invalid bases: lanes roll straight through and a
+// per-window validity mask (precomputed run lengths) drops windows that
+// contain an invalid base. All-integer ops — BIT-exact vs the scalar
+// scan (asserted in the fixture/oracle tests and a fuzz main during
+// development). Measured 1.5x the scalar scan at production geometry.
+//
+// The interleaved context (codes + valid-run transposed to [t, lane]) is
+// built once per sequence and shared across all k (its accesses are then
+// contiguous 8-byte loads instead of gathers).
+
+struct InterleavedSeq {
+  std::vector<uint8_t> il;    // [tl, 8] codes, lane-major per step
+  std::vector<int32_t> irun;  // [tl, 8] valid-run length at each start
+  int64_t seg = 0;
+};
+
+void build_interleaved(const uint8_t *codes, int64_t n, int kmax,
+                       InterleavedSeq &cx) {
+  cx.seg = (n - 1 + 7) / 8;
+  int64_t tl = cx.seg + kmax + 1;
+  cx.il.assign((size_t)tl * 8, INVALID_BASE);
+  std::vector<int32_t> run(n + 1, 0);
+  for (int64_t i = n - 1; i >= 0; --i)
+    run[i] = codes[i] == INVALID_BASE ? 0 : run[i + 1] + 1;
+  cx.irun.assign((size_t)tl * 8, 0);
+  for (int l = 0; l < 8; ++l) {
+    int64_t base = (int64_t)l * cx.seg;
+    int64_t len = std::min<int64_t>(tl, n - base);
+    for (int64_t t = 0; t < len; ++t) {
+      cx.il[(size_t)t * 8 + l] = codes[base + t];
+      cx.irun[(size_t)t * 8 + l] = run[base + t];
+    }
+  }
+}
+
+// 64x64 -> high 64 from 32-bit partial products (no vpmulhuq exists)
+static inline __m512i mulhi_epu64(__m512i a, __m512i b) {
+  const __m512i lo32 = _mm512_set1_epi64(0xFFFFFFFFULL);
+  __m512i ll = _mm512_mul_epu32(a, b);
+  __m512i lh = _mm512_mul_epu32(a, _mm512_srli_epi64(b, 32));
+  __m512i hl = _mm512_mul_epu32(_mm512_srli_epi64(a, 32), b);
+  __m512i hh = _mm512_mul_epu32(_mm512_srli_epi64(a, 32),
+                                _mm512_srli_epi64(b, 32));
+  __m512i cross = _mm512_add_epi64(_mm512_srli_epi64(ll, 32),
+                                   _mm512_and_si512(lh, lo32));
+  cross = _mm512_add_epi64(cross, _mm512_and_si512(hl, lo32));
+  __m512i hi = _mm512_add_epi64(
+      hh, _mm512_add_epi64(_mm512_srli_epi64(lh, 32),
+                           _mm512_srli_epi64(hl, 32)));
+  return _mm512_add_epi64(hi, _mm512_srli_epi64(cross, 32));
+}
+
+void scan_and_bin_simd(const InterleavedSeq &cx, int64_t n, int k,
+                       bool use_rc, const FastDiv &bindiv,
+                       uint64_t *signs) {
+  if (n < k) return;
+  int64_t n_win = n - k + 1;  // call sites route n_win < 64 to scalar
+  int64_t seg = cx.seg;
+  const uint8_t *il = cx.il.data();
+  const int32_t *irun = cx.irun.data();
+  const __m512i lo61 = _mm512_set1_epi64(SIGN_MOD);
+  alignas(64) uint64_t tf[8] = {0}, tfk[8] = {0}, tr[8] = {0},
+                       trk[8] = {0};
+  for (int b = 0; b < 5; ++b) {
+    tf[b] = SEED[b];
+    tfk[b] = rol64(SEED[b], k);
+    tr[b] = SEED[COMP[b]];
+    trk[b] = rol64(SEED[COMP[b]], k - 1);
+  }
+  __m512i vf = _mm512_load_si512(tf), vfk = _mm512_load_si512(tfk);
+  __m512i vr = _mm512_load_si512(tr), vrk = _mm512_load_si512(trk);
+  __m512i md = _mm512_set1_epi64(bindiv.d);
+  __m512i mm = _mm512_set1_epi64(bindiv.m);
+  __m256i vk = _mm256_set1_epi32(k);
+  __m512i one = _mm512_set1_epi64(1);
+  alignas(64) uint64_t fh0[8], rh0[8];
+  for (int l = 0; l < 8; ++l) {
+    uint64_t fh = 0, rh = 0;
+    for (int i = 0; i < k; ++i) {
+      uint8_t c = il[(size_t)i * 8 + l];
+      fh ^= rol64(SEED[c], k - 1 - i);
+      rh ^= rol64(SEED[COMP[c]], i);
+    }
+    fh0[l] = fh;
+    rh0[l] = rh;
+  }
+  __m512i fh = _mm512_load_si512(fh0), rh = _mm512_load_si512(rh0);
+  for (int64_t t = 0;; ++t) {
+    __m512i h = use_rc ? _mm512_min_epu64(fh, rh) : fh;
+    // mersenne-61 fold, then multiply-high bin split (same fixup
+    // discipline as FastDiv::div)
+    __m512i s = _mm512_add_epi64(_mm512_and_si512(h, lo61),
+                                 _mm512_srli_epi64(h, 61));
+    s = _mm512_mask_sub_epi64(s, _mm512_cmpge_epu64_mask(s, lo61), s,
+                              lo61);
+    __m512i q = mulhi_epu64(s, mm);
+    __m512i r = _mm512_sub_epi64(s, _mm512_mullox_epi64(q, md));
+    __mmask8 f1 = _mm512_cmpge_epu64_mask(r, md);
+    q = _mm512_mask_add_epi64(q, f1, q, one);
+    r = _mm512_mask_sub_epi64(r, f1, r, md);
+    q = _mm512_mask_add_epi64(q, _mm512_cmpge_epu64_mask(r, md), q, one);
+    __m256i rv = _mm256_loadu_si256((const __m256i *)&irun[(size_t)t * 8]);
+    __mmask8 valid = _mm256_cmpge_epi32_mask(rv, vk);
+    if (valid) {
+      __m512i cur = _mm512_mask_i64gather_epi64(_mm512_setzero_si512(),
+                                                valid, q, signs, 8);
+      __mmask8 win = _mm512_mask_cmplt_epu64_mask(valid, s, cur);
+      if (win) {
+        // duplicate bins within the vector need the min of their signs;
+        // rare (8 draws over ~10k bins) -> scalar fallback then
+        __m512i conf = _mm512_maskz_conflict_epi64(win, q);
+        if (!_mm512_mask_test_epi64_mask(win, conf,
+                                         _mm512_set1_epi64(-1))) {
+          _mm512_mask_i64scatter_epi64(signs, win, q, s, 8);
+        } else {
+          alignas(64) uint64_t sv[8], bv[8];
+          _mm512_store_si512(sv, s);
+          _mm512_store_si512(bv, q);
+          for (int l = 0; l < 8; ++l)
+            if ((win >> l) & 1)
+              if (sv[l] < signs[bv[l]]) signs[bv[l]] = sv[l];
+        }
+      }
+    }
+    if (t + 1 >= seg || t + 1 >= n_win) break;
+    __m512i outb = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i *)&il[(size_t)t * 8]));
+    __m512i inb = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i *)&il[(size_t)(t + k) * 8]));
+    fh = _mm512_xor_si512(
+        _mm512_rol_epi64(fh, 1),
+        _mm512_xor_si512(_mm512_permutexvar_epi64(outb, vfk),
+                         _mm512_permutexvar_epi64(inb, vf)));
+    if (use_rc)
+      rh = _mm512_xor_si512(
+          _mm512_ror_epi64(
+              _mm512_xor_si512(rh, _mm512_permutexvar_epi64(outb, vr)),
+              1),
+          _mm512_permutexvar_epi64(inb, vrk));
+  }
+}
+#endif  // SKETCH_SIMD
+
 // Count-min geometry matching sketch/reader.py CountMin (width_bits=22,
 // 4 rows, salts (row+1)*golden; idx = (h * salt) >> 33 & mask; uint16
 // counters with numpy's wrap-on-overflow semantics; estimates read after
@@ -330,6 +481,26 @@ int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
     }
   }
 
+  int kmax = 0;
+  for (int ki = 0; ki < n_k; ++ki) kmax = std::max(kmax, (int)klist[ki]);
+#ifdef SKETCH_SIMD
+  // interleaved contexts shared read-only across the k loop
+  std::vector<InterleavedSeq> simd_cx;
+  if (min_count <= 1) {
+    if (codon_phased) {
+      simd_cx.resize(3);
+      for (int ph = 0; ph < 3; ++ph)
+        if ((int64_t)phases[ph].size() - kmax + 1 >= 64)
+          build_interleaved(phases[ph].data(),
+                            (int64_t)phases[ph].size(), kmax,
+                            simd_cx[ph]);
+    } else if (n - kmax + 1 >= 64) {
+      simd_cx.resize(1);
+      build_interleaved(codes, n, kmax, simd_cx[0]);
+    }
+  }
+#endif
+
 #pragma omp parallel for schedule(dynamic) num_threads(n_threads)
   for (int ki = 0; ki < n_k; ++ki) {
     std::vector<uint64_t> signs(nbins, EMPTY_BIN);
@@ -349,11 +520,32 @@ int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
       bin_filtered_hashes(hashes, min_count, exact_filter != 0, bindiv,
                           signs.data());
     } else if (codon_phased) {
-      for (int ph = 0; ph < 3; ++ph)
-        scan_and_bin(phases[ph].data(), (int64_t)phases[ph].size(),
-                     klist[ki], use_rc != 0, bindiv, signs.data());
+      for (int ph = 0; ph < 3; ++ph) {
+        int64_t pn = (int64_t)phases[ph].size();
+#ifdef SKETCH_SIMD
+        if (!simd_cx.empty() && simd_cx[ph].seg > 0
+            && pn - klist[ki] + 1 >= 64) {
+          scan_and_bin_simd(simd_cx[ph], pn, klist[ki], use_rc != 0,
+                            bindiv, signs.data());
+          continue;
+        }
+#endif
+        scan_and_bin(phases[ph].data(), pn, klist[ki], use_rc != 0,
+                     bindiv, signs.data());
+      }
     } else {
-      scan_and_bin(codes, n, klist[ki], use_rc != 0, bindiv, signs.data());
+#ifdef SKETCH_SIMD
+      if (!simd_cx.empty() && n - klist[ki] + 1 >= 64) {
+        scan_and_bin_simd(simd_cx[0], n, klist[ki], use_rc != 0, bindiv,
+                          signs.data());
+      } else {
+        scan_and_bin(codes, n, klist[ki], use_rc != 0, bindiv,
+                     signs.data());
+      }
+#else
+      scan_and_bin(codes, n, klist[ki], use_rc != 0, bindiv,
+                   signs.data());
+#endif
     }
     int rc = densify(signs.data(), nbins);
     if (rc < 0) {
