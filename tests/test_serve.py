@@ -200,3 +200,21 @@ def test_assign_files_accepts_parallel_lists(population, population_dir,
     assert via_lists == via_rfile
     with pytest.raises(TypeError, match="rfile path"):
         session.assign_files(["a.fa", "b.fa"])
+
+
+def test_assign_files_threaded_pool(refine_db, tmp_path):
+    """threads>1 routes sketching through a spawn pool with
+    native_threads=1 jobs (the 4-tuple _sketch_one form)."""
+    from synth_genomes import SyntheticPopulation
+
+    from poppunk_tpu.serve import AssignSession
+
+    pop = SyntheticPopulation(n_strains=2, genomes_per_strain=(2, 2),
+                              genome_length=20_000, seed=31)
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    qfile = pop.write_fastas(str(qdir))
+    session = AssignSession(refine_db)
+    serial = session.assign_files(qfile, threads=1)
+    pooled = session.assign_files(qfile, threads=2)
+    assert pooled == serial
