@@ -153,3 +153,17 @@ def test_codon_phased_reads_filter_bit_identical():
     want, _ = sketch_codes(codes, params, reads=True, use_native=False)
     for k in want:
         assert np.array_equal(got[k], want[k]), f"k={k}"
+
+
+def test_simd_threshold_and_lane_boundaries():
+    """Sizes straddling the AVX-512 path's 64-window threshold and the
+    8-lane segment boundaries (n = 8*seg + r for every r) must all be
+    bit-identical to the numpy twin — off-by-ones in the lane partition
+    or the interleaved tail padding would show here."""
+    rng = np.random.default_rng(7)
+    for n in [70, 75, 92, 93, 94, 95, 96, 97, 120, 127, 128, 129,
+              1001, 1007, 1008, 1009]:
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        if n > 100:
+            codes[n // 2] = 4  # invalid in the middle of a lane
+        _compare(codes)
