@@ -496,7 +496,8 @@ def _use_model(args, ref_db, output, names, sketches, klist):
     i, j = fetch_within_boundary(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
         sketches[0].bbits, chunk, n, model.scale, bx, by, slope,
-        mesh=mesh, max_fetch=max(args.max_sweep_fetch, 100_000_000))
+        mesh=mesh, max_fetch=max(args.max_sweep_fetch, 100_000_000),
+        shard_planes="auto")
     sys.stderr.write(
         f"Boundary pass: {len(i)} within-strain pairs in "
         f"{time.perf_counter() - t0:.1f}s\n")
@@ -535,7 +536,7 @@ def _mandrake_embedding(args, planes, lengths, freqs, klist, ss64, bbits,
     k = min(50, n_real - 1)
     cd2 = StreamingCondensed(planes, lengths, freqs, klist, ss64, bbits,
                              chunk=chunk, knn=k, dist_col=1, mesh=mesh,
-                             n_real=n_real)
+                             n_real=n_real, shard_planes="auto")
     rows, cols, dists = cd2.knn_sparse()
     emb = embedding_from_knn(rows, cols, dists, n_real, k,
                              args.perplexity, max_iter=args.mandrake_iter,
@@ -581,7 +582,7 @@ def _run_qc(args, ref_db, output, names, sketches, klist):
     i, j, flags = qc_bad_pairs_streaming(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
         sketches[0].bbits, chunk, n, qc_dict["max_pi_dist"],
-        qc_dict["max_a_dist"], mesh=mesh,
+        qc_dict["max_a_dist"], mesh=mesh, shard_planes="auto",
         # prop_zero >= 1 disables the zero rule: skip zero-pair
         # compaction (clonal populations hold O(n_pairs) zero pairs)
         check_zero=qc_dict["prop_zero"] < 1)

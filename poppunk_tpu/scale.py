@@ -1065,6 +1065,40 @@ class _ColShardedStream:
                 in_specs=(shp,) + (rep,) * 4, out_specs=P(),
                 check_vma=False))
 
+        def make_compact(pair_fn, n_payload, fsteps):
+            """Generic compaction over the column shards: pair_fn maps a
+            tile's raw pairs f32[m, 2] to (mask, *payloads); each device
+            compacts its owned entries. The _mesh_compact_pass twin for
+            populations whose replicated planes would overflow HBM."""
+            def local(planes_loc, lengths, freqs, off):
+                col0 = col0_of()
+
+                def body(_, s_idx):
+                    s = (off + s_idx) * c
+                    d, row_ids, col_ids = tile(planes_loc, lengths,
+                                               freqs, col0, s)
+                    owned = pair_mask(row_ids, col_ids).reshape(-1)
+                    res = pair_fn(d.reshape(-1, 2))
+                    return None, ((res[0] & owned),) + tuple(res[1:])
+
+                _, outs = jax.lax.scan(
+                    body, None, jnp.arange(fsteps, dtype=jnp.int32))
+                keep = outs[0].reshape(-1)
+                m = keep.shape[0]
+                pos = jnp.sort(jnp.where(
+                    keep, jnp.arange(m, dtype=jnp.int32), m))
+                safe = jnp.clip(pos, 0, m - 1)
+                return ((pos[None],)
+                        + tuple(jnp.take(p.reshape(-1), safe)[None]
+                                for p in outs[1:])
+                        + (keep.sum()[None],))
+
+            return jax.jit(jax.shard_map(
+                local, mesh=mesh, in_specs=(shp, rep, rep, rep),
+                out_specs=(sh2,) * (1 + n_payload) + (sh1,),
+                check_vma=False))
+
+        self.make_compact = make_compact
         self._caches = {}
         self._makers = {"stats": make_stats, "counts": make_counts,
                         "fetch": make_fetch, "counts2d": make_counts2d,
@@ -1154,17 +1188,8 @@ class StreamingCondensed:
             raise ValueError(f"n_real ({n_real}) must be <= n ({n})")
         half = fold_rows(n)
         self._mesh = mesh
-        if shard_planes == "auto":
-            # replicated planes past ~half a 16 GB chip: switch to the
-            # column-sharded tier (planes split over the genome axis).
-            # ONE home for the policy — callers pass "auto"
-            shard_planes = False
-            if mesh is not None:
-                n_dev = int(np.prod(list(mesh.shape.values())))
-                acct = streaming_hbm_accounting(
-                    n, klist, sketchsize64, bbits, chunk, knn, n_dev,
-                    shard_planes=False)
-                shard_planes = acct["planes"] > 8e9 and n % n_dev == 0
+        shard_planes = _resolve_shard_planes(
+            shard_planes, mesh, n, klist, sketchsize64, bbits, chunk, knn)
         self._col = bool(shard_planes) and mesh is not None
         if self._col:
             n_dev = int(np.prod(list(mesh.shape.values())))
@@ -2552,6 +2577,81 @@ def _mesh_compact_pass(mesh, planes, lengths, freqs, chunk, n_pad,
     return tuple(np.concatenate(cols) for cols in zip(*rows))
 
 
+def _resolve_shard_planes(shard_planes, mesh, n, klist, ss64, bbits,
+                          chunk, knn):
+    """ONE home for the column-sharding policy: "auto" switches when the
+    REPLICATED planes would crowd a 16 GB device (past ~100k genomes at
+    production geometry) and the genome axis divides the mesh."""
+    if shard_planes != "auto":
+        return bool(shard_planes)
+    if mesh is None:
+        return False
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    acct = streaming_hbm_accounting(n, klist, ss64, bbits, chunk, knn,
+                                    n_dev, shard_planes=False)
+    return acct["planes"] > 8e9 and n % n_dev == 0
+
+
+def _col_compact_pass(mesh, planes, lengths, freqs, chunk, n_pad,
+                      fold_kwargs, pair_fn, n_payload, bytes_per_pair):
+    """Column-sharded twin of _mesh_compact_pass: the planes split over
+    the genome axis (replicated residency would overflow HBM past ~100k
+    genomes); every device walks all folded chunks and compacts its
+    column slice. Returns (i, j, *payloads) grouped by owning device —
+    callers needing a specific pair order sort (qc lexsorts already)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    half = fold_rows(n_pad)
+    if n_pad % n_dev:
+        raise ValueError(f"n ({n_pad}) must be a multiple of the device "
+                         f"count ({n_dev})")
+    n_loc = n_pad // n_dev
+    c = max(1, min(chunk, half))
+    while half % c:
+        c //= 2
+    cs = _ColShardedStream(
+        mesh, n_pad, n_loc, c, 1, fold_kwargs["klist"],
+        fold_kwargs["sketchsize64"], fold_kwargs["bbits"],
+        fold_kwargs["pad_bits"], 0, fold_kwargs["use_pallas"],
+        fold_kwargs.get("n_real"))
+    rep = NamedSharding(mesh, P())
+    shp = NamedSharding(mesh, P(None, None, ("q", "r"), None))
+    plan = _dispatch_plan(half, c, n_loc,
+                          cap_rows=int(1.5e9 / (2 * bytes_per_pair
+                                                * n_loc)))
+    fns = {}
+    outs = {}
+    with mesh:
+        planes = jax.device_put(jnp.asarray(planes), shp)
+        lengths = jax.device_put(jnp.asarray(lengths), rep)
+        freqs = jax.device_put(jnp.asarray(freqs), rep)
+        for gi, (off, fsteps) in enumerate(plan):
+            if fsteps not in fns:
+                fns[fsteps] = cs.make_compact(pair_fn, n_payload,
+                                              int(fsteps))
+            m_loc = fsteps * 2 * c * n_loc
+            res = fns[fsteps](planes, lengths, freqs, jnp.int32(off))
+            pos, payloads, counts = res[0], res[1:-1], res[-1]
+            counts_h = np.asarray(counts)
+            for d in range(n_dev):
+                k = int(counts_h[d])
+                if k == 0:
+                    continue
+                b = min(_bucket_pow2(k), m_loc)
+                ii, jj = _col_decode(
+                    np.asarray(pos[d, :b][:k], np.int64), off, c, n_loc,
+                    n_pad, d)
+                outs[(d, gi)] = (ii, jj) + tuple(
+                    np.asarray(p[d, :b][:k]) for p in payloads)
+    rows = [outs[key] for key in sorted(outs)]
+    if not rows:
+        z = np.zeros(0, np.int32)
+        return (z, z) + tuple(np.zeros(0)
+                              for _ in range(n_payload))
+    return tuple(np.concatenate(cols) for cols in zip(*rows))
+
+
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
                                    "bbits", "pad_bits", "use_pallas",
                                    "n_real", "check_zero"))
@@ -2592,7 +2692,8 @@ def _stream_qc_group(planes, lengths, freqs, s0, max_pi, max_a, c, steps,
 def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
                            bbits, chunk, n_real, max_pi_dist, max_a_dist,
                            max_fetch=40_000_000, use_pallas=None,
-                           mesh=None, check_zero=True):
+                           mesh=None, check_zero=True,
+                           shard_planes=False):
     """Distance-QC pre-pass over a plane-major population with no O(n^2)
     anywhere: the streaming twin of qc.qc_dist_mat's row scan
     (qcDistMat, PopPUNK/qc.py:295-369 loads the full condensed matrix).
@@ -2624,15 +2725,22 @@ def qc_bad_pairs_streaming(planes, lengths, freqs, klist, sketchsize64,
             pad_bits=int(pad_bits), knn=1, dist_col=0,
             use_pallas=bool(use_pallas),
             n_real=int(n_real) if n_real < n_pad else None)
-        pos, flags = _mesh_compact_pass(
-            mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
-            pair_fn, 1, 6)
-        if len(pos) > max_fetch:
+        if _resolve_shard_planes(shard_planes, mesh, n_pad, klist,
+                                 sketchsize64, bbits, chunk, 1):
+            i, j, flags = _col_compact_pass(
+                mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
+                pair_fn, 1, 6)
+            i, j = i.astype(np.int64), j.astype(np.int64)
+        else:
+            pos, flags = _mesh_compact_pass(
+                mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
+                pair_fn, 1, 6)
+            i, j = fold_inverse(pos, n_pad)
+        if len(i) > max_fetch:
             raise RuntimeError(
                 f"more than {max_fetch} pairs fail distance QC — the "
                 "thresholds reject most of the population; loosen "
                 "--max-pi-dist/--max-a-dist")
-        i, j = fold_inverse(pos, n_pad)
         order = np.lexsort((j, i))
         return i[order], j[order], flags.astype(np.uint8)[order]
     half = fold_rows(n_pad)
@@ -2719,7 +2827,7 @@ def _stream_boundary_group(planes, lengths, freqs, s0, scale, bx, by, c,
 def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
                           bbits, chunk, n_real, scale, bx, by, slope=2,
                           max_fetch=100_000_000, use_pallas=None,
-                          mesh=None):
+                          mesh=None, shard_planes=False):
     """(i, j) of every pair inside a fixed boundary, streamed from the
     sketches with no O(n^2) tensor — the --use-model path's network
     construction (the reference re-assigns the full host matrix,
@@ -2751,14 +2859,20 @@ def fetch_within_boundary(planes, lengths, freqs, klist, sketchsize64,
             pad_bits=int(pad_bits), knn=1, dist_col=0,
             use_pallas=bool(use_pallas),
             n_real=int(n_real) if n_real < n_pad else None)
-        (pos,) = _mesh_compact_pass(
-            mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
-            pair_fn, 0, 5)
-        if len(pos) > max_fetch:
+        if _resolve_shard_planes(shard_planes, mesh, n_pad, klist,
+                                 sketchsize64, bbits, chunk, 1):
+            i, j = _col_compact_pass(
+                mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
+                pair_fn, 0, 5)
+        else:
+            (pos,) = _mesh_compact_pass(
+                mesh, planes, lengths, freqs, chunk, n_pad, fold_kwargs,
+                pair_fn, 0, 5)
+            i, j = fold_inverse(pos, n_pad)
+        if len(i) > max_fetch:
             raise RuntimeError(
                 f"more than {max_fetch} pairs fall inside the boundary — "
                 "the model boundary captures most of this population")
-        i, j = fold_inverse(pos, n_pad)
         return i.astype(np.int32), j.astype(np.int32)
     half = fold_rows(n_pad)
     chunk = min(chunk, half)

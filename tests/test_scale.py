@@ -625,6 +625,39 @@ class TestMeshCompactPasses:
         edges = edge_iterate(host_condensed / scale, 2, 0.4, 0.5)
         assert sorted(zip(si, sj)) == sorted(map(tuple, edges))
 
+    def test_qc_pairs_col_sharded(self, pop):
+        # the column-sharded compact pass (shard_planes) returns the
+        # same lexsorted (i, j, flags) as the row-sharded/single paths
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import qc_bad_pairs_streaming
+
+        args = (pop.planes, pop.lengths, pop.freqs, KLIST, SS64, BBITS,
+                4, N, 0.05, 0.3)
+        si, sj, sf = qc_bad_pairs_streaming(*args, use_pallas=False)
+        ci, cj, cf = qc_bad_pairs_streaming(
+            *args, use_pallas=False, mesh=get_mesh(len(jax.devices())),
+            shard_planes=True)
+        assert np.array_equal(ci, si) and np.array_equal(cj, sj)
+        assert np.array_equal(cf, sf)
+
+    def test_boundary_fetch_col_sharded(self, pop, host_condensed):
+        import jax
+
+        from poppunk_tpu.parallel.mesh import get_mesh
+        from poppunk_tpu.scale import fetch_within_boundary
+
+        scale = host_condensed.max(axis=0)
+        args = (pop.planes, pop.lengths, pop.freqs, KLIST, SS64, BBITS,
+                4, N, scale, 0.4, 0.5, 2)
+        si, sj = fetch_within_boundary(*args, use_pallas=False)
+        ci, cj = fetch_within_boundary(
+            *args, use_pallas=False, mesh=get_mesh(len(jax.devices())),
+            shard_planes=True)
+        # col pairs come back grouped by owning device: set equality
+        assert sorted(zip(ci, cj)) == sorted(zip(si, sj))
+
 
 class TestArbitraryPadStreaming:
     """Arbitrary zero-genome padding (pack_planes pad_to): real-world
