@@ -55,14 +55,14 @@ def get_options(arg_list=None):
     qc_group.add_argument("--run-qc", action="store_true")
     qc_group.add_argument("--retain-failures", action="store_true")
     qc_group.add_argument("--max-a-dist", type=float, default=0.5)
-    qc_group.add_argument("--max-pi-dist", type=float, default=0.5)
-    qc_group.add_argument("--max-zero-dist", type=float, default=1.0)
+    qc_group.add_argument("--max-pi-dist", type=float, default=0.1)
+    qc_group.add_argument("--max-zero-dist", type=float, default=0.05)
     qc_group.add_argument("--max-merge", type=int, default=-1)
     qc_group.add_argument("--betweenness", action="store_true")
-    qc_group.add_argument("--length-sigma", type=int, default=5)
+    qc_group.add_argument("--length-sigma", type=int, default=None)
     qc_group.add_argument("--length-range", nargs=2, type=int,
                           default=[None, None])
-    qc_group.add_argument("--prop-n", type=float, default=0.1)
+    qc_group.add_argument("--prop-n", type=float, default=None)
     qc_group.add_argument("--upper-n", type=int, default=None)
 
     query_group = parser.add_argument_group("Database querying options")

@@ -20,13 +20,13 @@ from .common import (default_dists, file_base, parse_kmers, qc_dict_from_args,
 
 # Defaults (reference __main__.py:17-26)
 DEFAULT_MAX_A_DIST = 0.5
-DEFAULT_MAX_PI_DIST = 0.5
-DEFAULT_MAX_ZERO = 1.0
+DEFAULT_MAX_PI_DIST = 0.1
+DEFAULT_MAX_ZERO = 0.05
 DEFAULT_LENGTH_SIGMA = 5
 DEFAULT_PROP_N = 0.1
 BETWEENNESS_SAMPLE_DEFAULT = 100
-DEFAULT_X = 0.1
-DEFAULT_R = 3
+DEFAULT_X = 0.2
+DEFAULT_R = 50
 
 
 def get_options(arg_list=None):
@@ -44,6 +44,7 @@ def get_options(arg_list=None):
     mode.add_argument("--fit-model",
                       choices=["bgmm", "dbscan", "refine", "lineage",
                                "threshold"],
+                      default=False,
                       help="Fit a model to a database's distances")
     mode.add_argument("--use-model", action="store_true",
                       help="Apply a previously fitted model to a database")
@@ -97,7 +98,7 @@ def get_options(arg_list=None):
 
     model_group = parser.add_argument_group("Model fit options")
     model_group.add_argument("--model-subsample", type=int, default=100000)
-    model_group.add_argument("--assign-subsample", type=int, default=100000)
+    model_group.add_argument("--assign-subsample", type=int, default=5000)
     model_group.add_argument("--for-refine", action="store_true",
                              help="Fit only to be used as a refine start (skip full assignment)")
     model_group.add_argument("--K", type=int, default=2,
@@ -133,7 +134,7 @@ def get_options(arg_list=None):
     lineage_group.add_argument("--ranks", default="1,2,3")
     lineage_group.add_argument("--count-unique-distances", action="store_true")
     lineage_group.add_argument("--reciprocal-only", action="store_true")
-    lineage_group.add_argument("--max-search-depth", type=int, default=None)
+    lineage_group.add_argument("--max-search-depth", type=int, default=10000)
     lineage_group.add_argument("--write-lineage-networks", action="store_true")
     lineage_group.add_argument("--use-accessory", action="store_true")
     lineage_group.add_argument("--lineage-resolution", type=float, default=1e-10)

@@ -5,7 +5,7 @@ Replaces the reference's graph-tool/cugraph dual backend
 (n_vertices, edges[int64 E x 2], optional weights) — components, summary
 statistics and cluster naming operate on these arrays via scipy.sparse /
 numpy on the host and via label-propagation kernels on device
-(network/device.py) inside the refine sweep.
+(ops/device_sweep.py) inside the refine sweep.
 """
 
 from .graph import Graph  # noqa: F401

@@ -17,7 +17,8 @@ Replaces the external ``hdbscan`` package the reference depends on
    hdbscan.approximate_predict for all-pair assignment,
    PopPUNK/models.py:192).
 
-Validated against sklearn.cluster.HDBSCAN in tests/test_dbscan.py.
+Validated against sklearn.cluster.HDBSCAN in tests/test_models.py
+(TestDBSCAN) and tests/test_hdbscan_shapes.py.
 """
 
 from dataclasses import dataclass

@@ -40,8 +40,8 @@ DEFAULT_QC = {
     "max_merge": -1,
     "betweenness": False,
     "type_isolate": None,
-    "x": 0.1,
-    "r": 3,
+    "x": 0.2,
+    "r": 50,
 }
 
 

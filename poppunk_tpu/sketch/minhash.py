@@ -20,7 +20,7 @@ sketchsize64*bbits uint64):
 
 Jaccard estimation from two sketches counts bins whose bbits-bit values
 agree on all planes, then corrects for chance collisions:
-``J = (matches/S - 2^-b) / (1 - 2^-b)`` — see ops/jaccard.py.
+``J = (matches/S - 2^-b) / (1 - 2^-b)`` — see ops/jaccard_np.py and ops/pallas_jaccard.py.
 
 The exact bit patterns are self-consistent within this framework (they are
 not guaranteed bit-identical to pp-sketchlib, whose source is not part of

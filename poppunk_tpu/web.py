@@ -196,3 +196,92 @@ def summarise_clusters(output, species, species_db, q_names):
         alias_dict = {"Aliases": "NA"}
     return (queries_names, queries_clusters, queries_prevalence, clusters,
             prevalences, alias_dict, to_include)
+
+
+def assign_sketch_json(sketches, ref_db, output, species="",
+                       species_db=None, qc_dict=None):
+    """The PopPUNK-web request flow as one call: JSON sketches in,
+    cluster assignments + prevalence summary out.
+
+    This is what the reference's ``poppunk_api-runner.py`` intends to
+    expose (it imports a ``main`` that PopPUNK/web.py never defines; the
+    working flow lives in the external PopPUNK-web/beebop service).
+    Steps: sketch_to_hdf5 -> assign_query_hdf5 (full network) ->
+    summarise_clusters -> JSON-serialisable response dict.
+
+    ``sketches``: dict name -> sketch (canonical JSON dict or string).
+    """
+    from .assign import assign_query_hdf5
+    from .qc import DEFAULT_QC
+
+    if qc_dict is None:
+        qc_dict = dict(DEFAULT_QC)
+    output = output.rstrip("/")
+    q_names = sketch_to_hdf5(sketches, output)
+    assign_query_hdf5(ref_db.rstrip("/"), q_names, output, qc_dict,
+                      save_partial_query_graph=True)
+    (names, clusters_q, prevalence_q, clusters, prevalences, aliases,
+     to_include) = summarise_clusters(output, species,
+                                      species_db or ref_db, q_names)
+    return {
+        "species": species,
+        "queries": [
+            {"name": n, "cluster": str(c), "prevalence": p,
+             "aliases": aliases}
+            for n, c, p in zip(names, clusters_q, prevalence_q)
+        ],
+        "clusters": [
+            {"cluster": str(c), "prevalence": p}
+            for c, p in zip(clusters, prevalences)
+        ],
+    }
+
+
+def main(arg_list=None):
+    """``poppunk_tpu_api`` entry point (counterpart of the reference's
+    poppunk_api-runner.py, which wraps PopPUNK/web.py): assign JSON
+    sketches against a fitted reference database and print a JSON
+    response with cluster assignments and prevalences."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="poppunk_tpu_api",
+        description="Assign JSON sketches against a fitted reference "
+                    "database (PopPUNK-web flow)")
+    parser.add_argument("--sketch", required=True, nargs="+",
+                        help="JSON sketch file(s); either a single "
+                             "{name: sketch} document or one sketch per "
+                             "file (named by file stem)")
+    parser.add_argument("--ref-db", required=True,
+                        help="Fitted reference database directory")
+    parser.add_argument("--output", required=True,
+                        help="Output directory for the query database")
+    parser.add_argument("--species", default="",
+                        help="Species label for alias lookup")
+    parser.add_argument("--species-db", default=None,
+                        help="Directory holding aliases.csv "
+                             "[default = --ref-db]")
+    args = parser.parse_args(arg_list)
+
+    sketches = {}
+    for path in args.sketch:
+        with open(path) as fh:
+            doc = json.load(fh)
+        # Per-sketch files hold the sketch itself (has sketch keys);
+        # a combined document maps names to sketches.
+        if any(k in doc for k in ("bbits", "sketchsize64", "version")):
+            name = os.path.splitext(os.path.basename(path))[0]
+            sketches[name] = doc
+        else:
+            sketches.update(doc)
+
+    response = assign_sketch_json(sketches, args.ref_db, args.output,
+                                  species=args.species,
+                                  species_db=args.species_db)
+    json.dump(response, sys.stdout, indent=2)
+    sys.stdout.write("\n")
+    return response
+
+
+if __name__ == "__main__":
+    main()

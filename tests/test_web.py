@@ -105,3 +105,49 @@ def test_api_posts_legacy_microreact(tmp_path, monkeypatch):
     # query cluster 1 rows highlighted red, others blue
     assert "red" in posted["data"]["data"]
     assert "blue" in posted["data"]["data"]
+
+
+def test_api_main_flow(population, population_dir, tmp_path):
+    """poppunk_tpu_api end-to-end: build + fit a reference db, export one
+    held-out genome's sketch as canonical JSON, assign it through
+    web.main, and check the JSON response names the right cluster."""
+    from poppunk_tpu.cli.main import main as poppunk_main
+    from poppunk_tpu.io.hdf5db import read_sketches
+    from poppunk_tpu.web import main as api_main
+
+    d, _ = population_dir
+    refs = [n for n in population.names if not n.endswith("iso0")]
+    queries = [n for n in population.names
+               if n.endswith("iso0") and n.startswith("strain0")]
+    rfile = population.subset_rfile(d, refs, "api_refs.txt")
+    qfile = population.subset_rfile(d, queries, "api_q.txt")
+
+    kargs = ["--min-k", "13", "--max-k", "25", "--k-step", "4",
+             "--sketch-size", "2048", "--no-plot"]
+    db = str(tmp_path / "apidb")
+    poppunk_main(["--create-db", "--r-files", rfile, "--output", db] + kargs)
+    poppunk_main(["--fit-model", "bgmm", "--ref-db", db, "--output", db,
+                  "--K", "2", "--no-plot"])
+
+    # sketch the query separately, then export it as canonical JSON —
+    # the shape a web front end would POST
+    qdb = str(tmp_path / "apiq")
+    poppunk_main(["--create-db", "--r-files", qfile, "--output", qdb] + kargs)
+    (sk,) = read_sketches(qdb, queries)
+    sketch_path = str(tmp_path / (queries[0] + ".json"))
+    with open(sketch_path, "w") as f:
+        json.dump(sketch_to_json(sk), f)
+
+    out = str(tmp_path / "apiout")
+    response = api_main(["--sketch", sketch_path, "--ref-db", db,
+                         "--output", out])
+    assert response["queries"][0]["name"] == queries[0]
+    # the query inherits the ref db's nomenclature: its cluster id must be
+    # the one holding the other strain0 isolates in the reference CSV
+    import csv as _csv
+    with open(os.path.join(db, os.path.basename(db) + "_clusters.csv")) as f:
+        rows = {r["Taxon"]: r["Cluster"] for r in _csv.DictReader(f)}
+    strain0_clusters = {rows[n] for n in rows if n.startswith("strain0")}
+    assert strain0_clusters, "no strain0 isolates in the ref clustering"
+    assert response["queries"][0]["cluster"] in strain0_clusters
+    assert response["clusters"], "prevalence table empty"
