@@ -8,7 +8,6 @@ file level.
 """
 
 import os
-import pickle
 import re
 import sys
 
@@ -22,9 +21,14 @@ def load_cluster_fit(pkl_file, npz_file, out_prefix="", max_samples=100000):
     from .dbscan import DBSCANFit
     from .refine import RefineFit
     from .lineage import LineageFit
+    from .compat import tolerant_pickle_load
 
+    # The reference pickles live library objects (sklearn BGMM, an
+    # hdbscan.HDBSCAN — models.py:341-354, 613-630); tolerant_pickle_load
+    # stubs classes this environment cannot import so published PopPUNK
+    # databases still open. Parameters are reconstructed from the npz.
     with open(pkl_file, "rb") as f:
-        fit_object, fit_type = pickle.load(f)
+        fit_object, fit_type = tolerant_pickle_load(f)
 
     if fit_type == "lineage":
         prefix = re.match(r"^(.+)_fit\.pkl$", os.path.basename(pkl_file))

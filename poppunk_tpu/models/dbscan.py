@@ -45,6 +45,23 @@ def evaluate_dbscan_clusters(model):
     )
 
 
+class _UnloadablePredictor:
+    """Stands in for a foreign DBSCAN fit whose pickle carried no
+    training data: loading succeeds (within/between labels and cluster
+    boxes come from the npz) but assigning new points raises with a
+    actionable message instead of an unpickling crash."""
+
+    def __init__(self, desc):
+        self._desc = desc
+
+    def approximate_predict(self, *_a, **_k):
+        raise RuntimeError(
+            "This DBSCAN model was written by another PopPUNK build and "
+            f"its pickle ({self._desc}) carries no training data; re-fit "
+            "the model (--fit-model dbscan) or refine it (--fit-model "
+            "refine) before assigning new distances")
+
+
 class DBSCANFit(ClusterFit):
     def __init__(self, out_prefix, max_batch_size=5000, max_samples=100000,
                  assign_points=True, seed=42, grid_assign=False,
@@ -197,8 +214,27 @@ class DBSCANFit(ClusterFit):
             pickle.dump([self.hdb, self.type], f)
 
     def load(self, fit_npz, fit_obj):
-        self.hdb = fit_obj
-        self.labels = self.hdb.labels_
+        from .compat import is_foreign, rebuild_hdbscan_from_state
+
+        if is_foreign(fit_obj):
+            # a reference-written pickle (an hdbscan.HDBSCAN we could not
+            # import): rebuild a working predictor from its stored state
+            rebuilt = rebuild_hdbscan_from_state(fit_obj.__dict__)
+            if rebuilt is None:
+                sys.stderr.write(
+                    "Foreign DBSCAN fit lacks training data; only "
+                    "npz-derived parameters (within/between labels, "
+                    "cluster boxes) are available — re-fit or refine "
+                    "before assigning new distances\n")
+                self.hdb = _UnloadablePredictor(repr(fit_obj))
+                self.labels = np.asarray(
+                    fit_obj.__dict__.get("labels_", []), dtype=np.int64)
+            else:
+                self.hdb = rebuilt
+                self.labels = rebuilt.labels_
+        else:
+            self.hdb = fit_obj
+            self.labels = self.hdb.labels_
         self.n_clusters = int(fit_npz["n_clusters"])
         self.scale = fit_npz["scale"]
         self.within_label = int(fit_npz["within"])
