@@ -648,12 +648,22 @@ def _network_and_clusters(cd, sweep, s_opt, names, output, args,
         _, i, j, xs, ys = sweep
         bx, by = boundary
         mask = inside_2d_host(xs, ys, bx, by)
+        edges = np.stack([i[mask], j[mask]], axis=1).astype(np.int64)
+    elif sweep[0] == "edges":
+        # device-resident sweep: fetch only the optimal boundary's edges
+        # (the artefact needs them on the host; the sweep itself never
+        # crossed the link)
+        _, dev_edges, s_range, line = sweep
+        t_final = offset_threshold(float(s_opt), s_range, slope, *line)
+        k = int(dev_edges.counts_at(np.array([t_final]))[0])
+        ei, ej = dev_edges.fetch_prefix(k)
+        edges = np.stack([ei, ej], axis=1).astype(np.int64)
     else:
         kind, i, j, idx, d0, s_range, line = sweep
         assert kind == "sparse"
         t_final = offset_threshold(float(s_opt), s_range, slope, *line)
         mask = d0 <= t_final
-    edges = np.stack([i[mask], j[mask]], axis=1).astype(np.int64)
+        edges = np.stack([i[mask], j[mask]], axis=1).astype(np.int64)
     G = Graph(cd.n, edges)
     if suffix == "":
         from ..network.summary import print_network_summary

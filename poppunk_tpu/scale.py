@@ -36,6 +36,7 @@ Consumers (all chunked over the buffer, nothing O(n^2) on the host):
     synthetic device population, with per-stage wall clock.
 """
 
+import os
 import sys
 import time
 from functools import partial
@@ -2178,6 +2179,147 @@ def offset_threshold(s_value, offsets, slope, x0, y0, x1, y1):
 
 
 # ---------------------------------------------------------------------------
+# Device-resident sweep edges: the fill pass for ops/sparse_sweep
+#
+# Same enumeration as sweep_first_offsets, but the compacted in-boundary
+# pairs are appended into device buffers instead of crossing the host
+# tunnel (438 s of the round-3 65k refine was that fetch). The host sees
+# one count scalar per dispatch; scoring then runs on device
+# (ops/sparse_sweep.sweep_scores_sparse_device) and only the optimal
+# boundary's edges are ever fetched.
+
+
+@partial(jax.jit, static_argnames=("n", "b"), donate_argnums=(0, 1, 2))
+def _fill_append(bi, bj, bd, pos_b, d0_b, k, acc, row0, n, b):
+    """Append one dispatch's compacted pairs to the edge buffers.
+
+    pos_b: i32[b] sorted local flat positions (pads hold the window
+    size m >= anything real — masked out by lane < k); decoded to global
+    (i, j) with the fold_inverse arithmetic, all int32-exact because the
+    row index is split out (row0) before the divmod."""
+    lane = jnp.arange(b, dtype=jnp.int32)
+    mask = lane < k
+    r = pos_b // (n - 1) + row0
+    q = pos_b % (n - 1)
+    first = q < n - 1 - r
+    i = jnp.where(first, r, n - 1 - r)
+    j = jnp.where(first, q + r + 1, q + 1)
+    cap = bi.shape[0]
+    dest = jnp.where(mask, acc + lane, cap)  # out-of-range -> dropped
+    bi = bi.at[dest].set(jnp.where(mask, i, n), mode="drop")
+    bj = bj.at[dest].set(jnp.where(mask, j, n), mode="drop")
+    bd = bd.at[dest].set(jnp.where(mask, d0_b, jnp.inf), mode="drop")
+    return bi, bj, bd
+
+
+def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
+                      e_total, chunk_rows=1024):
+    """Stream every pair whose first offset is < n_act into
+    device-resident buffers; returns ops.sparse_sweep.SweepEdges.
+
+    e_total: exact expected pair count (from the counts pre-pass) —
+    sizes the buffers at 2 * bucket(e_total) so the sparse sweep's
+    dynamic delta slices always stay in range. Single-device streaming
+    and buffered tiers; mesh-sharded callers use the host path."""
+    from .ops.sparse_sweep import SweepEdges, _bucket as _ss_bucket
+
+    streaming = cd.buf is None
+    xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
+    t_dev = jnp.asarray(t, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    xm0_dev, ym0_dev = jnp.float32(xm0), jnp.float32(ym0)
+    n_pad = getattr(cd, "_n_pad", cd.n)
+    half = fold_rows(n_pad)
+
+    e_alloc = 2 * _ss_bucket(max(int(e_total), 1))
+    bi = jnp.full(e_alloc, n_pad, jnp.int32)
+    bj = jnp.full(e_alloc, n_pad, jnp.int32)
+    bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
+    acc = 0
+
+    if streaming:
+        chunk_rows = _dispatch_plan(
+            half, cd.chunk, n_pad,
+            cap_rows=int(1.5e9 / (9 * n_pad)))[0][1] * cd.chunk
+    for s in range(0, half, chunk_rows):
+        rows = min(chunk_rows, half - s)
+        if streaming:
+            nr = cd._n_real if cd._n_real < n_pad else None
+            pos, _, d0, count = _stream_sweep_group(
+                cd.planes, cd.lengths, cd.freqs, jnp.int32(s),
+                jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev,
+                cd.chunk, int(rows // cd.chunk), cd._klist, cd._ss64,
+                cd._bbits, cd._pad_bits, int(slope), cd._use_pallas, nr)
+            m = rows * (n_pad - 1)
+        else:
+            chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
+            m = chunk_x.shape[0]
+            pos, _, d0, count = _sweep_gather(chunk_x, scale_dev,
+                                              t_dev[:n_act],
+                                              xm0_dev, ym0_dev, int(slope))
+        k = int(count)
+        if k == 0:
+            continue
+        if acc + k > e_total:
+            raise RuntimeError(
+                f"sweep fill overflow: {acc + k} pairs > counted "
+                f"{e_total} (counts/fill passes disagree)")
+        b = min(_bucket_pow2(k), m)
+        bi, bj, bd = _fill_append(
+            bi, bj, bd, pos[:b], d0[:b], jnp.int32(k), jnp.int32(acc),
+            jnp.int32(s), n_pad, int(b))
+        acc += k
+    n_real = getattr(cd, "_n_real", cd.n)
+    return SweepEdges(bi, bj, bd, acc, n_pad, n_real=n_real)
+
+
+@partial(jax.jit, static_argnames=("n", "iters"))
+def _edge_label_prop(iv, jv, active, n, iters):
+    """Min-label propagation over an edge list: labels converge to the
+    per-component minimum vertex id in O(diameter) rounds."""
+    labels = jnp.arange(n + 1, dtype=jnp.int32)  # slot n = pad sink
+
+    def body(labels, _):
+        li = labels[jnp.clip(iv, 0, n)]
+        lj = labels[jnp.clip(jv, 0, n)]
+        m = jnp.where(active, jnp.minimum(li, lj), n)
+        labels = labels.at[iv].min(jnp.where(active, m, n), mode="drop")
+        labels = labels.at[jv].min(jnp.where(active, m, n), mode="drop")
+        # pointer-jump: label of my label (halves tree height per round)
+        labels = labels[labels]
+        changed = ((labels[jnp.clip(iv, 0, n)] != li)
+                   | (labels[jnp.clip(jv, 0, n)] != lj)).any()
+        return labels, changed
+
+    labels, changed = jax.lax.scan(body, labels, None, length=iters)
+    return labels[:n], changed[-1]
+
+
+def edge_components_device(edges, threshold):
+    """Connected-component labels at a boundary from a SweepEdges list,
+    computed on device — only O(n) labels cross the host link. Labels
+    are compacted to 0..k-1 in first-seen order (the scipy/native
+    convention used by components_native)."""
+    k = int(edges.counts_at(np.array([threshold]))[0])
+    active = jnp.arange(edges.i.shape[0], dtype=jnp.int32) < k
+    iters = 8
+    while True:
+        labels, changed = _edge_label_prop(edges.i, edges.j, active,
+                                           edges.n, iters)
+        if not bool(changed):
+            break
+        iters *= 2
+        if iters > 4 * int(np.ceil(np.log2(max(edges.n, 2))) + 2):
+            raise RuntimeError("label propagation failed to converge")
+    labels = np.asarray(labels)[:edges.n_real]
+    _, compact = np.unique(labels, return_inverse=True)
+    # np.unique orders by label value = min vertex id; first-seen order
+    # of component roots is ascending root id as well, so this matches
+    # the native union-find convention
+    return compact, k
+
+
+# ---------------------------------------------------------------------------
 # Matmul sweep: score every offset on device, fetch O(1)
 #
 # For score_idx 0 the refine score is transitivity * (1 - density) —
@@ -2343,6 +2485,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
     s_range = np.linspace(-min_move, search_length, num=n_grid)
     line = (mean0[0], mean0[1], mean1[0], mean1[1])
 
+    edges = None  # device-resident SweepEdges when the sparse path runs
     use_matmul = (score_idx == 0 and cd.n <= MATMUL_SWEEP_MAX_N
                   and cd.buf is not None)
     if use_matmul:
@@ -2352,6 +2495,8 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             raise RuntimeError("Boundary range includes all points")
     else:
         from .network.incremental import grow_network_scores
+        from .ops.sparse_sweep import (hbm_feasible,
+                                       sweep_scores_sparse_device)
 
         # counts-only pre-pass, buffered or streaming: the fetch cap
         # applies to BOTH (the buffered widest offsets hold the same
@@ -2378,21 +2523,48 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 f"refine: offsets {o_star + 1}..{n_grid - 1} hold "
                 f"{cum[o_star + 1]}..{cum[-1]} pairs (> max_sweep_fetch "
                 f"{max_sweep_fetch}); scored as 1\n")
+        # Device sparse sweep (ops/sparse_sweep): score_idx 0 at any n,
+        # no O(E) host fetch. Betweenness scores (idx 1/2) and
+        # mesh-sharded populations use the host native engine.
+        n_pad = getattr(cd, "_n_pad", cd.n)
+        use_sparse_dev = (
+            score_idx == 0
+            and getattr(cd, "_mesh", None) is None
+            and not getattr(cd, "_col", False)
+            and os.environ.get("POPPUNK_TPU_SPARSE_SWEEP", "1") != "0"
+            and hbm_feasible(n_pad, int(cum[min(o_star + 1,
+                                                n_grid - 1)])))
+        edges = None
+        xm0_l, ym0_l, t_all = _line_d0_params(s_range, slope, *line)
         while True:  # o_star strictly widens, so <= n_grid iterations
             t_ph = time.perf_counter()
-            i, j, idx, d0 = sweep_first_offsets(
-                cd, scale, s_range, slope, *line, _n_act=o_star + 1)
-            t_sc = time.perf_counter()
-            global_s = np.ones(n_grid)
-            global_s[:o_star + 1] = grow_network_scores(
-                cd.n, i, j, idx, o_star + 1, score_idx,
-                betweenness_sample, rng=rng)
-            sys.stderr.write(
-                f"refine: fetch {len(i)} pairs {t_sc - t_ph:.1f}s, "
-                f"score {time.perf_counter() - t_sc:.1f}s\n")
+            if use_sparse_dev:
+                edges = sweep_fill_device(
+                    cd, scale, s_range, slope, *line, n_act=o_star + 1,
+                    e_total=int(cum[o_star]))
+                t_sc = time.perf_counter()
+                global_s = np.ones(n_grid)
+                global_s[:o_star + 1], _ = sweep_scores_sparse_device(
+                    edges, t_all[:o_star + 1])
+                sys.stderr.write(
+                    f"refine: device fill {edges.count} pairs "
+                    f"{t_sc - t_ph:.1f}s, device score "
+                    f"{time.perf_counter() - t_sc:.1f}s\n")
+            else:
+                i, j, idx, d0 = sweep_first_offsets(
+                    cd, scale, s_range, slope, *line, _n_act=o_star + 1)
+                t_sc = time.perf_counter()
+                global_s = np.ones(n_grid)
+                global_s[:o_star + 1] = grow_network_scores(
+                    cd.n, i, j, idx, o_star + 1, score_idx,
+                    betweenness_sample, rng=rng)
+                sys.stderr.write(
+                    f"refine: fetch {len(i)} pairs {t_sc - t_ph:.1f}s, "
+                    f"score {time.perf_counter() - t_sc:.1f}s\n")
             if timings_out is not None:
-                timings_out["fetch"] = (timings_out.get("fetch", 0.0)
-                                        + t_sc - t_ph)
+                key = "fill" if use_sparse_dev else "fetch"
+                timings_out[key] = (timings_out.get(key, 0.0)
+                                    + t_sc - t_ph)
                 timings_out["score"] = (timings_out.get("score", 0.0)
                                         + time.perf_counter() - t_sc)
             min_idx = int(np.argmin(global_s))
@@ -2412,6 +2584,29 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
 
     if no_local:
         s_opt = float(s_range[min_idx])
+    elif 0 < min_idx < n_grid - 1 and edges is not None:
+        # device micro-grid: the same flat 147-point level as the host
+        # path, scored on device from the resident edge list — the
+        # active set at each sub-threshold is a prefix of the d0-sorted
+        # edges, so the whole level is one planned sparse sweep
+        from .ops.sparse_sweep import sweep_scores_sparse_device
+
+        lo, hi = s_range[min_idx - 1], s_range[min_idx + 1]
+        s_opt, best = float(s_range[min_idx]), global_s[min_idx]
+        t_ph = time.perf_counter()
+        sub_s = np.linspace(lo, hi, 149)[1:-1]
+        t_sub = np.maximum.accumulate([
+            offset_threshold(float(s), s_range, slope, *line)
+            for s in sub_s])
+        scores, _ = sweep_scores_sparse_device(edges, t_sub)
+        k_min = int(np.argmin(scores))
+        if scores[k_min] < best:
+            best, s_opt = scores[k_min], float(sub_s[k_min])
+        sys.stderr.write(
+            f"refine: device micro-grid "
+            f"{time.perf_counter() - t_ph:.1f}s\n")
+        if timings_out is not None:
+            timings_out["local"] = time.perf_counter() - t_ph
     elif 0 < min_idx < n_grid - 1 and cd.buf is None:
         # micro-grid local refinement: the native engine scores a whole
         # offset grid in ONE incremental pass, so bisection levels cost
@@ -2488,6 +2683,8 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 "Optimisation produced a boundary outside range")
     if use_matmul:
         sweep_data = ("device", d0_sq, s_range, line)
+    elif edges is not None:
+        sweep_data = ("edges", edges, s_range, line)
     else:
         sweep_data = ("sparse", i, j, idx, d0, s_range, line)
     return optimal_x, optimal_y, s_opt, sweep_data
@@ -3108,6 +3305,13 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         t_final = offset_threshold(s_opt, s_range, 2, *line)
         # components by device label propagation; only O(n) labels fetched
         labels, n_edges = components_device(d0_sq, t_final)
+        out["n_edges"] = n_edges
+    elif sweep[0] == "edges":
+        _, edges, s_range, line = sweep
+        t_final = offset_threshold(s_opt, s_range, 2, *line)
+        # label propagation over the device-resident edge list: only
+        # O(n) labels cross the host link
+        labels, n_edges = edge_components_device(edges, t_final)
         out["n_edges"] = n_edges
     else:
         _, i, j, idx, d0, s_range, line = sweep

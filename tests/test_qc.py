@@ -74,14 +74,18 @@ def test_qc_dist_mat_zero_proportion():
 
 
 def test_auto_dist_find():
+    # the reference detector needs L >= 100 * r distances (below that the
+    # 1%-of-bins step floors to zero and it reports "no outlier", exactly
+    # like the reference qc.py:254-257); at the default r = 50 that means
+    # >= 5000 pairs, so this fixture uses 30k
     rng = np.random.default_rng(1)
     core = np.concatenate([
-        rng.normal(0.02, 0.002, 3000).clip(0),
-        rng.normal(0.4, 0.01, 30).clip(0),  # outlier cloud
+        rng.normal(0.02, 0.002, 30000).clip(0),
+        rng.normal(0.4, 0.01, 300).clip(0),  # outlier cloud
     ])
     acc = np.concatenate([
-        rng.normal(0.1, 0.01, 3000).clip(0),
-        rng.normal(0.8, 0.01, 30).clip(0),
+        rng.normal(0.1, 0.01, 30000).clip(0),
+        rng.normal(0.8, 0.01, 300).clip(0),
     ])
     X = np.stack([core, acc], axis=1)
     qc_dict = dict(qc.DEFAULT_QC)
