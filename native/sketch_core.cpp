@@ -328,6 +328,71 @@ void scan_and_bin_simd(const InterleavedSeq &cx, int64_t n, int k,
           _mm512_permutexvar_epi64(inb, vrk));
   }
 }
+
+// SIMD twin of collect_hashes_for_k over the shared interleaved context
+// (the read path: hashes must be counted before binning). Appends the
+// canonical hash of every valid window to `out` — lane-major order, a
+// permutation of the scalar position order; all consumers are
+// multiset-blind (count-min and exact filtering are order-independent).
+void scan_and_collect_simd(const InterleavedSeq &cx, int64_t n, int k,
+                           bool use_rc, std::vector<uint64_t> &out) {
+  if (n < k) return;
+  int64_t n_win = n - k + 1;  // call sites route n_win < 64 to scalar
+  int64_t seg = cx.seg;
+  const uint8_t *il = cx.il.data();
+  const int32_t *irun = cx.irun.data();
+  size_t base = out.size();
+  out.resize(base + (size_t)n_win + 8);
+  uint64_t *dst = out.data() + base;
+  alignas(64) uint64_t tf[8] = {0}, tfk[8] = {0}, tr[8] = {0},
+                       trk[8] = {0};
+  for (int b = 0; b < 5; ++b) {
+    tf[b] = SEED[b];
+    tfk[b] = rol64(SEED[b], k);
+    tr[b] = SEED[COMP[b]];
+    trk[b] = rol64(SEED[COMP[b]], k - 1);
+  }
+  __m512i vf = _mm512_load_si512(tf), vfk = _mm512_load_si512(tfk);
+  __m512i vr = _mm512_load_si512(tr), vrk = _mm512_load_si512(trk);
+  __m256i vk = _mm256_set1_epi32(k);
+  alignas(64) uint64_t fh0[8], rh0[8];
+  for (int l = 0; l < 8; ++l) {
+    uint64_t fh = 0, rh = 0;
+    for (int i = 0; i < k; ++i) {
+      uint8_t c = il[(size_t)i * 8 + l];
+      fh ^= rol64(SEED[c], k - 1 - i);
+      rh ^= rol64(SEED[COMP[c]], i);
+    }
+    fh0[l] = fh;
+    rh0[l] = rh;
+  }
+  __m512i fh = _mm512_load_si512(fh0), rh = _mm512_load_si512(rh0);
+  for (int64_t t = 0;; ++t) {
+    __m512i h = use_rc ? _mm512_min_epu64(fh, rh) : fh;
+    __m256i rv = _mm256_loadu_si256((const __m256i *)&irun[(size_t)t * 8]);
+    __mmask8 valid = _mm256_cmpge_epi32_mask(rv, vk);
+    if (valid) {
+      _mm512_mask_compressstoreu_epi64(dst, valid, h);
+      dst += __builtin_popcount((unsigned)valid);
+    }
+    if (t + 1 >= seg || t + 1 >= n_win) break;
+    __m512i outb = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i *)&il[(size_t)t * 8]));
+    __m512i inb = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i *)&il[(size_t)(t + k) * 8]));
+    fh = _mm512_xor_si512(
+        _mm512_rol_epi64(fh, 1),
+        _mm512_xor_si512(_mm512_permutexvar_epi64(outb, vfk),
+                         _mm512_permutexvar_epi64(inb, vf)));
+    if (use_rc)
+      rh = _mm512_xor_si512(
+          _mm512_ror_epi64(
+              _mm512_xor_si512(rh, _mm512_permutexvar_epi64(outb, vr)),
+              1),
+          _mm512_permutexvar_epi64(inb, vrk));
+  }
+  out.resize((size_t)(dst - out.data()));
+}
 #endif  // SKETCH_SIMD
 
 // Count-min geometry matching sketch/reader.py CountMin (width_bits=22,
@@ -356,22 +421,35 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
     }
     return;
   }
-  std::vector<uint16_t> table((size_t)CM_HASHES << CM_WIDTH_BITS, 0);
-  // Insert pass: DRAM-latency bound (random touches over a 32 MB table);
-  // software prefetch ~PF iterations ahead hides most of the misses.
-  // Measured (20M hashes): 0.57 s for the 4 row passes; a fused 1-pass
-  // variant (4 increments per hash, 4 prefetches ahead) was NOT faster
-  // (0.60 s) — the prefetched row passes already saturate memory-level
-  // parallelism, so the row-major loop stays.
+  // Saturating packed counters (reader.py countmin_cap twin): the
+  // filter only distinguishes counts below min_count from at/above it,
+  // so fields saturate at the next pow2-1 >= min_count. At the default
+  // min_count <= 3 the whole 4-row table is 2-bit fields in 4 MB —
+  // cache-resident instead of the 32 MB u16 table whose random touches
+  // were DRAM-latency bound (0.57 s/20M hashes; now ~4x faster).
+  // est >= min_count decisions are identical to unbounded counters.
+  int cap_bits = 2;
+  while (cap_bits < 32 && (1LL << cap_bits) - 1 < (long long)min_count)
+    cap_bits *= 2;
+  const uint64_t cap = (cap_bits >= 32) ? 0xFFFFFFFFULL
+                                        : ((1ULL << cap_bits) - 1);
+  const int fpw_shift = 6 - __builtin_ctz(cap_bits);  // log2(64/cap_bits)
+  const uint64_t fpw_mask = (1ULL << fpw_shift) - 1;
+  const size_t words_per_row = ((size_t)1 << CM_WIDTH_BITS) >> fpw_shift;
+  std::vector<uint64_t> table(words_per_row * CM_HASHES, 0);
   constexpr size_t PF = 16;
   for (int row = 0; row < CM_HASHES; ++row) {
     const uint64_t salt = (uint64_t)(row + 1) * 0x9E3779B97F4A7C15ULL;
-    uint16_t *t = table.data() + ((size_t)row << CM_WIDTH_BITS);
+    uint64_t *t = table.data() + (size_t)row * words_per_row;
     const size_t nh = hashes.size();
     for (size_t i = 0; i < nh; ++i) {
       if (i + PF < nh)
-        __builtin_prefetch(&t[(hashes[i + PF] * salt) >> 33 & CM_MASK], 1);
-      ++t[(hashes[i] * salt) >> 33 & CM_MASK];
+        __builtin_prefetch(
+            &t[((hashes[i + PF] * salt) >> 33 & CM_MASK) >> fpw_shift], 1);
+      uint64_t idx = (hashes[i] * salt) >> 33 & CM_MASK;
+      uint64_t w = idx >> fpw_shift;
+      int sh = (int)(idx & fpw_mask) * cap_bits;
+      if (((t[w] >> sh) & cap) < cap) t[w] += 1ULL << sh;
     }
   }
   for (uint64_t h : hashes) {
@@ -382,14 +460,16 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
     uint64_t sign = mod_mersenne61(h);
     uint64_t bin = bindiv.div(sign);
     if (sign >= signs[bin]) continue;
-    uint32_t est = 0xFFFFFFFFu;
+    uint64_t est = ~0ULL;
     for (int row = 0; row < CM_HASHES; ++row) {
       const uint64_t salt = (uint64_t)(row + 1) * 0x9E3779B97F4A7C15ULL;
-      const uint16_t *t = table.data() + ((size_t)row << CM_WIDTH_BITS);
-      uint32_t c = t[(h * salt) >> 33 & CM_MASK];
+      const uint64_t *t = table.data() + (size_t)row * words_per_row;
+      uint64_t idx = (h * salt) >> 33 & CM_MASK;
+      uint64_t c = (t[idx >> fpw_shift]
+                    >> ((int)(idx & fpw_mask) * cap_bits)) & cap;
       if (c < est) est = c;
     }
-    if (est >= (uint32_t)min_count) {
+    if (est >= (uint64_t)min_count) {
       signs[bin] = sign;
     }
   }
@@ -484,20 +564,19 @@ int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
   int kmax = 0;
   for (int ki = 0; ki < n_k; ++ki) kmax = std::max(kmax, (int)klist[ki]);
 #ifdef SKETCH_SIMD
-  // interleaved contexts shared read-only across the k loop
+  // interleaved contexts shared read-only across the k loop (both the
+  // assembly scan-and-bin path and the read collect-count-bin path)
   std::vector<InterleavedSeq> simd_cx;
-  if (min_count <= 1) {
-    if (codon_phased) {
-      simd_cx.resize(3);
-      for (int ph = 0; ph < 3; ++ph)
-        if ((int64_t)phases[ph].size() - kmax + 1 >= 64)
-          build_interleaved(phases[ph].data(),
-                            (int64_t)phases[ph].size(), kmax,
-                            simd_cx[ph]);
-    } else if (n - kmax + 1 >= 64) {
-      simd_cx.resize(1);
-      build_interleaved(codes, n, kmax, simd_cx[0]);
-    }
+  if (codon_phased) {
+    simd_cx.resize(3);
+    for (int ph = 0; ph < 3; ++ph)
+      if ((int64_t)phases[ph].size() - kmax + 1 >= 64)
+        build_interleaved(phases[ph].data(),
+                          (int64_t)phases[ph].size(), kmax,
+                          simd_cx[ph]);
+  } else if (n - kmax + 1 >= 64) {
+    simd_cx.resize(1);
+    build_interleaved(codes, n, kmax, simd_cx[0]);
   }
 #endif
 
@@ -509,13 +588,30 @@ int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
       if (codon_phased) {
         std::vector<uint64_t> ph_hashes;
         for (int ph = 0; ph < 3; ++ph) {
-          collect_hashes_for_k(phases[ph].data(),
-                               (int64_t)phases[ph].size(), klist[ki],
+          int64_t pn = (int64_t)phases[ph].size();
+#ifdef SKETCH_SIMD
+          if (!simd_cx.empty() && simd_cx[ph].seg > 0
+              && pn - klist[ki] + 1 >= 64) {
+            scan_and_collect_simd(simd_cx[ph], pn, klist[ki],
+                                  use_rc != 0, hashes);
+            continue;
+          }
+#endif
+          collect_hashes_for_k(phases[ph].data(), pn, klist[ki],
                                use_rc != 0, ph_hashes);
           hashes.insert(hashes.end(), ph_hashes.begin(), ph_hashes.end());
         }
       } else {
+#ifdef SKETCH_SIMD
+        if (!simd_cx.empty() && n - klist[ki] + 1 >= 64) {
+          scan_and_collect_simd(simd_cx[0], n, klist[ki], use_rc != 0,
+                                hashes);
+        } else {
+          collect_hashes_for_k(codes, n, klist[ki], use_rc != 0, hashes);
+        }
+#else
         collect_hashes_for_k(codes, n, klist[ki], use_rc != 0, hashes);
+#endif
       }
       bin_filtered_hashes(hashes, min_count, exact_filter != 0, bindiv,
                           signs.data());
