@@ -111,18 +111,30 @@ class AssignSession:
             raise RuntimeError(
                 f"no fused classifier for model type {self.model.type}")
 
-    def _dispatch(self, planes_q, len_q, freq_q):
-        """One fused dispatch: dists + classification + 1-NN on device;
-        fetches int32[nq, 2] of (nn_index, within)."""
+    def _dispatch_async(self, planes_q, len_q, freq_q):
+        """One fused dispatch: dists + classification + 1-NN on device.
+        Returns the DEVICE int32[nq, 2] of (nn_index, within) without
+        synchronising — callers overlap the next batch's device work
+        with this one's host fetch/attach."""
         _, extra = _dist_chunk(
             jnp.asarray(planes_q), self.planes_r, jnp.asarray(len_q),
             self.len_r, jnp.asarray(freq_q), self.freq_r,
             self.kmers, self.ss64, self.bbits, self.pad_bits,
             True, self.use_rc, False, _auto_use_pallas(), *self.post_spec)
-        return np.asarray(extra)
+        return extra
+
+    def _dispatch(self, planes_q, len_q, freq_q):
+        """Synchronous _dispatch_async (warmup / single-batch callers)."""
+        return np.asarray(self._dispatch_async(planes_q, len_q, freq_q))
 
     def assign_sketches(self, sketches):
-        """{query name: cluster or 'NA'} for already-sketched queries."""
+        """{query name: cluster or 'NA'} for already-sketched queries.
+
+        Double-buffered: batch i+1's fused device dispatch is queued
+        BEFORE batch i's result is fetched and attached, so the host
+        attach rides under the accelerator's compute instead of after it
+        (the round-3 production-serve gap was exactly this serial
+        host tail)."""
         bad = [s.name for s in sketches
                if s.sketchsize64 != self.ss64 or s.bbits != self.bbits]
         if bad:
@@ -135,6 +147,14 @@ class AssignSession:
                 + ", ".join(bad[:5]))
         planes_q, len_q, freq_q = pack_planes(sketches, self.kmers)
         out = {}
+
+        def attach(extra_d, sl, n):
+            extra = np.asarray(extra_d)[:n]
+            for sk, (nn, within) in zip(sketches[sl], extra):
+                out[sk.name] = (self.ref_clustering[self.r_names[int(nn)]]
+                                if within else "NA")
+
+        pending = None
         for start in range(0, len(sketches), self.chunk):
             sl = slice(start, min(start + self.chunk, len(sketches)))
             n = sl.stop - sl.start
@@ -149,10 +169,12 @@ class AssignSession:
                 pq = np.pad(pq, ((0, pad),) + ((0, 0),) * 3)
                 lq = np.pad(lq, (0, pad), constant_values=1)
                 fq = np.pad(fq, ((0, pad), (0, 0)))
-            extra = self._dispatch(pq, lq, fq)[:n]
-            for sk, (nn, within) in zip(sketches[sl], extra):
-                out[sk.name] = (self.ref_clustering[self.r_names[int(nn)]]
-                                if within else "NA")
+            extra_d = self._dispatch_async(pq, lq, fq)
+            if pending is not None:
+                attach(*pending)
+            pending = (extra_d, sl, n)
+        if pending is not None:
+            attach(*pending)
         return out
 
     def assign_files(self, q_files, threads=1):
