@@ -250,9 +250,58 @@ def bench_kernel_ab(nq=2048, nr=4096, iters=3):
     kernel_ceiling(base, wp)
     if best[0] != "standard":
         kernel_ceiling_packed(best[1], w32, kg, lanes)
+
+    # MXU +-1 int8 formulation (SURVEY §7.3 item 4's named experiment).
+    # VERDICT OF THE ANALYSIS: the MXU CANNOT produce exact per-bin
+    # match counts — a dot product of +-1 bit encodings yields
+    # sum-of-bit-agreements (total_bits - 2*Hamming), whereas the match
+    # count needs per-bin ALL-14-bits equality, a nonlinearity the
+    # contraction removes. Exact equality as a dot product needs a
+    # 2^14-wide one-hot per bin (163M-dim features, infeasible); g-bit
+    # group splits still leave a per-bin product across groups that
+    # would require materialising O(nq*nr*bins). The b-bitwise-agreement
+    # statistic IS computable (Li & König b-bit minhash style) but is a
+    # DIFFERENT estimator — not bit-compatible with pp-sketchlib
+    # semantics — so it can never replace the default. Measured here for
+    # the record: what throughput parity-breaking would buy.
+    mxu_nq, mxu_nr = 512, 1024
+    bits = np.unpackbits(
+        planes[:mxu_nr].view(np.uint8), axis=-1, bitorder="little")
+    pm1 = (bits.astype(np.int8) * 2 - 1).reshape(mxu_nr, len(KLIST), -1)
+    aq = jnp.asarray(pm1[:mxu_nq])
+    ar = jnp.asarray(pm1)
+
+    @jax.jit
+    def mxu_agreement(a, b):
+        return jnp.einsum("qkd,rkd->qrk", a, b,
+                          preferred_element_type=jnp.int32)
+
+    def sync_m(x):
+        return np.asarray(x[-1, -1, -1])
+
+    try:
+        sync_m(mxu_agreement(aq, ar))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sync_m(mxu_agreement(aq, ar))
+        mxu_rate = mxu_nq * mxu_nr / ((time.perf_counter() - t0) / iters)
+        sys.stderr.write(
+            f"mxu int8 +-1 bit-agreement: {mxu_rate / 1e6:.1f} Mpairs/s "
+            "(computes a DIFFERENT statistic — sum of bit agreements, "
+            "not per-bin match counts; see comment)\n")
+    except Exception as e:  # noqa: BLE001
+        mxu_rate = None
+        sys.stderr.write(f"mxu int8 variant failed: {str(e)[:200]}\n")
+
     print(json.dumps({"metric": "kernel A/B best", "label": best[0],
                       "value": round(best[1], 1), "unit": "pairs/s",
-                      "vs_standard": round(best[1] / base, 3)}))
+                      "vs_standard": round(best[1] / base, 3),
+                      "mxu_pm1_agreement_pairs_per_s":
+                          round(mxu_rate, 1) if mxu_rate else None,
+                      "mxu_verdict": "rejected: computes bitwise "
+                          "agreement, not per-bin 14-bit equality; "
+                          "exact match counts are not expressible as a "
+                          "low-rank contraction"}))
 
 
 def bench_serving(nq=256, nr=4096, iters=3):

@@ -89,15 +89,23 @@ def _delta_sweep_group(bm, deg, tri, nedges, i_sorted, j_sorted, starts,
     """
     possible = 0.5 * float(n_real) * (n_real - 1.0)
     lane = jnp.arange(pad, dtype=jnp.int32)
+    e_alloc = i_sorted.shape[0]
 
     def step(carry, sc):
         bm, deg, tri, nedges = carry
         st, ct = sc
-        mask = lane < ct
-        iv = jnp.where(mask, jax.lax.dynamic_slice(i_sorted, (st,), (pad,)),
-                       n)
-        jv = jnp.where(mask, jax.lax.dynamic_slice(j_sorted, (st,), (pad,)),
-                       n)
+        # clamp the slice start so [st2, st2+pad) stays in range, and
+        # shift the active-lane window to compensate — the delta lives
+        # at lanes [shift, shift+ct). Avoids padding the edge arrays by
+        # a whole extra bucket (e_alloc >= bucket(count) >= st + ct
+        # guarantees shift + ct <= pad).
+        st2 = jnp.minimum(st, e_alloc - pad)
+        shift = st - st2
+        mask = (lane >= shift) & (lane < shift + ct)
+        iv = jnp.where(mask,
+                       jax.lax.dynamic_slice(i_sorted, (st2,), (pad,)), n)
+        jv = jnp.where(mask,
+                       jax.lax.dynamic_slice(j_sorted, (st2,), (pad,)), n)
         bit_j = (jnp.uint32(1) << (jv & 31).astype(jnp.uint32))
         bit_i = (jnp.uint32(1) << (iv & 31).astype(jnp.uint32))
         zero = jnp.uint32(0)
@@ -155,11 +163,11 @@ class SweepEdges:
         self.n = int(n)
         self.n_real = int(n_real) if n_real is not None else int(n)
         self.count = int(count)
-        # the delta kernel dynamic-slices [start, start + pad) with
-        # start <= count and pad <= bucket(count): guarantee the arrays
-        # are long enough that the slice never clamps (a clamped start
-        # would alias wrong edges into masked-off lanes)
-        need = self.count + _bucket(max(self.count, 1))
+        # the delta kernel dynamic-slices pad-sized windows with the
+        # start clamped into range (lane window shifted to compensate);
+        # the arrays only need one pad-granule of headroom: bucket(count)
+        # >= count covers every start + delta
+        need = _bucket(max(self.count, 1))
         if i_dev.shape[0] < need:
             extra = need - i_dev.shape[0]
             i_dev = jnp.concatenate(
@@ -250,6 +258,6 @@ def sweep_scores_sparse_device(edges, thresholds):
 def hbm_feasible(n, e_cap, budget_bytes=6_000_000_000):
     """True if the bitmap + edge buffers fit the sweep's HBM budget
     (beyond the resident planes): n^2/8 * 2 (bitmap + delta bitmap)
-    + 12 bytes/edge."""
+    + 12 bytes per edge-buffer slot (pow2-bucketed, so up to 2x e_cap)."""
     w = (n + 31) // 32
-    return 2 * n * w * 4 + 12 * e_cap <= budget_bytes
+    return 2 * n * w * 4 + 12 * _bucket(max(e_cap, 1)) <= budget_bytes

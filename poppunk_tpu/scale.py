@@ -2231,7 +2231,7 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
     n_pad = getattr(cd, "_n_pad", cd.n)
     half = fold_rows(n_pad)
 
-    e_alloc = 2 * _ss_bucket(max(int(e_total), 1))
+    e_alloc = _ss_bucket(max(int(e_total), 1))
     bi = jnp.full(e_alloc, n_pad, jnp.int32)
     bj = jnp.full(e_alloc, n_pad, jnp.int32)
     bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
@@ -2527,13 +2527,24 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         # no O(E) host fetch. Betweenness scores (idx 1/2) and
         # mesh-sharded populations use the host native engine.
         n_pad = getattr(cd, "_n_pad", cd.n)
+        # the sweep's bitmaps + edge buffers must fit HBM BEYOND the
+        # resident planes/buffer at the SCORING-phase peak (planes +
+        # edge buffers + 2 bitmaps; the fill phase's transients match
+        # the old fetch path's working set and are plan-capped). 16 GB
+        # v5e minus ~2 GB runtime/fragmentation reserve.
+        resident = 0
+        for t_res in (getattr(cd, "planes", None), cd.buf):
+            if t_res is not None:
+                resident += t_res.nbytes
+        budget = max(int(14.0e9 - resident), 0)
         use_sparse_dev = (
             score_idx == 0
             and getattr(cd, "_mesh", None) is None
             and not getattr(cd, "_col", False)
             and os.environ.get("POPPUNK_TPU_SPARSE_SWEEP", "1") != "0"
             and hbm_feasible(n_pad, int(cum[min(o_star + 1,
-                                                n_grid - 1)])))
+                                                n_grid - 1)]),
+                             budget_bytes=budget))
         edges = None
         xm0_l, ym0_l, t_all = _line_d0_params(s_range, slope, *line)
         while True:  # o_star strictly widens, so <= n_grid iterations
