@@ -51,9 +51,13 @@ import numpy as np
 # so the compiled-program space stays small.
 _STEP_GRID = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 
-# Delta-slice pads (power-of-two); per-step VMEM-side gather transients
-# are 4 * pad * ceil(n/32) * 4 bytes.
+# Delta-slice pads (power-of-two).
 _PAD_LO = 1024
+
+# Edge-block size for the triangle popcount gathers: bounds the gathered
+# row transient to 4 * _TRI_BLOCK * ceil(n/32) * 4 bytes (1 GB at
+# n = 131072).
+_TRI_BLOCK = 32768
 
 
 def _bucket(k, lo=_PAD_LO):
@@ -91,6 +95,9 @@ def _delta_sweep_group(bm, deg, tri, nedges, i_sorted, j_sorted, starts,
     lane = jnp.arange(pad, dtype=jnp.int32)
     e_alloc = i_sorted.shape[0]
 
+    tblk = min(pad, _TRI_BLOCK)
+    nblk = pad // tblk
+
     def step(carry, sc):
         bm, deg, tri, nedges = carry
         st, ct = sc
@@ -119,18 +126,32 @@ def _delta_sweep_group(bm, deg, tri, nedges, i_sorted, j_sorted, starts,
 
         safe_i = jnp.clip(iv, 0, n - 1)
         safe_j = jnp.clip(jv, 0, n - 1)
-        bou = bm[safe_i]
-        bov = bm[safe_j]
-        bnu = bnew[safe_i]
-        bnv = bnew[safe_j]
 
-        def psum(a, b):
-            pc = jax.lax.population_count(a & b).sum(axis=1)
-            return jnp.where(mask, pc, 0).astype(jnp.float32).sum()
+        # triangle popcount sums over tblk-edge blocks: gathering all
+        # pad rows at once would materialise [pad, w] x4 (terabytes at
+        # multi-million-edge deltas); blocks bound the transient to
+        # 4 * tblk * w * 4 bytes
+        def tri_block(b, acc):
+            s_all, s_on, s_nn = acc
+            bsl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * tblk,
+                                                         tblk)
+            ib, jb, mb = bsl(safe_i), bsl(safe_j), bsl(mask)
+            bou = bm[ib]
+            bov = bm[jb]
+            bnu = bnew[ib]
+            bnv = bnew[jb]
 
-        s_all = psum(bou | bnu, bov | bnv)
-        s_on = psum(bou, bov)
-        s_nn = psum(bnu, bnv)
+            def psum(x, y):
+                pc = jax.lax.population_count(x & y).sum(axis=1)
+                return jnp.where(mb, pc, 0).astype(jnp.float32).sum()
+
+            return (s_all + psum(bou | bnu, bov | bnv),
+                    s_on + psum(bou, bov),
+                    s_nn + psum(bnu, bnv))
+
+        s_all, s_on, s_nn = jax.lax.fori_loop(
+            0, nblk, tri_block, (jnp.float32(0), jnp.float32(0),
+                                 jnp.float32(0)))
         tri = tri + s_on + 0.5 * (s_all - s_on - s_nn) + s_nn / 3.0
 
         bm = bm | bnew

@@ -2231,7 +2231,12 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
     n_pad = getattr(cd, "_n_pad", cd.n)
     half = fold_rows(n_pad)
 
-    e_alloc = _ss_bucket(max(int(e_total), 1))
+    # e_total comes from the counts pass — a DIFFERENT compiled program
+    # whose d0 can differ by float-reassociation ulps from this one's,
+    # so pairs sitting exactly on a threshold may tip either way. Size
+    # with slack and only fail on true buffer overflow.
+    e_est = max(int(e_total), 1)
+    e_alloc = _ss_bucket(e_est + max(1024, e_est // 128))
     bi = jnp.full(e_alloc, n_pad, jnp.int32)
     bj = jnp.full(e_alloc, n_pad, jnp.int32)
     bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
@@ -2260,10 +2265,10 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
         k = int(count)
         if k == 0:
             continue
-        if acc + k > e_total:
+        if acc + k > e_alloc:
             raise RuntimeError(
-                f"sweep fill overflow: {acc + k} pairs > counted "
-                f"{e_total} (counts/fill passes disagree)")
+                f"sweep fill overflow: {acc + k} pairs > buffer "
+                f"{e_alloc} (counts pass estimated {e_total})")
         b = min(_bucket_pow2(k), m)
         bi, bj, bd = _fill_append(
             bi, bj, bd, pos[:b], d0[:b], jnp.int32(k), jnp.int32(acc),
@@ -3297,11 +3302,19 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                 max_sweep_fetch=max_sweep_fetch,
                 timings_out=refine_phases)
             break
-        except RuntimeError:
-            max_move /= 4
-            if max_move < 1e-3:
+        except RuntimeError as e:
+            # only the sweep-geometry errors are retryable; XLA runtime
+            # failures (OOM etc.) subclass RuntimeError too and must
+            # propagate, not silently shrink the search
+            msg = str(e)
+            retryable = ("includes all points" in msg
+                         or "max_sweep_fetch" in msg
+                         or "max_move" in msg)
+            if not retryable or max_move / 4 < 1e-3:
                 raise
-            log(f"refine: sweep saturated, retrying max_move={max_move}\n")
+            max_move /= 4
+            log(f"refine: sweep saturated ({msg[:120]}), retrying "
+                f"max_move={max_move}\n")
     timings["refine"] = time.perf_counter() - t0
     if refine_phases:
         out["refine_phase_s"] = {k: round(v, 1)
