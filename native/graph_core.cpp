@@ -140,6 +140,22 @@ struct TimedCSR {
       indices[cursor[e.v]] = e.u;
       times[cursor[e.v]++] = e.t;
     }
+    // adjacency sorted by activation offset: BFS/dependency loops can
+    // BREAK at the first inactive edge instead of scanning whole lists
+    // (the idx 1/2 sweeps re-walk the CSR per offset; early offsets
+    // touch a fraction of the edges)
+    std::vector<std::pair<int32_t, int32_t>> scratch;
+    for (int32_t v = 0; v < n; ++v) {
+      int64_t lo = indptr[v], hi = indptr[v + 1];
+      scratch.clear();
+      for (int64_t k = lo; k < hi; ++k)
+        scratch.emplace_back(times[k], indices[k]);
+      std::sort(scratch.begin(), scratch.end());
+      for (int64_t k = lo; k < hi; ++k) {
+        times[k] = scratch[k - lo].first;
+        indices[k] = scratch[k - lo].second;
+      }
+    }
   }
 };
 
@@ -254,18 +270,29 @@ void brandes_sources(const TimedCSR &csr, int32_t n, int32_t t_max,
 #endif
   std::vector<std::vector<double>> bc_tls(n_threads,
                                           std::vector<double>(n, 0.0));
+  // per-thread scratch reused across sources; only entries touched by a
+  // source's BFS (its stack) are reset afterwards, so per-source cost is
+  // O(component visited), not O(n) allocation + memset
+  std::vector<std::vector<int32_t>> dist_tls(n_threads,
+                                             std::vector<int32_t>(n, -1));
+  std::vector<std::vector<double>> sigma_tls(n_threads,
+                                             std::vector<double>(n, 0.0));
+  std::vector<std::vector<double>> delta_tls(n_threads,
+                                             std::vector<double>(n, 0.0));
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)
 #endif
   for (int64_t si = 0; si < n_sources; ++si) {
 #ifdef _OPENMP
-    double *bc = bc_tls[omp_get_thread_num()].data();
+    int tid = omp_get_thread_num();
 #else
-    double *bc = bc_tls[0].data();
+    int tid = 0;
 #endif
+    double *bc = bc_tls[tid].data();
+    int32_t *dist = dist_tls[tid].data();
+    double *sigma = sigma_tls[tid].data();
+    double *delta = delta_tls[tid].data();
     int32_t s = sources[si];
-    std::vector<int32_t> dist(n, -1);
-    std::vector<double> sigma(n, 0.0), delta(n, 0.0);
     std::vector<int32_t> stack;
     stack.reserve(64);
     dist[s] = 0;
@@ -275,7 +302,7 @@ void brandes_sources(const TimedCSR &csr, int32_t n, int32_t t_max,
     while (head < stack.size()) {
       int32_t v = stack[head++];
       for (int64_t k = csr.indptr[v]; k < csr.indptr[v + 1]; ++k) {
-        if (csr.times[k] > t_max) continue;
+        if (csr.times[k] > t_max) break;  // adjacency sorted by t
         int32_t w = csr.indices[k];
         if (dist[w] < 0) {
           dist[w] = dist[v] + 1;
@@ -288,11 +315,16 @@ void brandes_sources(const TimedCSR &csr, int32_t n, int32_t t_max,
       int32_t w = stack[p];
       double coeff = (1.0 + delta[w]) / sigma[w];
       for (int64_t k = csr.indptr[w]; k < csr.indptr[w + 1]; ++k) {
-        if (csr.times[k] > t_max) continue;
+        if (csr.times[k] > t_max) break;  // adjacency sorted by t
         int32_t v = csr.indices[k];
         if (dist[v] == dist[w] - 1) delta[v] += sigma[v] * coeff;
       }
       bc[w] += delta[w];
+    }
+    for (int32_t v : stack) {
+      dist[v] = -1;
+      sigma[v] = 0.0;
+      delta[v] = 0.0;
     }
   }
   for (int t = 0; t < n_threads; ++t)
@@ -411,8 +443,10 @@ void sweep_scores_v2(const int32_t *i_vec, const int32_t *j_vec,
       for (int64_t k = b0; k < b1; ++k) {
         int32_t v = comp_verts[k];
         int64_t cnt = 0;
-        for (int64_t e = csr.indptr[v]; e < csr.indptr[v + 1]; ++e)
-          if (csr.times[e] <= t) ++cnt;
+        for (int64_t e = csr.indptr[v]; e < csr.indptr[v + 1]; ++e) {
+          if (csr.times[e] > t) break;  // adjacency sorted by t
+          ++cnt;
+        }
         ip[k - b0 + 1] = cnt;
       }
       for (int32_t q = 0; q < m; ++q) ip[q + 1] += ip[q];
@@ -422,8 +456,10 @@ void sweep_scores_v2(const int32_t *i_vec, const int32_t *j_vec,
         for (int64_t k = b0; k < b1; ++k) {
           int32_t v = comp_verts[k];
           int32_t lv = (int32_t)(k - b0);
-          for (int64_t e = csr.indptr[v]; e < csr.indptr[v + 1]; ++e)
-            if (csr.times[e] <= t) ix[cur[lv]++] = local_of[csr.indices[e]];
+          for (int64_t e = csr.indptr[v]; e < csr.indptr[v + 1]; ++e) {
+            if (csr.times[e] > t) break;  // adjacency sorted by t
+            ix[cur[lv]++] = local_of[csr.indices[e]];
+          }
         }
       }
       auto &src = d_sources[di];
