@@ -727,7 +727,7 @@ def bench_capture():
         ("scale_20480", ["--scale", "20480"], 2400),
         ("scale_65536", ["--scale", "65536"], 4800),
         ("scale_81920", ["--scale", "81920"], 7200),
-        ("colshard_16384", ["--colshard", "16384"], 2400),
+        ("colshard_8192", ["--colshard", "8192"], 4800),
     ]
     only = None
     if "--only" in sys.argv:
