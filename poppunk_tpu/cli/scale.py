@@ -119,8 +119,11 @@ def get_options(arg_list=None):
                                   "network summary")
     model_group.add_argument("--max-sweep-fetch", type=int,
                              default=40_000_000,
-                             help="Sweep offsets holding more pairs than "
-                                  "this are scored worst instead of fetched")
+                             help="Host-fetch cap: sweep offsets holding "
+                                  "more pairs than this are scored worst "
+                                  "instead of fetched (the on-device "
+                                  "sparse sweep budgets its own larger "
+                                  "cap from free HBM)")
     model_group.add_argument("--seed", type=int, default=42)
 
     lineage_group = parser.add_argument_group("Lineages (fused kNN)")

@@ -2517,39 +2517,59 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             timings_out["counts"] = timings_out.get("counts", 0.0) + dt
         if cum[-1] == cd.n_pairs:
             raise RuntimeError("Boundary range includes all points")
-        fetchable = np.nonzero(cum <= max_sweep_fetch)[0]
-        if len(fetchable) == 0:
-            raise RuntimeError(
-                f"first sweep offset already holds {cum[0]} pairs "
-                f"(> max_sweep_fetch {max_sweep_fetch})")
-        o_star = int(fetchable.max())
-        if o_star < n_grid - 1:
-            sys.stderr.write(
-                f"refine: offsets {o_star + 1}..{n_grid - 1} hold "
-                f"{cum[o_star + 1]}..{cum[-1]} pairs (> max_sweep_fetch "
-                f"{max_sweep_fetch}); scored as 1\n")
         # Device sparse sweep (ops/sparse_sweep): score_idx 0 at any n,
         # no O(E) host fetch. Betweenness scores (idx 1/2) and
         # mesh-sharded populations use the host native engine.
+        # max_sweep_fetch caps HOST-tunnel fetches; the device path's
+        # cap is whatever edge buffer fits the HBM budget beyond the
+        # resident planes + the two bitmaps (16 GB v5e minus ~2 GB
+        # runtime/fragmentation reserve, scoring-phase peak).
         n_pad = getattr(cd, "_n_pad", cd.n)
-        # the sweep's bitmaps + edge buffers must fit HBM BEYOND the
-        # resident planes/buffer at the SCORING-phase peak (planes +
-        # edge buffers + 2 bitmaps; the fill phase's transients match
-        # the old fetch path's working set and are plan-capped). 16 GB
-        # v5e minus ~2 GB runtime/fragmentation reserve.
         resident = 0
         for t_res in (getattr(cd, "planes", None), cd.buf):
             if t_res is not None:
                 resident += t_res.nbytes
         budget = max(int(14.0e9 - resident), 0)
-        use_sparse_dev = (
+        w_bits = (n_pad + 31) // 32
+        bitmap_bytes = 2 * n_pad * w_bits * 4
+        dev_possible = (
             score_idx == 0
             and getattr(cd, "_mesh", None) is None
             and not getattr(cd, "_col", False)
             and os.environ.get("POPPUNK_TPU_SPARSE_SWEEP", "1") != "0"
-            and hbm_feasible(n_pad, int(cum[min(o_star + 1,
-                                                n_grid - 1)]),
-                             budget_bytes=budget))
+            and budget > bitmap_bytes)
+        eff_cap = max_sweep_fetch
+        if dev_possible:
+            # largest pow2-bucketed edge buffer that fits, less 2% so
+            # the fill's overflow slack stays within the same bucket
+            cap_dev = 1
+            while cap_dev * 2 * 12 <= budget - bitmap_bytes:
+                cap_dev *= 2
+            eff_cap = max(max_sweep_fetch, cap_dev - cap_dev // 50)
+        fetchable = np.nonzero(cum <= eff_cap)[0]
+        if len(fetchable) == 0:
+            raise RuntimeError(
+                f"first sweep offset already holds {cum[0]} pairs "
+                f"(> max_sweep_fetch {eff_cap})")
+        o_star = int(fetchable.max())
+        if o_star < n_grid - 1:
+            sys.stderr.write(
+                f"refine: offsets {o_star + 1}..{n_grid - 1} hold "
+                f"{cum[o_star + 1]}..{cum[-1]} pairs (> max_sweep_fetch "
+                f"{eff_cap}); scored as 1\n")
+        use_sparse_dev = (
+            dev_possible
+            and hbm_feasible(n_pad, int(cum[o_star]), budget_bytes=budget))
+        if dev_possible and not use_sparse_dev and eff_cap > max_sweep_fetch:
+            # device cap chosen but the buffer doesn't actually fit:
+            # fall back to the host path's own cap coherently
+            eff_cap = max_sweep_fetch
+            fetchable = np.nonzero(cum <= eff_cap)[0]
+            if len(fetchable) == 0:
+                raise RuntimeError(
+                    f"first sweep offset already holds {cum[0]} pairs "
+                    f"(> max_sweep_fetch {eff_cap})")
+            o_star = int(fetchable.max())
         edges = None
         xm0_l, ym0_l, t_all = _line_d0_params(s_range, slope, *line)
         while True:  # o_star strictly widens, so <= n_grid iterations
@@ -2590,10 +2610,12 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             if min_idx < o_star or o_star == n_grid - 1:
                 break
             need = min(min_idx + 1, n_grid - 1)
-            if cum[need] > 2 * max_sweep_fetch:
+            widen_cap = (eff_cap if use_sparse_dev
+                         else 2 * max_sweep_fetch)
+            if cum[need] > widen_cap:
                 raise RuntimeError(
                     "sweep optimum sits in an offset denser than "
-                    "2 * max_sweep_fetch — lower max_move")
+                    "the max_sweep_fetch headroom — lower max_move")
             o_star = need
     global_s[np.isnan(global_s)] = 1
     min_idx = int(np.argmin(global_s))

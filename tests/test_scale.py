@@ -152,10 +152,15 @@ class TestDeviceSweep:
         mean1 = between.mean(axis=0)
         kw = dict(score_idx=score_idx, betweenness_sample=1000, seed=1,
                   no_local=True, max_move=0.05)
-        if score_idx == 0:  # force the sparse branch off the matmul path
+        if score_idx == 0:  # force the sparse HOST branch (the device
+            # sparse sweep budgets its own cap and ignores
+            # max_sweep_fetch, which only governs host-tunnel fetches)
+            import os as _os
+
             import poppunk_tpu.scale as sc_mod
             orig = sc_mod.MATMUL_SWEEP_MAX_N
             sc_mod.MATMUL_SWEEP_MAX_N = 0
+            _os.environ["POPPUNK_TPU_SPARSE_SWEEP"] = "0"
             try:
                 full = refine_fit_device(cd, scale, mean0, mean1, **kw)
                 capped = refine_fit_device(cd, scale, mean0, mean1,
@@ -163,6 +168,7 @@ class TestDeviceSweep:
                                            **kw)
             finally:
                 sc_mod.MATMUL_SWEEP_MAX_N = orig
+                del _os.environ["POPPUNK_TPU_SPARSE_SWEEP"]
         else:
             full = refine_fit_device(cd, scale, mean0, mean1, **kw)
             capped = refine_fit_device(cd, scale, mean0, mean1,
