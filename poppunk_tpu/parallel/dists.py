@@ -71,8 +71,7 @@ def _sharded_block_jit(planes_q, planes_r, len_q, len_r, freq_q, freq_r,
             P("q"), P("r"), P("q", None), P("r", None),
             P(),  # classifier params replicated on every device
         ),
-        out_specs=out_specs,
-    )
+        out_specs=out_specs, check_vma=False)
     return fn(planes_q, planes_r, len_q, len_r, freq_q, freq_r, post_params)
 
 

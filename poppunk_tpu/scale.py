@@ -355,8 +355,7 @@ def fill_condensed_sharded(planes, lengths, freqs, klist, sketchsize64,
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P(("q", "r"), None, None), P(("q", "r"), None, None),
-                   P(("q", "r"), None, None)),
-    ))
+                   P(("q", "r"), None, None)), check_vma=False))
     rep = NamedSharding(mesh, P())
     with mesh:
         buf, ki, kd = fill(jax.device_put(jnp.asarray(planes), rep),
@@ -572,7 +571,7 @@ class _ShardedStream:
                 stats_local, mesh=mesh,
                 in_specs=(rep, rep, rep, sh3, sh3, sh2, rep, sh3),
                 out_specs=(sh3, sh3, sh2,
-                           P(("q", "r"), None, None, None))),
+                           P(("q", "r"), None, None, None)), check_vma=False),
                 donate_argnums=(3, 4, 5))
 
         rep = P()
@@ -609,7 +608,7 @@ class _ShardedStream:
 
             return jax.jit(jax.shard_map(
                 counts_local, mesh=mesh,
-                in_specs=(rep,) * 8, out_specs=sh2))
+                in_specs=(rep,) * 8, out_specs=sh2, check_vma=False))
 
         def make_fetch(key):
             slope, fsteps = key
@@ -640,7 +639,7 @@ class _ShardedStream:
 
             return jax.jit(jax.shard_map(
                 fetch_local, mesh=mesh,
-                in_specs=(rep,) * 9, out_specs=(sh2, sh2, sh2, sh1)))
+                in_specs=(rep,) * 9, out_specs=(sh2, sh2, sh2, sh1), check_vma=False))
 
         def make_counts2d(fsteps):
             def counts2d_local(planes, lengths, freqs, off, scale, xg,
@@ -670,7 +669,7 @@ class _ShardedStream:
 
             return jax.jit(jax.shard_map(
                 counts2d_local, mesh=mesh,
-                in_specs=(rep,) * 7, out_specs=sh3))
+                in_specs=(rep,) * 7, out_specs=sh3, check_vma=False))
 
         def make_fetch2d(fsteps):
             def fetch2d_local(planes, lengths, freqs, off, scale,
@@ -703,7 +702,7 @@ class _ShardedStream:
 
             return jax.jit(jax.shard_map(
                 fetch2d_local, mesh=mesh,
-                in_specs=(rep,) * 7, out_specs=(sh2, sh2, sh2, sh1)))
+                in_specs=(rep,) * 7, out_specs=(sh2, sh2, sh2, sh1), check_vma=False))
 
         self._counts_cache = {}
         self._fetch_cache = {}
@@ -935,7 +934,7 @@ class _ColShardedStream:
 
             return jax.jit(jax.shard_map(
                 counts_local, mesh=mesh,
-                in_specs=(shp,) + (rep,) * 7, out_specs=sh2))
+                in_specs=(shp,) + (rep,) * 7, out_specs=sh2, check_vma=False))
 
         def make_fetch(key):
             slope, fsteps = key
@@ -970,7 +969,7 @@ class _ColShardedStream:
             return jax.jit(jax.shard_map(
                 fetch_local, mesh=mesh,
                 in_specs=(shp,) + (rep,) * 8,
-                out_specs=(sh2, sh2, sh2, sh1)))
+                out_specs=(sh2, sh2, sh2, sh1), check_vma=False))
 
         def make_counts2d(fsteps):
             def counts2d_local(planes_loc, lengths, freqs, off, scale,
@@ -1002,7 +1001,7 @@ class _ColShardedStream:
 
             return jax.jit(jax.shard_map(
                 counts2d_local, mesh=mesh,
-                in_specs=(shp,) + (rep,) * 6, out_specs=sh3))
+                in_specs=(shp,) + (rep,) * 6, out_specs=sh3, check_vma=False))
 
         def make_fetch2d(fsteps):
             def fetch2d_local(planes_loc, lengths, freqs, off, scale,
@@ -1039,7 +1038,7 @@ class _ColShardedStream:
             return jax.jit(jax.shard_map(
                 fetch2d_local, mesh=mesh,
                 in_specs=(shp,) + (rep,) * 6,
-                out_specs=(sh2, sh2, sh2, sh1)))
+                out_specs=(sh2, sh2, sh2, sh1), check_vma=False))
 
         def make_pair_dists(m):
             def pairs_local(planes_loc, lengths, freqs, ii, jj):
@@ -2777,7 +2776,7 @@ def _mesh_compact_pass(mesh, planes, lengths, freqs, chunk, n_pad,
 
         return jax.jit(jax.shard_map(
             local, mesh=mesh, in_specs=(rep,) * 4,
-            out_specs=(sh2,) * (1 + n_payload) + (sh1,)))
+            out_specs=(sh2,) * (1 + n_payload) + (sh1,), check_vma=False))
 
     rep = P()
     sh1 = P(("q", "r"))
