@@ -253,3 +253,39 @@ class TestRefineEquivalence:
             want, _ = connected_components(G)
             assert k == int(mask.sum())
             np.testing.assert_array_equal(labels, want)
+
+
+class TestAdaptiveCap:
+    def test_device_budget_overrides_host_cap(self, cd, pop, monkeypatch):
+        """max_sweep_fetch below even the first offset's pair count:
+        the host path refuses, the device path budgets its own cap from
+        free HBM and completes (the 81920-genome tier's first offset
+        holds 47M pairs against the 40M host cap)."""
+        from poppunk_tpu.ops.distances import condensed_self_block
+        from poppunk_tpu.scale import refine_fit_device
+        import poppunk_tpu.scale as scale_mod
+
+        host = condensed_self_block(
+            np.asarray(pop.planes_gm), np.asarray(pop.lengths),
+            np.asarray(pop.freqs), KLIST, SS64, BBITS)
+        scale = host.max(axis=0)
+        Xs = host / scale
+        mean0 = Xs[Xs[:, 0] < 0.3].mean(axis=0)
+        mean1 = Xs[Xs[:, 0] >= 0.3].mean(axis=0)
+        monkeypatch.setattr(scale_mod, "MATMUL_SWEEP_MAX_N", 0)
+        kw = dict(max_move=0.05, score_idx=0, seed=4, no_local=True,
+                  max_sweep_fetch=1)
+
+        monkeypatch.setenv("POPPUNK_TPU_SPARSE_SWEEP", "0")
+        with pytest.raises(RuntimeError, match="first sweep offset"):
+            refine_fit_device(cd, scale, mean0, mean1, **kw)
+
+        monkeypatch.setenv("POPPUNK_TPU_SPARSE_SWEEP", "1")
+        x, y, s, sweep = refine_fit_device(cd, scale, mean0, mean1, **kw)
+        assert sweep[0] == "edges"
+        # and the result equals an uncapped host run
+        monkeypatch.setenv("POPPUNK_TPU_SPARSE_SWEEP", "0")
+        kw["max_sweep_fetch"] = cd.n_pairs
+        hx, hy, hs, _ = refine_fit_device(cd, scale, mean0, mean1, **kw)
+        np.testing.assert_allclose([x, y, s], [hx, hy, hs],
+                                   rtol=1e-4, atol=1e-6)
