@@ -55,9 +55,9 @@ _STEP_GRID = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 _PAD_LO = 1024
 
 # Edge-block size for the triangle popcount gathers: bounds the gathered
-# row transient to 4 * _TRI_BLOCK * ceil(n/32) * 4 bytes (1 GB at
+# row transient to 4 * _TRI_BLOCK * ceil(n/32) * 4 bytes (537 MB at
 # n = 131072).
-_TRI_BLOCK = 32768
+_TRI_BLOCK = 8192
 
 
 def _bucket(k, lo=_PAD_LO):
@@ -172,6 +172,11 @@ def _delta_sweep_group(bm, deg, tri, nedges, i_sorted, j_sorted, starts,
     return bm, deg, tri, nedges, scores, edge_counts
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _sort3(d0, i, j):
+    return jax.lax.sort((d0, i, j), num_keys=1)
+
+
 class SweepEdges:
     """Device-resident in-boundary edge list (i, j, d0), d0-sorted.
 
@@ -197,8 +202,9 @@ class SweepEdges:
                 [j_dev, jnp.full(extra, n, j_dev.dtype)])
             d0_dev = jnp.concatenate(
                 [d0_dev, jnp.full(extra, jnp.inf, d0_dev.dtype)])
-        d0s, i_s, j_s = jax.lax.sort(
-            (d0_dev, i_dev, j_dev), num_keys=1)
+        # donated sort: inputs alias outputs where XLA can, halving the
+        # in+out residency of the largest transient phase
+        d0s, i_s, j_s = _sort3(d0_dev, i_dev, j_dev)
         self.d0 = d0s
         self.i = i_s
         self.j = j_s
@@ -276,9 +282,40 @@ def sweep_scores_sparse_device(edges, thresholds):
     return scores, counts_out
 
 
-def hbm_feasible(n, e_cap, budget_bytes=6_000_000_000):
-    """True if the bitmap + edge buffers fit the sweep's HBM budget
-    (beyond the resident planes): n^2/8 * 2 (bitmap + delta bitmap)
-    + 12 bytes per edge-buffer slot (pow2-bucketed, so up to 2x e_cap)."""
+# Total device HBM assumed available to the sweep's phases (16 GB v5e
+# minus runtime reserve); per-phase extras are budgeted in hbm_feasible.
+HBM_TOTAL = 14_500_000_000
+# fill-phase streaming transients (plan-capped compaction buffers)
+FILL_TRANSIENT = 1_500_000_000
+
+
+def hbm_feasible(n, e_cap, resident_bytes):
+    """True if a sweep over e_cap edges fits alongside `resident_bytes`
+    of persistent tensors (planes / condensed buffer) at EVERY phase:
+
+    - fill: resident + compaction transients + 12 B/slot edge buffers;
+    - d0-sort: resident + ~2x the edge buffers (in + out; inputs are
+      donated but XLA still needs workspace);
+    - scoring: resident + edge buffers + two [n, n/32] bitmaps +
+      gather blocks.
+
+    Slots are pow2-bucketed, so up to 2x e_cap."""
+    slots = _bucket(max(e_cap, 1))
     w = (n + 31) // 32
-    return 2 * n * w * 4 + 12 * _bucket(max(e_cap, 1)) <= budget_bytes
+    bitmaps = 2 * n * w * 4  # carried adjacency + per-step delta bitmap
+    tri_gather = 4 * _TRI_BLOCK * w * 4
+    fill = resident_bytes + FILL_TRANSIENT + 12 * slots
+    sort = resident_bytes + 24 * slots
+    score = resident_bytes + 12 * slots + bitmaps + tri_gather \
+        + 200_000_000
+    return max(fill, sort, score) <= HBM_TOTAL
+
+
+def max_edge_cap(n, resident_bytes):
+    """Largest pow2 edge count hbm_feasible accepts (0 if none)."""
+    cap = 0
+    c = 1 << 20
+    while hbm_feasible(n, c, resident_bytes):
+        cap = c
+        c *= 2
+    return cap

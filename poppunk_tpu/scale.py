@@ -2528,22 +2528,19 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         for t_res in (getattr(cd, "planes", None), cd.buf):
             if t_res is not None:
                 resident += t_res.nbytes
-        budget = max(int(14.0e9 - resident), 0)
-        w_bits = (n_pad + 31) // 32
-        bitmap_bytes = 2 * n_pad * w_bits * 4
+        from .ops.sparse_sweep import max_edge_cap
+
+        cap_dev = max_edge_cap(n_pad, resident)
         dev_possible = (
             score_idx == 0
             and getattr(cd, "_mesh", None) is None
             and not getattr(cd, "_col", False)
             and os.environ.get("POPPUNK_TPU_SPARSE_SWEEP", "1") != "0"
-            and budget > bitmap_bytes)
+            and cap_dev > 0)
         eff_cap = max_sweep_fetch
         if dev_possible:
-            # largest pow2-bucketed edge buffer that fits, less 2% so
-            # the fill's overflow slack stays within the same bucket
-            cap_dev = 1
-            while cap_dev * 2 * 12 <= budget - bitmap_bytes:
-                cap_dev *= 2
+            # 2% under the bucket boundary so the fill's overflow slack
+            # stays within the same pow2 allocation
             eff_cap = max(max_sweep_fetch, cap_dev - cap_dev // 50)
         fetchable = np.nonzero(cum <= eff_cap)[0]
         if len(fetchable) == 0:
@@ -2558,7 +2555,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 f"{eff_cap}); scored as 1\n")
         use_sparse_dev = (
             dev_possible
-            and hbm_feasible(n_pad, int(cum[o_star]), budget_bytes=budget))
+            and hbm_feasible(n_pad, int(cum[o_star]), resident))
         if dev_possible and not use_sparse_dev and eff_cap > max_sweep_fetch:
             # device cap chosen but the buffer doesn't actually fit:
             # fall back to the host path's own cap coherently
