@@ -360,7 +360,8 @@ def main(arg_list=None):
             cd, start.scale, mean0, mean1, max_move=args.pos_shift,
             min_move=args.neg_shift, score_idx=args.score_idx,
             betweenness_sample=args.betweenness_sample, seed=args.seed,
-            max_sweep_fetch=args.max_sweep_fetch, no_local=args.no_local)
+            max_sweep_fetch=args.max_sweep_fetch, no_local=args.no_local,
+            est_pairs=sub)
     sys.stderr.write(
         f"Refined boundary: core {opt_x * start.scale[0]:.6f}, "
         f"accessory {opt_y * start.scale[1]:.6f} "
@@ -401,7 +402,7 @@ def main(arg_list=None):
                     min_move=args.neg_shift, score_idx=args.score_idx,
                     betweenness_sample=args.betweenness_sample,
                     seed=args.seed, max_sweep_fetch=args.max_sweep_fetch,
-                    slope=slope, no_local=args.no_local)
+                    slope=slope, no_local=args.no_local, est_pairs=sub)
                 if dist_type == "core":
                     model.core_boundary = ix
                 else:

@@ -1497,7 +1497,11 @@ def _stream_sweep_group(planes, lengths, freqs, s0, n_act, scale, t, xm0,
     m = d0.shape[0]
     pos = jnp.sort(jnp.where(active, jnp.arange(m, dtype=jnp.int32), m))
     safe = jnp.clip(pos, 0, m - 1)
-    return pos, jnp.take(idx, safe), jnp.take(d0, safe), active.sum()
+    # full first-offset histogram rides along for free (last bin =
+    # outside the widest offset), so fill callers skip the separate
+    # counts pre-pass
+    hist = jnp.bincount(idx, length=t.shape[0] + 1)
+    return pos, jnp.take(idx, safe), jnp.take(d0, safe), active.sum(), hist
 
 
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
@@ -1898,17 +1902,19 @@ def _d0_chunk(chunk_x, scale, xm0, ym0, slope):
     return x - xm0 if slope == 0 else y - ym0
 
 
-@partial(jax.jit, static_argnames=("slope",))
-def _sweep_gather(chunk_x, scale, t, xm0, ym0, slope):
-    """For one buffer chunk: sorted in-chunk positions of pairs inside the
-    widest boundary (padded with m), their first offsets, d0, and count."""
+@partial(jax.jit, static_argnames=("slope", "n_act"))
+def _sweep_gather(chunk_x, scale, t, xm0, ym0, slope, n_act=None):
+    """For one buffer chunk: sorted in-chunk positions of pairs inside
+    the n_act'th boundary (padded with m), their first offsets, d0,
+    count, and the full first-offset histogram."""
     d0 = _d0_chunk(chunk_x, scale, xm0, ym0, slope)
     idx = jnp.searchsorted(t, d0, side="left")
-    active = idx < t.shape[0]
+    active = idx < (t.shape[0] if n_act is None else n_act)
     m = chunk_x.shape[0]
     pos = jnp.sort(jnp.where(active, jnp.arange(m), m))
     safe = jnp.clip(pos, 0, m - 1)
-    return pos, jnp.take(idx, safe), jnp.take(d0, safe), active.sum()
+    hist = jnp.bincount(idx, length=t.shape[0] + 1)
+    return pos, jnp.take(idx, safe), jnp.take(d0, safe), active.sum(), hist
 
 
 def _bucket_pow2(k, lo=1024):
@@ -2123,7 +2129,7 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
             m = rows * (n_pad - 1)
             n_act = len(t) if _n_act is None else _n_act
             nr = cd._n_real if cd._n_real < n_pad else None
-            pos, idx, d0, count = _stream_sweep_group(
+            pos, idx, d0, count, _ = _stream_sweep_group(
                 cd.planes, cd.lengths, cd.freqs, jnp.int32(s),
                 jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev,
                 cd.chunk, int(rows // cd.chunk), cd._klist, cd._ss64,
@@ -2132,9 +2138,9 @@ def sweep_first_offsets(cd, scale, offsets, slope, x0, y0, x1, y1,
             chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
             m = chunk_x.shape[0]
             n_act = len(t) if _n_act is None else _n_act
-            pos, idx, d0, count = _sweep_gather(chunk_x, scale_dev,
-                                                t_dev[:n_act],
-                                                xm0_dev, ym0_dev, int(slope))
+            pos, idx, d0, count, _ = _sweep_gather(
+                chunk_x, scale_dev, t_dev, xm0_dev, ym0_dev, int(slope),
+                n_act=int(n_act))
         k = int(count)
         if k == 0:
             continue
@@ -2212,14 +2218,16 @@ def _fill_append(bi, bj, bd, pos_b, d0_b, k, acc, row0, n, b):
 
 
 def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
-                      e_total, chunk_rows=1024):
+    e_total, chunk_rows=1024):
     """Stream every pair whose first offset is < n_act into
-    device-resident buffers; returns ops.sparse_sweep.SweepEdges.
+    device-resident buffers; returns (SweepEdges, cum) where cum is the
+    EXACT cumulative in-boundary pair count per offset — the fill's own
+    histogram, so no separate counts pre-pass is needed.
 
-    e_total: exact expected pair count (from the counts pre-pass) —
-    sizes the buffers at 2 * bucket(e_total) so the sparse sweep's
-    dynamic delta slices always stay in range. Single-device streaming
-    and buffered tiers; mesh-sharded callers use the host path."""
+    e_total: expected pair count (exact from a counts pass, or a
+    subsample estimate with margin) — sizes the buffers. Single-device
+    streaming and buffered tiers; mesh-sharded callers use the host
+    path."""
     from .ops.sparse_sweep import SweepEdges, _bucket as _ss_bucket
 
     streaming = cd.buf is None
@@ -2240,16 +2248,26 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
     bj = jnp.full(e_alloc, n_pad, jnp.int32)
     bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
     acc = 0
+    counts = np.zeros(len(t) + 1, np.int64)
 
     if streaming:
+        # per-dispatch working set is ~18 B/pair (pos+idx+d0 outputs
+        # plus the compaction sort's workspace); budget it from what the
+        # resident tensors + edge buffers leave free (the 81920 tier
+        # OOM'd with a fixed 1.5e9/9 plan)
+        from .ops.sparse_sweep import HBM_TOTAL
+
+        resident = cd.planes.nbytes if cd.planes is not None else 0
+        fill_budget = min(1.5e9, max(0.3e9, HBM_TOTAL - resident
+                                     - 12 * e_alloc - 1.5e9))
         chunk_rows = _dispatch_plan(
             half, cd.chunk, n_pad,
-            cap_rows=int(1.5e9 / (9 * n_pad)))[0][1] * cd.chunk
+            cap_rows=int(fill_budget / (18 * n_pad)))[0][1] * cd.chunk
     for s in range(0, half, chunk_rows):
         rows = min(chunk_rows, half - s)
         if streaming:
             nr = cd._n_real if cd._n_real < n_pad else None
-            pos, _, d0, count = _stream_sweep_group(
+            pos, _, d0, count, hist = _stream_sweep_group(
                 cd.planes, cd.lengths, cd.freqs, jnp.int32(s),
                 jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev,
                 cd.chunk, int(rows // cd.chunk), cd._klist, cd._ss64,
@@ -2258,9 +2276,10 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
         else:
             chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
             m = chunk_x.shape[0]
-            pos, _, d0, count = _sweep_gather(chunk_x, scale_dev,
-                                              t_dev[:n_act],
-                                              xm0_dev, ym0_dev, int(slope))
+            pos, _, d0, count, hist = _sweep_gather(
+                chunk_x, scale_dev, t_dev, xm0_dev, ym0_dev, int(slope),
+                n_act=int(n_act))
+        counts += np.asarray(hist, np.int64)
         k = int(count)
         if k == 0:
             continue
@@ -2274,7 +2293,8 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
             jnp.int32(s), n_pad, int(b))
         acc += k
     n_real = getattr(cd, "_n_real", cd.n)
-    return SweepEdges(bi, bj, bd, acc, n_pad, n_real=n_real)
+    return (SweepEdges(bi, bj, bd, acc, n_pad, n_real=n_real),
+            np.cumsum(counts[:-1]))
 
 
 @partial(jax.jit, static_argnames=("n", "iters"))
@@ -2452,7 +2472,7 @@ def components_device(d0_sq, threshold):
 def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                       score_idx=0, betweenness_sample=100, seed=42,
                       n_grid=40, max_sweep_fetch=40_000_000, slope=2,
-                      no_local=False, timings_out=None):
+                      no_local=False, timings_out=None, est_pairs=None):
     """Global + local 1-D boundary refinement over the device buffer.
 
     Mirrors models/refine.refine_fit (constrained): 40-point global
@@ -2499,37 +2519,17 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             raise RuntimeError("Boundary range includes all points")
     else:
         from .network.incremental import grow_network_scores
-        from .ops.sparse_sweep import (hbm_feasible,
+        from .ops.sparse_sweep import (hbm_feasible, max_edge_cap,
                                        sweep_scores_sparse_device)
 
-        # counts-only pre-pass, buffered or streaming: the fetch cap
-        # applies to BOTH (the buffered widest offsets hold the same
-        # O(n_pairs/2) pairs; fetching them is the same host cliff)
-        t_ph = time.perf_counter()
-        if cd.buf is None:
-            cum = sweep_counts_streaming(cd, scale, s_range, slope, *line)
-        else:
-            cum = sweep_counts_buffered(cd, scale, s_range, slope, *line)
-        dt = time.perf_counter() - t_ph
-        sys.stderr.write(f"refine: counts pass {dt:.1f}s\n")
-        if timings_out is not None:
-            timings_out["counts"] = timings_out.get("counts", 0.0) + dt
-        if cum[-1] == cd.n_pairs:
-            raise RuntimeError("Boundary range includes all points")
         # Device sparse sweep (ops/sparse_sweep): score_idx 0 at any n,
         # no O(E) host fetch. Betweenness scores (idx 1/2) and
         # mesh-sharded populations use the host native engine.
-        # max_sweep_fetch caps HOST-tunnel fetches; the device path's
-        # cap is whatever edge buffer fits the HBM budget beyond the
-        # resident planes + the two bitmaps (16 GB v5e minus ~2 GB
-        # runtime/fragmentation reserve, scoring-phase peak).
         n_pad = getattr(cd, "_n_pad", cd.n)
         resident = 0
         for t_res in (getattr(cd, "planes", None), cd.buf):
             if t_res is not None:
                 resident += t_res.nbytes
-        from .ops.sparse_sweep import max_edge_cap
-
         cap_dev = max_edge_cap(n_pad, resident)
         dev_possible = (
             score_idx == 0
@@ -2537,43 +2537,125 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             and not getattr(cd, "_col", False)
             and os.environ.get("POPPUNK_TPU_SPARSE_SWEEP", "1") != "0"
             and cap_dev > 0)
-        eff_cap = max_sweep_fetch
+        cap_budget = cap_dev - cap_dev // 50 if cap_dev else 0
+        xm0_l, ym0_l, t_all = _line_d0_params(s_range, slope, *line)
+
+        # cumulative in-boundary pair counts per offset: a uniform
+        # model-subsample ESTIMATE suffices to pick the scoreable range
+        # (the fill pass returns exact counts for free; its idx < n_act
+        # filter is exact regardless, so scores never depend on the
+        # estimate) — skipping the dedicated counts pass saves a full
+        # distance recompute (~2 min at 65k)
+        est_cum = est_margin = None
+        if dev_possible and est_pairs is not None and len(est_pairs) >= 10000:
+            Xs = np.asarray(est_pairs, np.float64) / np.asarray(scale)
+            xe, ye = Xs[:, 0], Xs[:, 1]
+            if slope == 2:
+                if xm0_l * ym0_l == 0:
+                    d0e = np.sqrt(xe * xe + ye * ye)
+                else:
+                    d0e = ye * xm0_l + xe * ym0_l - xm0_l * ym0_l
+            elif slope == 0:
+                d0e = xe - xm0_l
+            else:
+                d0e = ye - ym0_l
+            m_e = len(d0e)
+            frac = np.searchsorted(np.sort(d0e), t_all,
+                                   side="right") / m_e
+            est_cum = frac * cd.n_pairs
+            est_margin = (6.0 * cd.n_pairs
+                          * np.sqrt(np.maximum(frac, 1e-12) / m_e)
+                          + 0.02 * est_cum + 1e5)
+
+        cum = None
+        if est_cum is None:
+            t_ph = time.perf_counter()
+            if cd.buf is None:
+                cum = sweep_counts_streaming(cd, scale, s_range, slope,
+                                             *line)
+            else:
+                cum = sweep_counts_buffered(cd, scale, s_range, slope,
+                                            *line)
+            dt = time.perf_counter() - t_ph
+            sys.stderr.write(f"refine: counts pass {dt:.1f}s\n")
+            if timings_out is not None:
+                timings_out["counts"] = (timings_out.get("counts", 0.0)
+                                         + dt)
+            if cum[-1] == cd.n_pairs:
+                raise RuntimeError("Boundary range includes all points")
+
+        def pick_o_star(bound):
+            """Largest offset whose (estimated-with-margin or exact)
+            count fits under `bound`."""
+            if cum is not None:
+                ok = np.nonzero(cum <= bound)[0]
+            else:
+                ok = np.nonzero(est_cum + est_margin <= bound)[0]
+            if len(ok) == 0:
+                raise RuntimeError(
+                    f"first sweep offset already holds "
+                    f"{int((cum if cum is not None else est_cum)[0])} "
+                    f"pairs (> max_sweep_fetch {bound})")
+            return int(ok.max())
+
+        # the host cap bounds host fetches; the device path covers at
+        # least as much, extending to a minimal extra coverage (>= 3
+        # offsets) within its HBM budget — sweeping all the way to the
+        # HBM cap was measured strictly slower (fill + gathers scale
+        # with the pair count, and wide offsets are never optimal)
         if dev_possible:
-            # 2% under the bucket boundary so the fill's overflow slack
-            # stays within the same pow2 allocation
-            eff_cap = max(max_sweep_fetch, cap_dev - cap_dev // 50)
-        fetchable = np.nonzero(cum <= eff_cap)[0]
-        if len(fetchable) == 0:
-            raise RuntimeError(
-                f"first sweep offset already holds {cum[0]} pairs "
-                f"(> max_sweep_fetch {eff_cap})")
-        o_star = int(fetchable.max())
-        if o_star < n_grid - 1:
-            sys.stderr.write(
-                f"refine: offsets {o_star + 1}..{n_grid - 1} hold "
-                f"{cum[o_star + 1]}..{cum[-1]} pairs (> max_sweep_fetch "
-                f"{eff_cap}); scored as 1\n")
+            base = (cum if cum is not None else est_cum + est_margin)
+            eff_cap = max(max_sweep_fetch,
+                          int(base[min(2, n_grid - 1)]) + 1)
+            eff_cap = min(eff_cap, cap_budget)
+        else:
+            eff_cap = max_sweep_fetch
+        o_star = pick_o_star(eff_cap)
         use_sparse_dev = (
             dev_possible
-            and hbm_feasible(n_pad, int(cum[o_star]), resident))
+            and hbm_feasible(
+                n_pad,
+                int((cum if cum is not None
+                     else est_cum + est_margin)[o_star]), resident))
         if dev_possible and not use_sparse_dev and eff_cap > max_sweep_fetch:
             # device cap chosen but the buffer doesn't actually fit:
             # fall back to the host path's own cap coherently
             eff_cap = max_sweep_fetch
-            fetchable = np.nonzero(cum <= eff_cap)[0]
-            if len(fetchable) == 0:
-                raise RuntimeError(
-                    f"first sweep offset already holds {cum[0]} pairs "
-                    f"(> max_sweep_fetch {eff_cap})")
-            o_star = int(fetchable.max())
+            o_star = pick_o_star(eff_cap)
+        if not use_sparse_dev and cum is None:
+            # the host engine needs exact counts before fetching
+            t_ph = time.perf_counter()
+            if cd.buf is None:
+                cum = sweep_counts_streaming(cd, scale, s_range, slope,
+                                             *line)
+            else:
+                cum = sweep_counts_buffered(cd, scale, s_range, slope,
+                                            *line)
+            if timings_out is not None:
+                timings_out["counts"] = (
+                    timings_out.get("counts", 0.0)
+                    + time.perf_counter() - t_ph)
+            if cum[-1] == cd.n_pairs:
+                raise RuntimeError("Boundary range includes all points")
+            o_star = pick_o_star(eff_cap)
         edges = None
-        xm0_l, ym0_l, t_all = _line_d0_params(s_range, slope, *line)
         while True:  # o_star strictly widens, so <= n_grid iterations
             t_ph = time.perf_counter()
             if use_sparse_dev:
-                edges = sweep_fill_device(
+                e_total = int((cum if cum is not None
+                               else est_cum + est_margin)[o_star])
+                edges, cum_exact = sweep_fill_device(
                     cd, scale, s_range, slope, *line, n_act=o_star + 1,
-                    e_total=int(cum[o_star]))
+                    e_total=e_total)
+                cum = cum_exact
+                if cum[-1] == cd.n_pairs:
+                    raise RuntimeError(
+                        "Boundary range includes all points")
+                if o_star < n_grid - 1:
+                    sys.stderr.write(
+                        f"refine: offsets {o_star + 1}..{n_grid - 1} "
+                        f"hold {cum[o_star + 1]}..{cum[-1]} pairs "
+                        f"(> cap {eff_cap}); scored as 1\n")
                 t_sc = time.perf_counter()
                 global_s = np.ones(n_grid)
                 global_s[:o_star + 1], _ = sweep_scores_sparse_device(
@@ -2583,6 +2665,11 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                     f"{t_sc - t_ph:.1f}s, device score "
                     f"{time.perf_counter() - t_sc:.1f}s\n")
             else:
+                if o_star < n_grid - 1:
+                    sys.stderr.write(
+                        f"refine: offsets {o_star + 1}..{n_grid - 1} "
+                        f"hold {cum[o_star + 1]}..{cum[-1]} pairs "
+                        f"(> max_sweep_fetch {eff_cap}); scored as 1\n")
                 i, j, idx, d0 = sweep_first_offsets(
                     cd, scale, s_range, slope, *line, _n_act=o_star + 1)
                 t_sc = time.perf_counter()
@@ -3318,7 +3405,7 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                 cd, model.scale, mean0, mean1, max_move=max_move,
                 score_idx=score_idx, seed=seed,
                 max_sweep_fetch=max_sweep_fetch,
-                timings_out=refine_phases)
+                timings_out=refine_phases, est_pairs=sub)
             break
         except RuntimeError as e:
             # only the sweep-geometry errors are retryable; XLA runtime

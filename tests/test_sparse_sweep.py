@@ -162,8 +162,9 @@ class TestFillDevice:
         offsets = np.linspace(0.0, 0.5, 20)
         args = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
         hi, hj, hidx, hd0 = sweep_first_offsets(src, *args)
-        edges = sweep_fill_device(src, *args, n_act=len(offsets),
-                                  e_total=len(hi))
+        edges, cum_fill = sweep_fill_device(src, *args,
+                                            n_act=len(offsets),
+                                            e_total=len(hi))
         assert edges.count == len(hi)
         k = edges.count
         di, dj = edges.fetch_prefix(k)
@@ -184,14 +185,16 @@ class TestFillDevice:
         offsets = np.linspace(0.0, 0.5, 20)
         args = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
         hi, hj, hidx, hd0 = sweep_first_offsets(cd, *args)
-        edges = sweep_fill_device(cd, *args, n_act=len(offsets),
-                                  e_total=len(hi))
+        edges, cum_fill = sweep_fill_device(cd, *args,
+                                            n_act=len(offsets),
+                                            e_total=len(hi))
         from poppunk_tpu.scale import _line_d0_params
 
         _, _, t = _line_d0_params(offsets, 2, 0.1, 0.1, 0.7, 0.7)
         want = [(hd0 <= tv).sum() for tv in t]
         got = edges.counts_at(t)
         np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(cum_fill, want)
 
 
 class TestRefineEquivalence:
@@ -241,8 +244,9 @@ class TestRefineEquivalence:
         offsets = np.linspace(0.0, 0.5, 20)
         args = (scale, offsets, 2, 0.1, 0.1, 0.7, 0.7)
         hi, hj, hidx, hd0 = sweep_first_offsets(cd, *args)
-        edges = sweep_fill_device(cd, *args, n_act=len(offsets),
-                                  e_total=len(hi))
+        edges, cum_fill = sweep_fill_device(cd, *args,
+                                            n_act=len(offsets),
+                                            e_total=len(hi))
         from poppunk_tpu.scale import _line_d0_params
 
         _, _, t = _line_d0_params(offsets, 2, 0.1, 0.1, 0.7, 0.7)
