@@ -2297,13 +2297,19 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
             np.cumsum(counts[:-1]))
 
 
-@partial(jax.jit, static_argnames=("n", "iters"))
-def _edge_label_prop(iv, jv, active, n, iters):
+@partial(jax.jit, static_argnames=("n",))
+def _edge_label_prop(iv, jv, active, n, max_iters):
     """Min-label propagation over an edge list: labels converge to the
-    per-component minimum vertex id in O(diameter) rounds."""
-    labels = jnp.arange(n + 1, dtype=jnp.int32)  # slot n = pad sink
+    per-component minimum vertex id. One while_loop runs to convergence
+    on device (pointer-jumping keeps rounds ~O(log diameter))."""
+    labels0 = jnp.arange(n + 1, dtype=jnp.int32)  # slot n = pad sink
 
-    def body(labels, _):
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
         li = labels[jnp.clip(iv, 0, n)]
         lj = labels[jnp.clip(jv, 0, n)]
         m = jnp.where(active, jnp.minimum(li, lj), n)
@@ -2313,10 +2319,11 @@ def _edge_label_prop(iv, jv, active, n, iters):
         labels = labels[labels]
         changed = ((labels[jnp.clip(iv, 0, n)] != li)
                    | (labels[jnp.clip(jv, 0, n)] != lj)).any()
-        return labels, changed
+        return labels, changed, it + 1
 
-    labels, changed = jax.lax.scan(body, labels, None, length=iters)
-    return labels[:n], changed[-1]
+    labels, changed, it = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    return labels[:n], changed & (it >= max_iters)
 
 
 def edge_components_device(edges, threshold):
@@ -2326,15 +2333,11 @@ def edge_components_device(edges, threshold):
     convention used by components_native)."""
     k = int(edges.counts_at(np.array([threshold]))[0])
     active = jnp.arange(edges.i.shape[0], dtype=jnp.int32) < k
-    iters = 8
-    while True:
-        labels, changed = _edge_label_prop(edges.i, edges.j, active,
-                                           edges.n, iters)
-        if not bool(changed):
-            break
-        iters *= 2
-        if iters > 4 * int(np.ceil(np.log2(max(edges.n, 2))) + 2):
-            raise RuntimeError("label propagation failed to converge")
+    max_iters = 4 * int(np.ceil(np.log2(max(edges.n, 2))) + 2)
+    labels, hit_cap = _edge_label_prop(edges.i, edges.j, active,
+                                       edges.n, jnp.int32(max_iters))
+    if bool(hit_cap):
+        raise RuntimeError("label propagation failed to converge")
     labels = np.asarray(labels)[:edges.n_real]
     _, compact = np.unique(labels, return_inverse=True)
     # np.unique orders by label value = min vertex id; first-seen order
