@@ -2258,13 +2258,16 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
         from .ops.sparse_sweep import HBM_TOTAL
 
         resident = cd.planes.nbytes if cd.planes is not None else 0
-        fill_budget = min(1.5e9, max(0.3e9, HBM_TOTAL - resident
-                                     - 12 * e_alloc - 1.5e9))
+        # two dispatches are in flight at once (double-buffered below),
+        # so each gets half the free working-set budget
+        fill_budget = min(1.25e9, max(0.3e9, (HBM_TOTAL - resident
+                                              - 12 * e_alloc - 0.5e9)
+                                     / 2))
         chunk_rows = _dispatch_plan(
             half, cd.chunk, n_pad,
             cap_rows=int(fill_budget / (18 * n_pad)))[0][1] * cd.chunk
-    for s in range(0, half, chunk_rows):
-        rows = min(chunk_rows, half - s)
+
+    def enumerate_chunk(s, rows):
         if streaming:
             nr = cd._n_real if cd._n_real < n_pad else None
             pos, _, d0, count, hist = _stream_sweep_group(
@@ -2279,10 +2282,15 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
             pos, _, d0, count, hist = _sweep_gather(
                 chunk_x, scale_dev, t_dev, xm0_dev, ym0_dev, int(slope),
                 n_act=int(n_act))
+        return pos, d0, count, hist, m, s
+
+    def append(pending):
+        nonlocal bi, bj, bd, acc, counts
+        pos, d0, count, hist, m, s = pending
         counts += np.asarray(hist, np.int64)
         k = int(count)
         if k == 0:
-            continue
+            return
         if acc + k > e_alloc:
             raise RuntimeError(
                 f"sweep fill overflow: {acc + k} pairs > buffer "
@@ -2292,6 +2300,19 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
             bi, bj, bd, pos[:b], d0[:b], jnp.int32(k), jnp.int32(acc),
             jnp.int32(s), n_pad, int(b))
         acc += k
+
+    # double-buffered: dispatch i+1 queues on device BEFORE dispatch i's
+    # count/hist scalars are fetched, so the device never idles on the
+    # host round-trip (the fetch blocks the host, not the device)
+    pending = None
+    for s in range(0, half, chunk_rows):
+        rows = min(chunk_rows, half - s)
+        nxt = enumerate_chunk(s, rows)
+        if pending is not None:
+            append(pending)
+        pending = nxt
+    if pending is not None:
+        append(pending)
     n_real = getattr(cd, "_n_real", cd.n)
     return (SweepEdges(bi, bj, bd, acc, n_pad, n_real=n_real),
             np.cumsum(counts[:-1]))
