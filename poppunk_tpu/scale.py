@@ -2623,14 +2623,17 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             return int(ok.max())
 
         # the host cap bounds host fetches; the device path covers at
-        # least as much, extending to a minimal extra coverage (>= 3
-        # offsets) within its HBM budget — sweeping all the way to the
-        # HBM cap was measured strictly slower (fill + gathers scale
-        # with the pair count, and wide offsets are never optimal)
+        # least as much, extending to >= 10 scoreable offsets within its
+        # HBM budget (the sweep needs enough offsets to bracket the
+        # optimum — 3 scored offsets at 81920 collapsed the clustering;
+        # the fill's cost is enumeration-dominated so the extra coverage
+        # is nearly free, while sweeping ALL the way to the HBM cap was
+        # measured slower: scoring gathers scale with the pair count and
+        # the widest offsets are never optimal)
         if dev_possible:
             base = (cum if cum is not None else est_cum + est_margin)
             eff_cap = max(max_sweep_fetch,
-                          int(base[min(2, n_grid - 1)]) + 1)
+                          int(base[min(9, n_grid - 1)]) + 1)
             eff_cap = min(eff_cap, cap_budget)
         else:
             eff_cap = max_sweep_fetch
