@@ -293,3 +293,32 @@ class TestAdaptiveCap:
         hx, hy, hs, _ = refine_fit_device(cd, scale, mean0, mean1, **kw)
         np.testing.assert_allclose([x, y, s], [hx, hy, hs],
                                    rtol=1e-4, atol=1e-6)
+
+    def test_estimated_counts_match_exact(self, cd, sc, pop, monkeypatch):
+        """The device path with a subsample estimate must find the same
+        boundary as with the exact counts pre-pass (scores never depend
+        on the estimate; only buffer sizing and worst-scored offsets
+        do)."""
+        from poppunk_tpu.ops.distances import condensed_self_block
+        from poppunk_tpu.scale import refine_fit_device
+        import poppunk_tpu.scale as scale_mod
+
+        host = condensed_self_block(
+            np.asarray(pop.planes_gm), np.asarray(pop.lengths),
+            np.asarray(pop.freqs), KLIST, SS64, BBITS)
+        scale = host.max(axis=0)
+        Xs = host / scale
+        mean0 = Xs[Xs[:, 0] < 0.3].mean(axis=0)
+        mean1 = Xs[Xs[:, 0] >= 0.3].mean(axis=0)
+        monkeypatch.setattr(scale_mod, "MATMUL_SWEEP_MAX_N", 0)
+        kw = dict(max_move=0.05, score_idx=0, seed=4)
+        # uniform pair subsample (>= the estimator's minimum size)
+        rng = np.random.default_rng(0)
+        sub = Xs[rng.integers(0, len(Xs), 20000)] * scale
+
+        for src in (cd, sc):
+            exact = refine_fit_device(src, scale, mean0, mean1, **kw)
+            est = refine_fit_device(src, scale, mean0, mean1,
+                                    est_pairs=sub, **kw)
+            np.testing.assert_allclose(est[:3], exact[:3],
+                                       rtol=1e-5, atol=1e-7)
