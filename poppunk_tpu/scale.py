@@ -3325,8 +3325,14 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     if n_strains is None:
         # past the 20480 tier, scale strains so within-strain pairs
         # (~n^2 / 2S — the refine optimum's edge count) stay ~2e7:
-        # fetchable sparse AND still ~1% of the model subsample
-        n_strains = 20 if n <= 20480 else max(20, n // 640)
+        # fetchable sparse AND still ~1% of the model subsample. Capped
+        # at ~100: the planted between-strain divergence range
+        # (strain_div 0.015-0.03) holds ~100 separable strains; beyond
+        # that their tails collide and no boundary separates them (the
+        # 128-strain 81920 fixture measured ARI 0.002 — a fixture
+        # artefact, not a pipeline failure; PopPUNK's model presumes
+        # bimodal within/between structure)
+        n_strains = 20 if n <= 20480 else min(max(20, n // 640), 102)
     if subsample is None:
         # the reference's 100k fit cap is tuned for <= 20k genomes; at
         # n/640 strains the within blob is ~1% of pairs, so the fit
