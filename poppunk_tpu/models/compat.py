@@ -181,8 +181,13 @@ def rebuild_hdbscan_from_state(state):
     if X.ndim != 2 or labels.shape[0] != X.shape[0]:
         return None
 
-    min_samples = state.get("min_samples") or 5
     min_cluster_size = state.get("min_cluster_size") or 5
+    # hdbscan semantics: min_samples=None means "default to
+    # min_cluster_size" (hdbscan_.py); only a truly absent field falls
+    # back to 5 (via min_cluster_size's own default)
+    min_samples = state.get("min_samples")
+    if not min_samples:
+        min_samples = min_cluster_size
     model = HDBSCAN(min_samples=int(min_samples),
                     min_cluster_size=int(min_cluster_size))
     model._X = X

@@ -49,6 +49,18 @@ from .ops.distances import (core_accessory, corrected_jaccards,
                             match_counts_xla_t, plane_geometry)
 
 
+class SweepSaturated(RuntimeError):
+    """Sweep-geometry failure: the boundary search range is so wide that
+    the in-boundary pair set exceeds the fetch/HBM caps (or spans every
+    pair).  Retryable by shrinking max_move; distinct from XLA runtime
+    RuntimeErrors (OOM etc.) which must propagate."""
+
+
+class SweepFillOverflow(RuntimeError):
+    """The subsample-estimated fill buffer under-sized the true
+    in-boundary pair count.  Retryable by recounting exactly."""
+
+
 def fold_rows(n):
     if n % 2:
         raise ValueError("folded condensed buffer requires even n")
@@ -1762,10 +1774,10 @@ def refine_fit_device_2d(cd, scale, mean0, mean1, max_move=0.9,
 
     cum = sweep2d_counts_streaming(cd, scale, x_max, y_max)
     if cum[-1, -1] == cd.n_pairs:
-        raise RuntimeError("Boundary range includes all points")
+        raise SweepSaturated("Boundary range includes all points")
     scoreable = cum <= max_sweep_fetch
     if not scoreable.any():
-        raise RuntimeError(
+        raise SweepSaturated(
             f"tightest 2-D cell already holds {cum[0, 0]} pairs "
             f"(> max_sweep_fetch {max_sweep_fetch})")
     if not scoreable.all():
@@ -2292,7 +2304,7 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
         if k == 0:
             return
         if acc + k > e_alloc:
-            raise RuntimeError(
+            raise SweepFillOverflow(
                 f"sweep fill overflow: {acc + k} pairs > buffer "
                 f"{e_alloc} (counts pass estimated {e_total})")
         b = min(_bucket_pow2(k), m)
@@ -2540,7 +2552,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         d0_sq, t_grid = build_d0_square(cd, scale, slope, *line, s_range)
         global_s, edge_counts = matmul_sweep_scores(d0_sq, t_grid)
         if edge_counts[-1] == cd.n_pairs:
-            raise RuntimeError("Boundary range includes all points")
+            raise SweepSaturated("Boundary range includes all points")
     else:
         from .network.incremental import grow_network_scores
         from .ops.sparse_sweep import (hbm_feasible, max_edge_cap,
@@ -2606,7 +2618,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 timings_out["counts"] = (timings_out.get("counts", 0.0)
                                          + dt)
             if cum[-1] == cd.n_pairs:
-                raise RuntimeError("Boundary range includes all points")
+                raise SweepSaturated("Boundary range includes all points")
 
         def pick_o_star(bound):
             """Largest offset whose (estimated-with-margin or exact)
@@ -2616,7 +2628,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             else:
                 ok = np.nonzero(est_cum + est_margin <= bound)[0]
             if len(ok) == 0:
-                raise RuntimeError(
+                raise SweepSaturated(
                     f"first sweep offset already holds "
                     f"{int((cum if cum is not None else est_cum)[0])} "
                     f"pairs (> max_sweep_fetch {bound})")
@@ -2663,7 +2675,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                     timings_out.get("counts", 0.0)
                     + time.perf_counter() - t_ph)
             if cum[-1] == cd.n_pairs:
-                raise RuntimeError("Boundary range includes all points")
+                raise SweepSaturated("Boundary range includes all points")
             o_star = pick_o_star(eff_cap)
         edges = None
         while True:  # o_star strictly widens, so <= n_grid iterations
@@ -2671,12 +2683,49 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             if use_sparse_dev:
                 e_total = int((cum if cum is not None
                                else est_cum + est_margin)[o_star])
-                edges, cum_exact = sweep_fill_device(
-                    cd, scale, s_range, slope, *line, n_act=o_star + 1,
-                    e_total=e_total)
+                # drop the previous iteration's edge buffers BEFORE the
+                # refill so two full sets are never resident at once
+                # (hbm_feasible budgets one)
+                edges = None
+                try:
+                    edges, cum_exact = sweep_fill_device(
+                        cd, scale, s_range, slope, *line,
+                        n_act=o_star + 1, e_total=e_total)
+                except SweepFillOverflow as e:
+                    # the subsample estimate under-sized the buffer: pay
+                    # for the exact counts pass it skipped, re-pick the
+                    # range, and refill sized exactly
+                    sys.stderr.write(f"refine: {e}; falling back to the "
+                                     "exact counts pass\n")
+                    t_cn = time.perf_counter()
+                    if cd.buf is None:
+                        cum = sweep_counts_streaming(
+                            cd, scale, s_range, slope, *line)
+                    else:
+                        cum = sweep_counts_buffered(
+                            cd, scale, s_range, slope, *line)
+                    if timings_out is not None:
+                        timings_out["counts"] = (
+                            timings_out.get("counts", 0.0)
+                            + time.perf_counter() - t_cn)
+                    if cum[-1] == cd.n_pairs:
+                        raise SweepSaturated(
+                            "Boundary range includes all points")
+                    o_star = pick_o_star(eff_cap)
+                    if not hbm_feasible(n_pad, int(cum[o_star]),
+                                        resident):
+                        # exact counts push the buffer past HBM: take
+                        # the host path's cap coherently
+                        use_sparse_dev = False
+                        eff_cap = max_sweep_fetch
+                        o_star = pick_o_star(eff_cap)
+                        continue
+                    edges, cum_exact = sweep_fill_device(
+                        cd, scale, s_range, slope, *line,
+                        n_act=o_star + 1, e_total=int(cum[o_star]))
                 cum = cum_exact
                 if cum[-1] == cd.n_pairs:
-                    raise RuntimeError(
+                    raise SweepSaturated(
                         "Boundary range includes all points")
                 if o_star < n_grid - 1:
                     sys.stderr.write(
@@ -2723,7 +2772,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             widen_cap = (eff_cap if use_sparse_dev
                          else 2 * max_sweep_fetch)
             if cum[need] > widen_cap:
-                raise RuntimeError(
+                raise SweepSaturated(
                     "sweep optimum sits in an offset denser than "
                     "the max_sweep_fetch headroom — lower max_move")
             o_star = need
@@ -2754,7 +2803,8 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             f"refine: device micro-grid "
             f"{time.perf_counter() - t_ph:.1f}s\n")
         if timings_out is not None:
-            timings_out["local"] = time.perf_counter() - t_ph
+            timings_out["local"] = (timings_out.get("local", 0.0)
+                                    + time.perf_counter() - t_ph)
     elif 0 < min_idx < n_grid - 1 and cd.buf is None:
         # micro-grid local refinement: the native engine scores a whole
         # offset grid in ONE incremental pass, so bisection levels cost
@@ -2793,7 +2843,8 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         sys.stderr.write(
             f"refine: micro-grid {time.perf_counter() - t_ph:.1f}s\n")
         if timings_out is not None:
-            timings_out["local"] = time.perf_counter() - t_ph
+            timings_out["local"] = (timings_out.get("local", 0.0)
+                                    + time.perf_counter() - t_ph)
     elif 0 < min_idx < n_grid - 1:
         if use_matmul:
             def local_score(s_val):
@@ -3440,18 +3491,13 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                 max_sweep_fetch=max_sweep_fetch,
                 timings_out=refine_phases, est_pairs=sub)
             break
-        except RuntimeError as e:
+        except SweepSaturated as e:
             # only the sweep-geometry errors are retryable; XLA runtime
-            # failures (OOM etc.) subclass RuntimeError too and must
-            # propagate, not silently shrink the search
-            msg = str(e)
-            retryable = ("includes all points" in msg
-                         or "max_sweep_fetch" in msg
-                         or "max_move" in msg)
-            if not retryable or max_move / 4 < 1e-3:
+            # failures (OOM etc.) are plain RuntimeErrors and propagate
+            if max_move / 4 < 1e-3:
                 raise
             max_move /= 4
-            log(f"refine: sweep saturated ({msg[:120]}), retrying "
+            log(f"refine: sweep saturated ({str(e)[:120]}), retrying "
                 f"max_move={max_move}\n")
     timings["refine"] = time.perf_counter() - t0
     if refine_phases:

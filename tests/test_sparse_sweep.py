@@ -322,3 +322,49 @@ class TestAdaptiveCap:
                                     est_pairs=sub, **kw)
             np.testing.assert_allclose(est[:3], exact[:3],
                                        rtol=1e-5, atol=1e-7)
+
+    def test_fill_overflow_falls_back_to_exact_counts(self, cd, sc, pop,
+                                                      monkeypatch):
+        """A SweepFillOverflow (the subsample estimate under-sized the
+        buffer) must trigger the exact counts pass and a resized refill
+        — not abort the pipeline (ADVICE r4)."""
+        from poppunk_tpu.ops.distances import condensed_self_block
+        from poppunk_tpu.scale import refine_fit_device, SweepFillOverflow
+        import poppunk_tpu.scale as scale_mod
+
+        host = condensed_self_block(
+            np.asarray(pop.planes_gm), np.asarray(pop.lengths),
+            np.asarray(pop.freqs), KLIST, SS64, BBITS)
+        scale = host.max(axis=0)
+        Xs = host / scale
+        mean0 = Xs[Xs[:, 0] < 0.3].mean(axis=0)
+        mean1 = Xs[Xs[:, 0] >= 0.3].mean(axis=0)
+        monkeypatch.setattr(scale_mod, "MATMUL_SWEEP_MAX_N", 0)
+        kw = dict(max_move=0.05, score_idx=0, seed=4)
+        rng = np.random.default_rng(0)
+        sub = Xs[rng.integers(0, len(Xs), 20000)] * scale
+
+        real_fill = scale_mod.sweep_fill_device
+        calls = {"n": 0}
+
+        def exploding_fill(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise SweepFillOverflow(
+                    "sweep fill overflow: forced by test")
+            return real_fill(*args, **kwargs)
+
+        for src in (cd, sc):
+            calls["n"] = 0
+            exact = refine_fit_device(src, scale, mean0, mean1, **kw)
+            monkeypatch.setattr(scale_mod, "sweep_fill_device",
+                                exploding_fill)
+            timings = {}
+            est = refine_fit_device(src, scale, mean0, mean1,
+                                    est_pairs=sub, timings_out=timings,
+                                    **kw)
+            monkeypatch.setattr(scale_mod, "sweep_fill_device", real_fill)
+            assert calls["n"] >= 2        # overflow, then the resized fill
+            assert "counts" in timings    # the exact pass actually ran
+            np.testing.assert_allclose(est[:3], exact[:3],
+                                       rtol=1e-5, atol=1e-7)
