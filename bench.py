@@ -44,6 +44,16 @@ def _emit(record):
             fh.write(json.dumps(record) + "\n")
 
 
+def _pinned_cpu_rate():
+    """The dedicated-run CPU baseline rate pinned in BASELINE.json
+    (pairs/s), or None if absent — see that file's pinned_note."""
+    try:
+        with open(os.path.join(ROOT, "BASELINE.json")) as fh:
+            return float(json.load(fh)["pinned_cpu_pairs_per_s"])
+    except Exception:  # noqa: BLE001 — unpinned is a valid state
+        return None
+
+
 def _build_baseline():
     lib = os.path.join(ROOT, "native", "libcpu_baseline.so")
     src = os.path.join(ROOT, "native", "cpu_baseline.cpp")
@@ -1080,8 +1090,9 @@ def bench_scale(n=20480):
                   f"pipeline {out['pipeline_s']:.1f}s)",
         "value": round(out["pairs_per_s"], 1),
         "unit": "pairs/s",
-        "vs_baseline": round(out["pairs_per_s"] / cpu_rate, 2)
-        if cpu_rate == cpu_rate else None,
+        "vs_baseline": round(
+            out["pairs_per_s"] / (_pinned_cpu_rate() or cpu_rate), 2)
+        if (_pinned_cpu_rate() or cpu_rate == cpu_rate) else None,
         "n": n,
         "n_pairs": out["n_pairs"],
         "ari": round(float(out["ari"]), 4),
@@ -1226,12 +1237,19 @@ def main():
         sys.stderr.write(f"cpu baseline failed: {e}\n")
         cpu_rate = float("nan")
 
+    # vs_baseline uses the PINNED dedicated-run CPU rate (BASELINE.json)
+    # so the headline ratio is stable across rounds; the live co-run
+    # measurement (depressed by whatever else the host is doing) is
+    # reported alongside
+    pinned = _pinned_cpu_rate()
     out = {
         "metric": "pairwise core/accessory dists/sec/chip "
                   "(sketchsize 9984, bbits 14, 6 k-mer lengths)",
         "value": round(dev_rate, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(dev_rate / cpu_rate, 2)
+        "vs_baseline": round(dev_rate / (pinned or cpu_rate), 2)
+        if (pinned or cpu_rate == cpu_rate) else None,
+        "vs_baseline_live": round(dev_rate / cpu_rate, 2)
         if cpu_rate == cpu_rate else None,
     }
     if on_tpu:
