@@ -1011,15 +1011,45 @@ def bench_colshard(n=16384):
     np.testing.assert_array_equal(jc[oc], jr[orp])
     np.testing.assert_array_equal(xc[oc], xr[orp])
 
+    # the MESH-sharded device sparse sweep on the real chip (VERDICT r4
+    # item 1): per-device fill shards all-gathered on device, scored on
+    # device, equality-pinned to the single-device sweep — no O(E) host
+    # fetch on either path
+    from poppunk_tpu.ops.sparse_sweep import sweep_scores_sparse_device
+    from poppunk_tpu.scale import (_line_d0_params, sweep_counts_mesh,
+                                   sweep_fill_device)
+
+    _, _, t_grid = _line_d0_params(offsets, 2, *line)
+    cum_g, per_dev = sweep_counts_mesh(col, scale, offsets, 2, *line)
+    np.testing.assert_array_equal(cum_g, cum_r)
+    t0 = time.perf_counter()
+    edges_c, cum_fill = sweep_fill_device(
+        col, scale, offsets, 2, *line, n_act=len(offsets),
+        e_total=int(cum_g[-1]), e_per_dev=per_dev[:, -1])
+    t_fill_mesh = time.perf_counter() - t0
+    np.testing.assert_array_equal(cum_fill, cum_r)
+    t0 = time.perf_counter()
+    sc_mesh, _ = sweep_scores_sparse_device(edges_c, t_grid)
+    t_score_mesh = time.perf_counter() - t0
+    edges_c = None  # free the mesh edge buffers before the twin's
+    edges_r, _ = sweep_fill_device(rep, scale, offsets, 2, *line,
+                                   n_act=len(offsets),
+                                   e_total=int(cum_r[-1]))
+    sc_rep, _ = sweep_scores_sparse_device(edges_r, t_grid)
+    np.testing.assert_allclose(sc_mesh, sc_rep, rtol=1e-5, atol=1e-6)
+
     pairs = n * (n - 1) / 2
     sys.stderr.write(
         f"colshard: n={n} on {jax.devices()[0].platform}: dists+kNN "
         f"col {t_col:.1f}s vs replicated {t_rep:.1f}s; counts pass "
-        f"{t_counts:.1f}s; kNN/counts/fetch equal\n")
+        f"{t_counts:.1f}s; kNN/counts/fetch equal; mesh sparse sweep "
+        f"fill {t_fill_mesh:.1f}s + score {t_score_mesh:.1f}s over "
+        f"{int(cum_r[-1])} edges, scores == single-device\n")
     _emit({
         "metric": f"column-sharded (shard_planes) streaming tier on the "
                   f"real chip at n={n}: dists+fused-kNN pairs/s, "
-                  "equality-pinned to the replicated path on-device",
+                  "equality-pinned to the replicated path on-device; "
+                  "incl. mesh-sharded device sparse sweep",
         "value": round(pairs / t_col, 1),
         "unit": "pairs/s",
         "vs_baseline": round(t_rep / t_col, 3),
@@ -1027,6 +1057,9 @@ def bench_colshard(n=16384):
         "col_dists_s": round(t_col, 1),
         "replicated_dists_s": round(t_rep, 1),
         "counts_pass_s": round(t_counts, 1),
+        "mesh_sweep_fill_s": round(t_fill_mesh, 1),
+        "mesh_sweep_score_s": round(t_score_mesh, 1),
+        "mesh_sweep_edges": int(cum_r[-1]),
         "backend": "tpu" if on_tpu else "cpu-fallback",
     })
 
@@ -1180,11 +1213,88 @@ def bench_fill_profile(n=20480):
         results[name] = pairs / dt
         sys.stderr.write(f"{name}: {dt:.2f}s = "
                          f"{pairs / dt / 1e6:.1f} M full-row pairs/s\n")
+
+    # sweep-fill A/B at the same shapes: the sort-compaction pipeline
+    # (_stream_sweep_group + count fetch + _fill_append) vs the direct
+    # prefix-sum scatter append (_stream_fill_group)
+    from poppunk_tpu.scale import (_fill_append, _line_d0_params,
+                                   _stream_fill_group,
+                                   _stream_sweep_group)
+    from poppunk_tpu.ops.sparse_sweep import _bucket as _ss_bucket
+
+    offsets = np.linspace(0.0, 0.35, 40)
+    line = (0.05, 0.05, 0.6, 0.6)
+    xm0, ym0, t_grid = _line_d0_params(offsets, 2, *line)
+    scale_dev = jnp.asarray(
+        np.array([0.6, 0.8], np.float32))
+    t_dev = jnp.asarray(t_grid, jnp.float32)
+    n_act = len(t_grid)
+    e_alloc = _ss_bucket(pairs)
+
+    def run_sort():
+        bi = jnp.full(e_alloc, n, jnp.int32)
+        bj = jnp.full(e_alloc, n, jnp.int32)
+        bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
+        acc = 0
+        pend = None
+        for s in range(0, steps * c, 4 * c):
+            out = _stream_sweep_group(
+                pop.planes, pop.lengths, pop.freqs, jnp.int32(s),
+                jnp.int32(n_act), scale_dev, t_dev, jnp.float32(xm0),
+                jnp.float32(ym0), c, 4, KLIST, SS64, BBITS,
+                int(pad_bits), 2, use_pallas, None)
+            if pend is not None:
+                pos, d0, count, m = pend
+                k = int(count)
+                b = min(_ss_bucket(max(k, 1)), m)
+                bi, bj, bd = _fill_append(
+                    bi, bj, bd, pos[:b], d0[:b], jnp.int32(k),
+                    jnp.int32(acc), jnp.int32(s - 4 * c), n, int(b))
+                acc += k
+            pos, _, d0, count, _ = out
+            pend = (pos, d0, count, 4 * c * (n - 1))
+        pos, d0, count, m = pend
+        k = int(count)
+        b = min(_ss_bucket(max(k, 1)), m)
+        bi, bj, bd = _fill_append(bi, bj, bd, pos[:b], d0[:b],
+                                  jnp.int32(k),
+                                  jnp.int32(acc),
+                                  jnp.int32(steps * c - 4 * c), n, int(b))
+        acc += k
+        np.asarray(bd[-1])
+        return acc
+
+    def run_direct():
+        bi = jnp.full(e_alloc, n, jnp.int32)
+        bj = jnp.full(e_alloc, n, jnp.int32)
+        bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
+        acc_d = jnp.int32(0)
+        for s in range(0, steps * c, 4 * c):
+            bi, bj, bd, acc_d, _ = _stream_fill_group(
+                bi, bj, bd, acc_d, pop.planes, pop.lengths, pop.freqs,
+                jnp.int32(s), jnp.int32(n_act), scale_dev, t_dev,
+                jnp.float32(xm0), jnp.float32(ym0), c, 4, KLIST, SS64,
+                BBITS, int(pad_bits), 2, use_pallas, None)
+        return int(acc_d)
+
+    for name, fn in (("sweep-sort", run_sort),
+                     ("sweep-direct", run_direct)):
+        k_warm = fn()  # compile + warm
+        t0 = time.time()
+        k2 = fn()
+        dt = time.time() - t0
+        assert k2 == k_warm
+        results[name] = pairs / dt
+        sys.stderr.write(f"{name}: {dt:.2f}s = "
+                         f"{pairs / dt / 1e6:.1f} M full-row pairs/s "
+                         f"({k2} edges)\n")
+
     print(json.dumps({
         "metric": f"fill profile n={n} c={c} (full-row pairs/s)",
         "value": round(results["fold+knn"], 1),
         "unit": "pairs/s",
         "vs_baseline": round(results["fold+knn"] / results["kernel"], 3),
+        "detail": {k: round(v / 1e6, 2) for k, v in results.items()},
     }))
 
 

@@ -653,6 +653,66 @@ class _ShardedStream:
                 fetch_local, mesh=mesh,
                 in_specs=(rep,) * 9, out_specs=(sh2, sh2, sh2, sh1), check_vma=False))
 
+        def make_fill(key):
+            """Sparse-sweep fill: like fetch, but the compacted pairs are
+            DECODED to global (i, j) on device and appended into this
+            device's shard of the edge buffers — nothing O(E) crosses the
+            host link (the mesh arm of scale.sweep_fill_device)."""
+            slope, fsteps = key
+
+            def fill_local(planes, lengths, freqs, bi, bj, bd, acc, off,
+                           n_act, scale, t, xm0, ym0):
+                n = planes.shape[2]
+                start0 = dev_row0(off)
+
+                def body(_, s_idx):
+                    folded, _, _ = fold(planes, lengths, freqs,
+                                        start0 + s_idx * c, 1)
+                    d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0,
+                                   ym0, slope)
+                    return None, d0
+
+                _, d0 = jax.lax.scan(body, None,
+                                     jnp.arange(fsteps, dtype=jnp.int32))
+                d0 = d0.reshape(-1)
+                idx = jnp.searchsorted(t, d0,
+                                       side="left").astype(jnp.int32)
+                active = idx < n_act
+                m = d0.shape[0]
+                pos = jnp.sort(jnp.where(
+                    active, jnp.arange(m, dtype=jnp.int32), m))
+                count = active.sum()
+                hist = jnp.bincount(idx, length=t.shape[0] + 1)
+                # decode the sorted flat positions (local to this
+                # dispatch's row window) to global (i, j) — the same
+                # fold_inverse arithmetic as _fill_append, with the
+                # device's row origin folded into start0
+                lane = jnp.arange(m, dtype=jnp.int32)
+                mask = lane < count
+                safe = jnp.clip(pos, 0, m - 1)
+                r = safe // (n - 1) + start0
+                q = safe % (n - 1)
+                first = q < n - 1 - r
+                gi = jnp.where(first, r, n - 1 - r)
+                gj = jnp.where(first, q + r + 1, q + 1)
+                d0s = jnp.take(d0, safe)
+                cap = bi.shape[1]
+                dest = jnp.where(mask, acc[0] + lane, cap)
+                bi = bi.at[0, dest].set(jnp.where(mask, gi, n),
+                                        mode="drop")
+                bj = bj.at[0, dest].set(jnp.where(mask, gj, n),
+                                        mode="drop")
+                bd = bd.at[0, dest].set(jnp.where(mask, d0s, jnp.inf),
+                                        mode="drop")
+                return (bi, bj, bd, acc + count, hist[None],
+                        count[None])
+
+            return jax.jit(jax.shard_map(
+                fill_local, mesh=mesh,
+                in_specs=(rep, rep, rep, sh2, sh2, sh2, sh1) + (rep,) * 6,
+                out_specs=(sh2, sh2, sh2, sh1, sh2, sh1),
+                check_vma=False), donate_argnums=(3, 4, 5, 6))
+
         def make_counts2d(fsteps):
             def counts2d_local(planes, lengths, freqs, off, scale, xg,
                                yg):
@@ -719,11 +779,13 @@ class _ShardedStream:
         self._counts_cache = {}
         self._fetch_cache = {}
         self._stats_cache = {}
+        self._fill_cache = {}
         self._make_counts = make_counts
         self._make_fetch = make_fetch
         self._make_counts2d = make_counts2d
         self._make_fetch2d = make_fetch2d
         self._make_stats = make_stats
+        self._make_fill = make_fill
 
     def stats(self, fsteps):
         if fsteps not in self._stats_cache:
@@ -741,6 +803,12 @@ class _ShardedStream:
         if key not in self._fetch_cache:
             self._fetch_cache[key] = self._make_fetch(key)
         return self._fetch_cache[key]
+
+    def fill(self, slope, fsteps):
+        key = (slope, fsteps)
+        if key not in self._fill_cache:
+            self._fill_cache[key] = self._make_fill(key)
+        return self._fill_cache[key]
 
     def counts2d(self, fsteps):
         key = ("2d", fsteps)
@@ -983,6 +1051,73 @@ class _ColShardedStream:
                 in_specs=(shp,) + (rep,) * 8,
                 out_specs=(sh2, sh2, sh2, sh1), check_vma=False))
 
+        def make_fill(key):
+            """Sparse-sweep fill over the column shards: each device
+            appends its OWNED in-boundary pairs — decoded to global
+            (i, j) on device with the _col_decode arithmetic — into its
+            shard of the edge buffers (the col-sharded arm of
+            scale.sweep_fill_device)."""
+            slope, fsteps = key
+
+            def fill_local(planes_loc, lengths, freqs, bi, bj, bd, acc,
+                           off, n_act, scale, t, xm0, ym0):
+                col0 = col0_of()
+
+                def body(_, s_idx):
+                    s = (off + s_idx) * c
+                    d, row_ids, col_ids = tile(planes_loc, lengths,
+                                               freqs, col0, s)
+                    owned = pair_mask(row_ids, col_ids).reshape(-1)
+                    d0 = _d0_chunk(d.reshape(-1, 2), scale, xm0, ym0,
+                                   slope)
+                    return None, (d0, owned)
+
+                _, (d0, owned) = jax.lax.scan(
+                    body, None, jnp.arange(fsteps, dtype=jnp.int32))
+                d0 = d0.reshape(-1)
+                owned = owned.reshape(-1)
+                idx = jnp.searchsorted(t, d0,
+                                       side="left").astype(jnp.int32)
+                active = owned & (idx < n_act)
+                m = d0.shape[0]
+                pos = jnp.sort(jnp.where(
+                    active, jnp.arange(m, dtype=jnp.int32), m))
+                count = active.sum()
+                hist = jnp.bincount(jnp.where(owned, idx, t.shape[0]),
+                                    length=t.shape[0] + 1)
+                # decode tile-flat positions ([fsteps, 2c, n_loc]
+                # row-major) to global (i, j): the device arm of
+                # _col_decode
+                lane = jnp.arange(m, dtype=jnp.int32)
+                mask = lane < count
+                safe = jnp.clip(pos, 0, m - 1)
+                s_idx2 = safe // (2 * c * n_loc)
+                rem = safe % (2 * c * n_loc)
+                a_row = rem // n_loc
+                lcol = rem % n_loc
+                srow = (off + s_idx2) * c
+                gi = jnp.where(a_row < c, srow + a_row,
+                               n - srow - c + (a_row - c))
+                gj = col0 + lcol
+                d0s = jnp.take(d0, safe)
+                cap = bi.shape[1]
+                dest = jnp.where(mask, acc[0] + lane, cap)
+                bi = bi.at[0, dest].set(jnp.where(mask, gi, n),
+                                        mode="drop")
+                bj = bj.at[0, dest].set(jnp.where(mask, gj, n),
+                                        mode="drop")
+                bd = bd.at[0, dest].set(jnp.where(mask, d0s, jnp.inf),
+                                        mode="drop")
+                return (bi, bj, bd, acc + count, hist[None],
+                        count[None])
+
+            return jax.jit(jax.shard_map(
+                fill_local, mesh=mesh,
+                in_specs=(shp, rep, rep, sh2, sh2, sh2, sh1)
+                + (rep,) * 6,
+                out_specs=(sh2, sh2, sh2, sh1, sh2, sh1),
+                check_vma=False), donate_argnums=(3, 4, 5, 6))
+
         def make_counts2d(fsteps):
             def counts2d_local(planes_loc, lengths, freqs, off, scale,
                                xg, yg):
@@ -1113,7 +1248,8 @@ class _ColShardedStream:
         self.make_compact = make_compact
         self._caches = {}
         self._makers = {"stats": make_stats, "counts": make_counts,
-                        "fetch": make_fetch, "counts2d": make_counts2d,
+                        "fetch": make_fetch, "fill": make_fill,
+                        "counts2d": make_counts2d,
                         "fetch2d": make_fetch2d,
                         "pairs": make_pair_dists}
 
@@ -1130,6 +1266,9 @@ class _ColShardedStream:
 
     def fetch(self, slope, fsteps):
         return self._get("fetch", (int(slope), int(fsteps)))
+
+    def fill(self, slope, fsteps):
+        return self._get("fill", (int(slope), int(fsteps)))
 
     def counts2d(self, fsteps):
         return self._get("counts2d", int(fsteps))
@@ -2002,17 +2141,8 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
     scale_dev = jnp.asarray(scale, jnp.float32)
     cum = np.zeros(len(t), np.int64)
     if cd._mesh is not None:
-        # row- and column-sharded counts share shape: [stacked devices,
-        # n_offsets] per dispatch, host-summed; only the plan differs
-        # (per-device rows vs all folded rows)
-        for off, fsteps in _dispatch_plan(cd._plan_rows, cd.chunk,
-                                          cd._plan_width):
-            fn = cd._sh.counts(int(slope), int(fsteps))
-            cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
-                      scale_dev, t_dev, jnp.float32(xm0),
-                      jnp.float32(ym0))
-            cum += np.asarray(cums, np.int64).sum(axis=0)
-        return cum
+        return sweep_counts_mesh(cd, scale, offsets, slope, x0, y0, x1,
+                                 y1)[0]
     n_pad = cd._n_pad
     half = fold_rows(n_pad)
     nr = cd._n_real if cd._n_real < n_pad else None
@@ -2025,6 +2155,29 @@ def sweep_counts_streaming(cd, scale, offsets, slope, x0, y0, x1, y1):
             cd._use_pallas, nr)
         cum += np.asarray(cums, np.int64).sum(axis=0)
     return cum
+
+
+def sweep_counts_mesh(cd, scale, offsets, slope, x0, y0, x1, y1):
+    """Mesh-sharded exact counts: (global_cum i64[n_grid],
+    per_dev i64[n_dev, n_grid]) cumulative in-boundary pair counts.
+    per_dev row d counts exactly the pairs device d's fill shard will
+    append (row- and column-sharded alike) — the sizing input for the
+    sharded sweep_fill_device."""
+    xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
+    t_dev = jnp.asarray(t, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    per_dev = np.zeros((cd._n_dev, len(t)), np.int64)
+    # row- and column-sharded counts share shape: [stacked devices,
+    # n_offsets] per dispatch, host-summed; only the plan differs
+    # (per-device rows vs all folded rows)
+    for off, fsteps in _dispatch_plan(cd._plan_rows, cd.chunk,
+                                      cd._plan_width):
+        fn = cd._sh.counts(int(slope), int(fsteps))
+        cums = fn(cd.planes, cd.lengths, cd.freqs, jnp.int32(off),
+                  scale_dev, t_dev, jnp.float32(xm0),
+                  jnp.float32(ym0))
+        per_dev += np.asarray(cums, np.int64)
+    return per_dev.sum(axis=0), per_dev
 
 
 def _col_decode(pos, off, c, n_loc, n_pad, dev):
@@ -2229,20 +2382,167 @@ def _fill_append(bi, bj, bd, pos_b, d0_b, k, acc, row0, n, b):
     return bi, bj, bd
 
 
+def _sweep_fill_mesh(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
+                     e_total, e_per_dev=None):
+    """Mesh arm of sweep_fill_device (row- AND column-sharded): each
+    device appends its own pairs — decoded to global (i, j) on device —
+    into its shard of the edge buffers, then the shards are all-gathered
+    ON DEVICE (an XLA collective over ICI, never the host tunnel) into
+    the replicated edge list that sweep_scores_sparse_device scores.
+    The host sees one (histogram, count) pair per dispatch.
+
+    e_per_dev: exact per-device pair counts (from sweep_counts_mesh)
+    when available — sizes each shard tight. Otherwise each shard takes
+    the global estimate's per-device share with a 2x skew guard (strain
+    blocks are contiguous in row/column space, so one shard can hold
+    well over the mean); a shard overflow raises SweepFillOverflow and
+    the caller falls back to exact counts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .ops.sparse_sweep import SweepEdges, _bucket as _ss_bucket
+
+    mesh = cd._mesh
+    n_dev = cd._n_dev
+    n_pad = cd._n_pad
+    xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
+    t_dev = jnp.asarray(t, jnp.float32)
+    scale_dev = jnp.asarray(scale, jnp.float32)
+    xm0_dev, ym0_dev = jnp.float32(xm0), jnp.float32(ym0)
+
+    if e_per_dev is not None:
+        need = int(np.max(e_per_dev))
+        e_loc = _ss_bucket(need + max(1024, need // 128))
+    else:
+        est = max(int(e_total), 1)
+        share = min(est, 2 * est // n_dev + 1)
+        e_loc = _ss_bucket(share + max(1024, est // 128))
+
+    sh2 = NamedSharding(mesh, P(("q", "r"), None))
+    sh1 = NamedSharding(mesh, P(("q", "r")))
+
+    @partial(jax.jit, out_shardings=(sh2, sh2, sh2, sh1))
+    def init_buffers():
+        return (jnp.full((n_dev, e_loc), n_pad, jnp.int32),
+                jnp.full((n_dev, e_loc), n_pad, jnp.int32),
+                jnp.full((n_dev, e_loc), jnp.inf, jnp.float32),
+                jnp.zeros(n_dev, jnp.int32))
+
+    bi, bj, bd, acc = init_buffers()
+    counts = np.zeros(len(t) + 1, np.int64)
+    acc_host = np.zeros(n_dev, np.int64)
+
+    if cd._col:
+        plan = _dispatch_plan(cd._plan_rows, cd.chunk, cd._plan_width,
+                              cap_rows=int(1.0e9 / (18 * cd._n_loc)))
+    else:
+        plan = _dispatch_plan(cd._half_loc, cd.chunk, n_pad,
+                              cap_rows=int(1.0e9 / (18 * n_pad)))
+
+    # double-buffered: the host fetch of dispatch i's scalars happens
+    # after dispatch i+1 is queued, so the devices never idle on the
+    # host round-trip
+    pending = None
+    for off, fsteps in plan:
+        fn = cd._sh.fill(int(slope), int(fsteps))
+        bi, bj, bd, acc, hist, cnt = fn(
+            cd.planes, cd.lengths, cd.freqs, bi, bj, bd, acc,
+            jnp.int32(off), jnp.int32(n_act), scale_dev, t_dev,
+            xm0_dev, ym0_dev)
+        if pending is not None:
+            h, k = pending
+            counts += np.asarray(h, np.int64).sum(axis=0)
+            acc_host += np.asarray(k, np.int64)
+        pending = (hist, cnt)
+    if pending is not None:
+        h, k = pending
+        counts += np.asarray(h, np.int64).sum(axis=0)
+        acc_host += np.asarray(k, np.int64)
+    if np.any(acc_host > e_loc):
+        d_bad = int(np.argmax(acc_host))
+        raise SweepFillOverflow(
+            f"sweep fill overflow: device {d_bad} holds "
+            f"{int(acc_host[d_bad])} pairs > shard buffer {e_loc} "
+            f"(estimated {e_total} total)")
+
+    rep = NamedSharding(mesh, P())
+    gather = jax.jit(lambda a: a.reshape(-1), out_shardings=rep)
+    edges = SweepEdges(gather(bi), gather(bj), gather(bd),
+                       int(acc_host.sum()), n_pad, n_real=cd._n_real)
+    return edges, np.cumsum(counts[:-1])
+
+
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "slope",
+                                   "use_pallas", "n_real"),
+         donate_argnums=(0, 1, 2, 3))
+def _stream_fill_group(bi, bj, bd, acc, planes, lengths, freqs, s0, n_act,
+                       scale, t, xm0, ym0, c, steps, klist, sketchsize64,
+                       bbits, pad_bits, slope, use_pallas, n_real=None):
+    """Fill-pass dispatch with DIRECT append: recompute `steps` folded
+    chunks from row s0 and scatter every in-boundary pair straight into
+    the device edge buffers at prefix-sum destinations — no compaction
+    sort, no pos round-trip, no separate _fill_append dispatch (the
+    sort-based fill's three-stage pipeline measured ~2x the enumeration
+    floor at 65k; see bench_fill_profile's sweep A/B).
+
+    Buffers are donated and carried across dispatches; `acc` is the
+    device-resident running edge count (the host fetches it once per
+    dispatch for the overflow check). Overflowing destinations drop
+    (mode="drop"), so a too-small buffer truncates and the caller's
+    post-hoc acc check raises SweepFillOverflow before anything is
+    scored. Returns (bi, bj, bd, acc, hist)."""
+    n = planes.shape[2]
+    cap = bi.shape[0]
+
+    def step(carry, s):
+        bi, bj, bd, acc, hist = carry
+        folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
+                                   sketchsize64, bbits, pad_bits, 1, 0,
+                                   use_pallas, n_real)
+        d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0, ym0, slope)
+        idx = jnp.searchsorted(t, d0, side="left").astype(jnp.int32)
+        active = idx < n_act
+        hist = hist + jnp.bincount(idx, length=t.shape[0] + 1)
+        dest = acc + jnp.cumsum(active.astype(jnp.int32)) - 1
+        dest = jnp.where(active, dest, cap)  # out-of-range -> dropped
+        m = d0.shape[0]
+        pos = jnp.arange(m, dtype=jnp.int32)
+        r = pos // (n - 1) + s
+        q = pos % (n - 1)
+        first = q < n - 1 - r
+        gi = jnp.where(first, r, n - 1 - r)
+        gj = jnp.where(first, q + r + 1, q + 1)
+        bi = bi.at[dest].set(gi, mode="drop")
+        bj = bj.at[dest].set(gj, mode="drop")
+        bd = bd.at[dest].set(d0, mode="drop")
+        acc = acc + active.sum(dtype=jnp.int32)
+        return (bi, bj, bd, acc, hist), None
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    hist0 = jnp.zeros(t.shape[0] + 1, jnp.int32)
+    (bi, bj, bd, acc, hist), _ = jax.lax.scan(
+        step, (bi, bj, bd, acc, hist0), starts)
+    return bi, bj, bd, acc, hist
+
+
 def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
-    e_total, chunk_rows=1024):
+    e_total, chunk_rows=1024, e_per_dev=None):
     """Stream every pair whose first offset is < n_act into
     device-resident buffers; returns (SweepEdges, cum) where cum is the
     EXACT cumulative in-boundary pair count per offset — the fill's own
     histogram, so no separate counts pre-pass is needed.
 
     e_total: expected pair count (exact from a counts pass, or a
-    subsample estimate with margin) — sizes the buffers. Single-device
-    streaming and buffered tiers; mesh-sharded callers use the host
-    path."""
+    subsample estimate with margin) — sizes the buffers. Covers the
+    buffered, single-device streaming, AND mesh-sharded (row/column)
+    tiers; the mesh arm appends per-device shards and all-gathers them
+    on device (_sweep_fill_mesh)."""
     from .ops.sparse_sweep import SweepEdges, _bucket as _ss_bucket
 
     streaming = cd.buf is None
+    if streaming and getattr(cd, "_mesh", None) is not None:
+        return _sweep_fill_mesh(cd, scale, offsets, slope, x0, y0, x1,
+                                y1, n_act, e_total, e_per_dev)
     xm0, ym0, t = _line_d0_params(offsets, slope, x0, y0, x1, y1)
     t_dev = jnp.asarray(t, jnp.float32)
     scale_dev = jnp.asarray(scale, jnp.float32)
@@ -2559,18 +2859,23 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                                        sweep_scores_sparse_device)
 
         # Device sparse sweep (ops/sparse_sweep): score_idx 0 at any n,
-        # no O(E) host fetch. Betweenness scores (idx 1/2) and
-        # mesh-sharded populations use the host native engine.
+        # no O(E) host fetch — single-device, row-sharded, and
+        # column-sharded alike (the mesh arms fill per-device shards and
+        # all-gather them over ICI, _sweep_fill_mesh). Betweenness
+        # scores (idx 1/2) use the host native engine.
         n_pad = getattr(cd, "_n_pad", cd.n)
         resident = 0
         for t_res in (getattr(cd, "planes", None), cd.buf):
             if t_res is not None:
                 resident += t_res.nbytes
+        if getattr(cd, "_col", False):
+            # column-sharded planes: .nbytes is the GLOBAL size but each
+            # device holds only its 1/n_dev column slice
+            resident -= (cd.planes.nbytes
+                         - cd.planes.nbytes // cd._n_dev)
         cap_dev = max_edge_cap(n_pad, resident)
         dev_possible = (
             score_idx == 0
-            and getattr(cd, "_mesh", None) is None
-            and not getattr(cd, "_col", False)
             and os.environ.get("POPPUNK_TPU_SPARSE_SWEEP", "1") != "0"
             and cap_dev > 0)
         cap_budget = cap_dev - cap_dev // 50 if cap_dev else 0
@@ -2603,22 +2908,36 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                           * np.sqrt(np.maximum(frac, 1e-12) / m_e)
                           + 0.02 * est_cum + 1e5)
 
-        cum = None
-        if est_cum is None:
-            t_ph = time.perf_counter()
-            if cd.buf is None:
-                cum = sweep_counts_streaming(cd, scale, s_range, slope,
-                                             *line)
-            else:
-                cum = sweep_counts_buffered(cd, scale, s_range, slope,
+        # exact-counts pass, shared by the three callers below (initial
+        # no-estimate path, host-engine pre-fetch, overflow fallback);
+        # on a mesh it also captures the per-device counts that size the
+        # sharded fill's shards
+        per_dev_cum = None
+
+        def run_exact_counts():
+            nonlocal per_dev_cum
+            t_cn = time.perf_counter()
+            if cd.buf is not None:
+                out = sweep_counts_buffered(cd, scale, s_range, slope,
                                             *line)
-            dt = time.perf_counter() - t_ph
+            elif getattr(cd, "_mesh", None) is not None:
+                out, per_dev_cum = sweep_counts_mesh(
+                    cd, scale, s_range, slope, *line)
+            else:
+                out = sweep_counts_streaming(cd, scale, s_range, slope,
+                                             *line)
+            dt = time.perf_counter() - t_cn
             sys.stderr.write(f"refine: counts pass {dt:.1f}s\n")
             if timings_out is not None:
                 timings_out["counts"] = (timings_out.get("counts", 0.0)
                                          + dt)
-            if cum[-1] == cd.n_pairs:
+            if out[-1] == cd.n_pairs:
                 raise SweepSaturated("Boundary range includes all points")
+            return out
+
+        cum = None
+        if est_cum is None:
+            cum = run_exact_counts()
 
         def pick_o_star(bound):
             """Largest offset whose (estimated-with-margin or exact)
@@ -2663,19 +2982,7 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             o_star = pick_o_star(eff_cap)
         if not use_sparse_dev and cum is None:
             # the host engine needs exact counts before fetching
-            t_ph = time.perf_counter()
-            if cd.buf is None:
-                cum = sweep_counts_streaming(cd, scale, s_range, slope,
-                                             *line)
-            else:
-                cum = sweep_counts_buffered(cd, scale, s_range, slope,
-                                            *line)
-            if timings_out is not None:
-                timings_out["counts"] = (
-                    timings_out.get("counts", 0.0)
-                    + time.perf_counter() - t_ph)
-            if cum[-1] == cd.n_pairs:
-                raise SweepSaturated("Boundary range includes all points")
+            cum = run_exact_counts()
             o_star = pick_o_star(eff_cap)
         edges = None
         while True:  # o_star strictly widens, so <= n_grid iterations
@@ -2690,27 +2997,16 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                 try:
                     edges, cum_exact = sweep_fill_device(
                         cd, scale, s_range, slope, *line,
-                        n_act=o_star + 1, e_total=e_total)
+                        n_act=o_star + 1, e_total=e_total,
+                        e_per_dev=(per_dev_cum[:, o_star]
+                                   if per_dev_cum is not None else None))
                 except SweepFillOverflow as e:
                     # the subsample estimate under-sized the buffer: pay
                     # for the exact counts pass it skipped, re-pick the
                     # range, and refill sized exactly
                     sys.stderr.write(f"refine: {e}; falling back to the "
                                      "exact counts pass\n")
-                    t_cn = time.perf_counter()
-                    if cd.buf is None:
-                        cum = sweep_counts_streaming(
-                            cd, scale, s_range, slope, *line)
-                    else:
-                        cum = sweep_counts_buffered(
-                            cd, scale, s_range, slope, *line)
-                    if timings_out is not None:
-                        timings_out["counts"] = (
-                            timings_out.get("counts", 0.0)
-                            + time.perf_counter() - t_cn)
-                    if cum[-1] == cd.n_pairs:
-                        raise SweepSaturated(
-                            "Boundary range includes all points")
+                    cum = run_exact_counts()
                     o_star = pick_o_star(eff_cap)
                     if not hbm_feasible(n_pad, int(cum[o_star]),
                                         resident):
@@ -2722,7 +3018,9 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                         continue
                     edges, cum_exact = sweep_fill_device(
                         cd, scale, s_range, slope, *line,
-                        n_act=o_star + 1, e_total=int(cum[o_star]))
+                        n_act=o_star + 1, e_total=int(cum[o_star]),
+                        e_per_dev=(per_dev_cum[:, o_star]
+                                   if per_dev_cum is not None else None))
                 cum = cum_exact
                 if cum[-1] == cd.n_pairs:
                     raise SweepSaturated(

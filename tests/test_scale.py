@@ -346,9 +346,11 @@ class TestStreamingCondensed:
                                    **kwargs)
         b_out = run_scale_pipeline(streaming=False, sharded=False,
                                    log=b_log.append, **kwargs)
-        # no buffer => refine routes to the sparse native scorer; the
-        # buffered run (n <= MATMUL_SWEEP_MAX_N) takes the matmul sweep
-        assert any("via sparse sweep" in m for m in s_log)
+        # no buffer => refine routes to the device sparse sweep (the
+        # CPU test env runs an 8-device mesh, so this exercises the
+        # mesh-sharded fill); the buffered run (n <= MATMUL_SWEEP_MAX_N)
+        # takes the matmul sweep
+        assert any("via edges sweep" in m for m in s_log)
         assert any("via device sweep" in m for m in b_log)
         assert s_out["ari"] == b_out["ari"] == 1.0
         assert s_out["n_clusters"] == b_out["n_clusters"] == 10
