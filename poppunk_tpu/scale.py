@@ -2483,26 +2483,33 @@ def _stream_fill_group(bi, bj, bd, acc, planes, lengths, freqs, s0, n_act,
     the device edge buffers at prefix-sum destinations — no compaction
     sort, no pos round-trip, no separate _fill_append dispatch (the
     sort-based fill's three-stage pipeline measured ~2x the enumeration
-    floor at 65k; see bench_fill_profile's sweep A/B).
+    floor; bench --fill-profile on the v5e: sort 23.3 vs direct 30.5
+    Mpairs/s). The offset histogram is computed as direct cumulative
+    threshold compares (one fused compare+reduce per offset) instead of
+    searchsorted + bincount — no gather chains, no scatter-add.
 
     Buffers are donated and carried across dispatches; `acc` is the
     device-resident running edge count (the host fetches it once per
     dispatch for the overflow check). Overflowing destinations drop
     (mode="drop"), so a too-small buffer truncates and the caller's
     post-hoc acc check raises SweepFillOverflow before anything is
-    scored. Returns (bi, bj, bd, acc, hist)."""
+    scored. Returns (bi, bj, bd, acc, cum) where cum is this dispatch's
+    CUMULATIVE in-boundary pair count per offset (i32[n_t]; a dispatch
+    covers <= PAIRS_PER_DISPATCH < 2^31 pairs, the host accumulates
+    int64)."""
     n = planes.shape[2]
     cap = bi.shape[0]
+    t_band = t[n_act - 1]  # widest active offset's threshold
 
     def step(carry, s):
-        bi, bj, bd, acc, hist = carry
+        bi, bj, bd, acc, cum = carry
         folded, _, _ = _fold_block(planes, lengths, freqs, s, c, klist,
                                    sketchsize64, bbits, pad_bits, 1, 0,
                                    use_pallas, n_real)
         d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0, ym0, slope)
-        idx = jnp.searchsorted(t, d0, side="left").astype(jnp.int32)
-        active = idx < n_act
-        hist = hist + jnp.bincount(idx, length=t.shape[0] + 1)
+        cum = cum + jax.vmap(
+            lambda tv: (d0 <= tv).sum(dtype=jnp.int32))(t)
+        active = d0 <= t_band
         dest = acc + jnp.cumsum(active.astype(jnp.int32)) - 1
         dest = jnp.where(active, dest, cap)  # out-of-range -> dropped
         m = d0.shape[0]
@@ -2516,13 +2523,13 @@ def _stream_fill_group(bi, bj, bd, acc, planes, lengths, freqs, s0, n_act,
         bj = bj.at[dest].set(gj, mode="drop")
         bd = bd.at[dest].set(d0, mode="drop")
         acc = acc + active.sum(dtype=jnp.int32)
-        return (bi, bj, bd, acc, hist), None
+        return (bi, bj, bd, acc, cum), None
 
     starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
-    hist0 = jnp.zeros(t.shape[0] + 1, jnp.int32)
-    (bi, bj, bd, acc, hist), _ = jax.lax.scan(
-        step, (bi, bj, bd, acc, hist0), starts)
-    return bi, bj, bd, acc, hist
+    cum0 = jnp.zeros(t.shape[0], jnp.int32)
+    (bi, bj, bd, acc, cum), _ = jax.lax.scan(
+        step, (bi, bj, bd, acc, cum0), starts)
+    return bi, bj, bd, acc, cum
 
 
 def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
@@ -2563,37 +2570,44 @@ def sweep_fill_device(cd, scale, offsets, slope, x0, y0, x1, y1, n_act,
     counts = np.zeros(len(t) + 1, np.int64)
 
     if streaming:
-        # per-dispatch working set is ~18 B/pair (pos+idx+d0 outputs
-        # plus the compaction sort's workspace); budget it from what the
-        # resident tensors + edge buffers leave free (the 81920 tier
-        # OOM'd with a fixed 1.5e9/9 plan)
-        from .ops.sparse_sweep import HBM_TOTAL
-
-        resident = cd.planes.nbytes if cd.planes is not None else 0
-        # two dispatches are in flight at once (double-buffered below),
-        # so each gets half the free working-set budget
-        fill_budget = min(1.25e9, max(0.3e9, (HBM_TOTAL - resident
-                                              - 12 * e_alloc - 0.5e9)
-                                     / 2))
-        chunk_rows = _dispatch_plan(
-            half, cd.chunk, n_pad,
-            cap_rows=int(fill_budget / (18 * n_pad)))[0][1] * cd.chunk
+        # direct-append fill (_stream_fill_group): per-chunk transients
+        # only (~20 B per chunk pair), so the dispatch size is bounded
+        # by the tunnelled backend's program-kill time, not memory
+        nr = cd._n_real if cd._n_real < n_pad else None
+        chunk_rows = _dispatch_plan(half, cd.chunk, n_pad)[0][1] * cd.chunk
+        acc_dev = jnp.int32(0)
+        cum64 = np.zeros(len(t), np.int64)
+        # the edge/acc carries are donated device-resident; only the
+        # per-dispatch cum fetch blocks the host, one dispatch behind
+        # (the devices never idle on the host round-trip)
+        pending = None
+        for s in range(0, half, chunk_rows):
+            rows = min(chunk_rows, half - s)
+            bi, bj, bd, acc_dev, cum = _stream_fill_group(
+                bi, bj, bd, acc_dev, cd.planes, cd.lengths, cd.freqs,
+                jnp.int32(s), jnp.int32(n_act), scale_dev, t_dev,
+                xm0_dev, ym0_dev, cd.chunk, int(rows // cd.chunk),
+                cd._klist, cd._ss64, cd._bbits, cd._pad_bits, int(slope),
+                cd._use_pallas, nr)
+            if pending is not None:
+                cum64 += np.asarray(pending, np.int64)
+            pending = cum
+        if pending is not None:
+            cum64 += np.asarray(pending, np.int64)
+        acc = int(acc_dev)
+        if acc > e_alloc:
+            raise SweepFillOverflow(
+                f"sweep fill overflow: {acc} pairs > buffer "
+                f"{e_alloc} (counts pass estimated {e_total})")
+        n_real = getattr(cd, "_n_real", cd.n)
+        return (SweepEdges(bi, bj, bd, acc, n_pad, n_real=n_real), cum64)
 
     def enumerate_chunk(s, rows):
-        if streaming:
-            nr = cd._n_real if cd._n_real < n_pad else None
-            pos, _, d0, count, hist = _stream_sweep_group(
-                cd.planes, cd.lengths, cd.freqs, jnp.int32(s),
-                jnp.int32(n_act), scale_dev, t_dev, xm0_dev, ym0_dev,
-                cd.chunk, int(rows // cd.chunk), cd._klist, cd._ss64,
-                cd._bbits, cd._pad_bits, int(slope), cd._use_pallas, nr)
-            m = rows * (n_pad - 1)
-        else:
-            chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
-            m = chunk_x.shape[0]
-            pos, _, d0, count, hist = _sweep_gather(
-                chunk_x, scale_dev, t_dev, xm0_dev, ym0_dev, int(slope),
-                n_act=int(n_act))
+        chunk_x = cd.buf[s:s + rows].reshape(-1, 2)
+        m = chunk_x.shape[0]
+        pos, _, d0, count, hist = _sweep_gather(
+            chunk_x, scale_dev, t_dev, xm0_dev, ym0_dev, int(slope),
+            n_act=int(n_act))
         return pos, d0, count, hist, m, s
 
     def append(pending):
