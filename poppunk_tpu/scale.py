@@ -457,6 +457,71 @@ def _stream_stats_range(planes, lengths, freqs, ki, kd, cmax, s0, c, steps,
     return ki, kd, cmax, sub_vals
 
 
+@partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
+                                   "bbits", "pad_bits", "knn", "dist_col",
+                                   "use_pallas", "slope", "n_real"),
+         donate_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _stream_stats_fill_range(planes, lengths, freqs, ki, kd, cmax, bi, bj,
+                             bd, acc, s0, n_act, scale, t, xm0, ym0, c,
+                             steps, klist, sketchsize64, bbits, pad_bits,
+                             knn, dist_col, use_pallas, slope, n_real=None):
+    """Pass-1 slice FUSED with the boundary-band edge fill: each folded
+    chunk feeds both the stats epilogue (kNN merge + column maxima,
+    _stream_stats_range) and the direct-append fill epilogue
+    (_stream_fill_group) before being discarded — the two-round
+    bootstrap's single streaming pass, eliminating the refine fill's
+    full distance recompute (206 s of the 255 s round-4 refine at 65k).
+
+    The offset histogram is exact over the FULL threshold grid `t`
+    (direct compare+reduce per offset) even though only pairs under
+    t[n_act - 1] are stored, so the caller gets the counts pass for
+    free. Pad pairs (n_real < n) fold to +inf and are excluded from
+    both epilogues. No subsample gather arm: the bootstrap computes the
+    model subsample directly before this pass runs.
+    Returns (ki, kd, cmax, bi, bj, bd, acc, cum)."""
+    n = planes.shape[2]
+    cap = bi.shape[0]
+    t_band = t[n_act - 1]
+
+    def step(carry, s):
+        ki_buf, kd_buf, cm, bi, bj, bd, acc, cum = carry
+        folded, top_idx, top_d = _fold_block(
+            planes, lengths, freqs, s, c, klist, sketchsize64, bbits,
+            pad_bits, knn, dist_col, use_pallas, n_real)
+        finite = jnp.where(jnp.isinf(folded), -jnp.inf, folded)
+        cm = jnp.maximum(cm, finite.max(axis=(0, 1)))
+        ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[:c], (s, 0))
+        ki_buf = jax.lax.dynamic_update_slice(ki_buf, top_idx[c:],
+                                              (n - s - c, 0))
+        kd_buf = jax.lax.dynamic_update_slice(kd_buf, top_d[:c], (s, 0))
+        kd_buf = jax.lax.dynamic_update_slice(kd_buf, top_d[c:],
+                                              (n - s - c, 0))
+        d0 = _d0_chunk(folded.reshape(-1, 2), scale, xm0, ym0, slope)
+        cum = cum + jax.vmap(
+            lambda tv: (d0 <= tv).sum(dtype=jnp.int32))(t)
+        active = d0 <= t_band
+        dest = acc + jnp.cumsum(active.astype(jnp.int32)) - 1
+        dest = jnp.where(active, dest, cap)  # out-of-range -> dropped
+        m = d0.shape[0]
+        pos = jnp.arange(m, dtype=jnp.int32)
+        r = pos // (n - 1) + s
+        q = pos % (n - 1)
+        first = q < n - 1 - r
+        gi = jnp.where(first, r, n - 1 - r)
+        gj = jnp.where(first, q + r + 1, q + 1)
+        bi = bi.at[dest].set(gi, mode="drop")
+        bj = bj.at[dest].set(gj, mode="drop")
+        bd = bd.at[dest].set(d0, mode="drop")
+        acc = acc + active.sum(dtype=jnp.int32)
+        return (ki_buf, kd_buf, cm, bi, bj, bd, acc, cum), None
+
+    starts = s0 + jnp.arange(steps, dtype=jnp.int32) * c
+    cum0 = jnp.zeros(t.shape[0], jnp.int32)
+    (ki, kd, cmax, bi, bj, bd, acc, cum), _ = jax.lax.scan(
+        step, (ki, kd, cmax, bi, bj, bd, acc, cum0), starts)
+    return ki, kd, cmax, bi, bj, bd, acc, cum
+
+
 def _dispatch_plan(half, chunk, n, cap_rows=None):
     """Dispatch groups [(step_offset, n_steps)] covering the half//chunk
     scan steps, each computing <= PAIRS_PER_DISPATCH full-row pairs (and
@@ -1329,7 +1394,7 @@ class StreamingCondensed:
     def __init__(self, planes, lengths, freqs, klist, sketchsize64, bbits,
                  chunk=256, knn=5, dist_col=0, use_pallas=None,
                  subsample=None, mesh=None, n_real=None,
-                 shard_planes=False):
+                 shard_planes=False, defer=False):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         n = planes.shape[2]  # PADDED count (even); see n_real
@@ -1385,6 +1450,8 @@ class StreamingCondensed:
         self._use_pallas = bool(use_pallas)
         knn = min(knn, n_real - 1)
         self._knn_k = int(knn)
+        self._dist_col = int(dist_col)
+        self._prefill = None
         n_steps = half // self.chunk
 
         # pre-draw the model subsample so pass 1 can gather each chunk's
@@ -1420,7 +1487,20 @@ class StreamingCondensed:
         else:
             M = 8
             loc = np.zeros((n_steps, M), np.int32)
-        loc_dev = jnp.asarray(loc)
+
+        if defer:
+            # two-round bootstrap: the caller computes the model
+            # subsample directly (subsample_pairs), fits, then triggers
+            # the single streaming pass — with the refine boundary-band
+            # edge fill fused in — via run_pass1(fill_spec)
+            if mesh is not None:
+                raise ValueError(
+                    "defer=True requires a single device (the bootstrap "
+                    "pass runs the mesh tiers' standard pass 1)")
+            self._deferred = True
+            self._loc_np = loc
+            return
+        self._deferred = False
 
         if self._col:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1534,24 +1614,101 @@ class StreamingCondensed:
             self._cmax = np.asarray(cmax).max(axis=0)
             return
 
+        self._pass1_single(loc)
+
+    def run_pass1(self, fill_spec=None):
+        """Execute the deferred pass 1 (see __init__(defer=True)).
+
+        fill_spec (from plan_sweep_band) fuses the refine sweep's
+        in-boundary edge fill into the same chunk walk: dict(scale,
+        offsets, slope, line, n_act, e_total). On buffer overflow the
+        stats results are KEPT (dropped scatters don't corrupt them) and
+        the prefill is discarded — refine_fit_device then refills
+        exactly, as if no bootstrap ran."""
+        if not self._deferred:
+            raise RuntimeError("pass 1 already ran")
+        self._pass1_single(self._loc_np, fill_spec)
+        self._deferred = False
+        del self._loc_np
+
+    def _pass1_single(self, loc, fill_spec=None):
+        """Single-device pass 1: stats (fused kNN + column maxima +
+        predeclared-subsample gather), optionally fused with the
+        boundary-band edge fill (_stream_stats_fill_range)."""
+        n = self._n_pad
+        half = fold_rows(n)
+        knn = self._knn_k
+        nr = self._n_real if self._n_real < n else None
         ki = jnp.zeros((n, knn), jnp.int32)
         kd = jnp.zeros((n, knn), jnp.float32)
         cmax = jnp.full((2,), -jnp.inf, jnp.float32)
-        sub_parts = []
-        for off, fsteps in _dispatch_plan(half, self.chunk, n):
-            ki, kd, cmax, sv = _stream_stats_range(
-                self.planes, self.lengths, self.freqs, ki, kd, cmax,
-                jnp.int32(off * self.chunk), self.chunk,
-                int(fsteps),
-                jax.lax.dynamic_slice_in_dim(loc_dev, off, fsteps, axis=0),
-                self._klist, self._ss64, self._bbits,
-                self._pad_bits, int(knn), int(dist_col), self._use_pallas,
-                int(n_real) if n_real < n else None)
-            sub_parts.append(np.asarray(sv))
-        if self._sub_spec is not None:
-            size, sseed, g_of, rank = self._sub_spec
-            sub_vals = np.concatenate(sub_parts)  # [n_steps, M, 2]
-            self._sub_vals = sub_vals[g_of, rank]
+        if fill_spec is not None:
+            from .ops.sparse_sweep import SweepEdges, _bucket as _ss_bucket
+
+            # the bootstrap computes the model subsample directly; any
+            # predeclared gather spec is void (the fused kernel has no
+            # gather arm)
+            self._sub_spec = None
+            xm0, ym0, t = _line_d0_params(
+                fill_spec["offsets"], fill_spec["slope"],
+                *fill_spec["line"])
+            e_est = max(int(fill_spec["e_total"]), 1)
+            e_alloc = _ss_bucket(e_est + max(1024, e_est // 128))
+            bi = jnp.full(e_alloc, n, jnp.int32)
+            bj = jnp.full(e_alloc, n, jnp.int32)
+            bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
+            acc = jnp.int32(0)
+            scale_dev = jnp.asarray(fill_spec["scale"], jnp.float32)
+            t_dev = jnp.asarray(t, jnp.float32)
+            cum64 = np.zeros(len(t), np.int64)
+            pending = None
+            for off, fsteps in _dispatch_plan(half, self.chunk, n):
+                ki, kd, cmax, bi, bj, bd, acc, cum = \
+                    _stream_stats_fill_range(
+                        self.planes, self.lengths, self.freqs, ki, kd,
+                        cmax, bi, bj, bd, acc,
+                        jnp.int32(off * self.chunk),
+                        jnp.int32(fill_spec["n_act"]), scale_dev, t_dev,
+                        jnp.float32(xm0), jnp.float32(ym0), self.chunk,
+                        int(fsteps), self._klist, self._ss64,
+                        self._bbits, self._pad_bits, knn, self._dist_col,
+                        self._use_pallas, int(fill_spec["slope"]), nr)
+                if pending is not None:
+                    cum64 += np.asarray(pending, np.int64)
+                pending = cum
+            if pending is not None:
+                cum64 += np.asarray(pending, np.int64)
+            acc_h = int(acc)
+            if acc_h > e_alloc:
+                sys.stderr.write(
+                    f"bootstrap fill overflow: {acc_h} pairs > buffer "
+                    f"{e_alloc} (estimated {e_est}); refine will refill "
+                    "exactly\n")
+                self._prefill = None
+            else:
+                self._prefill = (
+                    SweepEdges(bi, bj, bd, acc_h, n,
+                               n_real=self._n_real),
+                    cum64, dict(fill_spec))
+        else:
+            loc_dev = jnp.asarray(loc)
+            sub_parts = []
+            for off, fsteps in _dispatch_plan(half, self.chunk, n):
+                ki, kd, cmax, sv = _stream_stats_range(
+                    self.planes, self.lengths, self.freqs, ki, kd, cmax,
+                    jnp.int32(off * self.chunk), self.chunk,
+                    int(fsteps),
+                    jax.lax.dynamic_slice_in_dim(loc_dev, off, fsteps,
+                                                 axis=0),
+                    self._klist, self._ss64, self._bbits,
+                    self._pad_bits, int(knn), self._dist_col,
+                    self._use_pallas, nr)
+                sub_parts.append(np.asarray(sv))
+            if self._sub_spec is not None:
+                size, sseed, g_of, rank = self._sub_spec
+                sub_vals = np.concatenate(sub_parts)  # [n_steps, M, 2]
+                self._sub_vals = sub_vals[g_of, rank]
+        n_real = self._n_real
         self.knn_row = np.arange(n_real, dtype=np.int64)
         self.knn_col = np.asarray(ki).astype(np.int64)[:n_real]
         self.knn_dist = np.asarray(kd)[:n_real]
@@ -1617,6 +1774,15 @@ class StreamingCondensed:
         rows = np.repeat(np.arange(n, dtype=np.int64), k)
         return rows, self.knn_col.ravel().astype(np.int64), \
             self.knn_dist.ravel()
+
+    def pop_prefill(self):
+        """Hand over the bootstrap prefill (edges, cum, spec), clearing
+        this object's reference — so refine_fit_device's rare widen
+        refill can actually free the band buffers before allocating the
+        wider set. Returns None if no prefill exists (not bootstrapped,
+        overflowed, or already popped)."""
+        pf, self._prefill = self._prefill, None
+        return pf
 
 
 @partial(jax.jit, static_argnames=("c", "steps", "klist", "sketchsize64",
@@ -2819,10 +2985,97 @@ def components_device(d0_sq, threshold):
 # End-to-end scale pipeline (synthetic device population)
 
 
+def _estimate_sweep_cum(est_pairs, scale, slope, xm0, ym0, t_all, n_pairs):
+    """Subsample-estimated cumulative in-boundary pair count per offset,
+    plus a conservative margin (6-sigma binomial + 2% + 1e5 slack).
+    A uniform model-subsample estimate suffices to pick the scoreable
+    range — the fill's idx < n_act filter is exact regardless, so scores
+    never depend on the estimate. Returns (est_cum, est_margin)."""
+    Xs = np.asarray(est_pairs, np.float64) / np.asarray(scale)
+    xe, ye = Xs[:, 0], Xs[:, 1]
+    if slope == 2:
+        if xm0 * ym0 == 0:
+            d0e = np.sqrt(xe * xe + ye * ye)
+        else:
+            d0e = ye * xm0 + xe * ym0 - xm0 * ym0
+    elif slope == 0:
+        d0e = xe - xm0
+    else:
+        d0e = ye - ym0
+    m_e = len(d0e)
+    frac = np.searchsorted(np.sort(d0e), t_all, side="right") / m_e
+    est_cum = frac * n_pairs
+    est_margin = (6.0 * n_pairs * np.sqrt(np.maximum(frac, 1e-12) / m_e)
+                  + 0.02 * est_cum + 1e5)
+    return est_cum, est_margin
+
+
+def plan_sweep_band(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
+                    n_grid=40, max_sweep_fetch=40_000_000, slope=2,
+                    est_pairs=None):
+    """Plan the bootstrap fill band for refine_fit_device's device
+    sparse sweep BEFORE any streaming pass has run.
+
+    The refine geometry is fully determined by the subsample fit (scale
+    = the fit's subsample maxima, line = the fit's component means), so
+    the in-boundary edge fill can ride pass 1
+    (StreamingCondensed.run_pass1(fill_spec)) — the two-round bootstrap
+    that removes the refine fill's full distance recompute. Mirrors
+    refine_fit_device's s_range construction and offset-cap logic on the
+    subsample estimate + margin; the band is what the exact-cum pick
+    would choose, modulo the margin (refine caps its offset range to the
+    band; a wider exact pick only loses offsets that are never optimal).
+
+    Returns a fill_spec dict for run_pass1, or None when the device
+    sparse sweep would not run (matmul tier, env-disabled, no HBM
+    headroom, insufficient subsample). Raises SweepSaturated when even
+    the first offset exceeds the cap (the caller shrinks max_move and
+    replans — host arithmetic only, no device work wasted)."""
+    from .ops.sparse_sweep import hbm_feasible, max_edge_cap
+
+    if cd.buf is not None and cd.n <= MATMUL_SWEEP_MAX_N:
+        return None
+    if os.environ.get("POPPUNK_TPU_SPARSE_SWEEP", "1") == "0":
+        return None
+    if est_pairs is None or len(est_pairs) < 10000:
+        return None
+    n_pad = getattr(cd, "_n_pad", cd.n)
+    resident = 0
+    for t_res in (getattr(cd, "planes", None), cd.buf):
+        if t_res is not None:
+            resident += t_res.nbytes
+    cap_dev = max_edge_cap(n_pad, resident)
+    if cap_dev <= 0:
+        return None
+    cap_budget = cap_dev - cap_dev // 50
+    search_length = max_move + float(np.sqrt(((mean1 - mean0) ** 2).sum()))
+    s_range = np.linspace(-min_move, search_length, num=n_grid)
+    line = (mean0[0], mean0[1], mean1[0], mean1[1])
+    xm0, ym0, t_all = _line_d0_params(s_range, slope, *line)
+    est_cum, est_margin = _estimate_sweep_cum(
+        est_pairs, scale, slope, xm0, ym0, t_all, cd.n_pairs)
+    bound = est_cum + est_margin
+    eff_cap = max(max_sweep_fetch, int(bound[min(9, n_grid - 1)]) + 1)
+    eff_cap = min(eff_cap, cap_budget)
+    ok = np.nonzero(bound <= eff_cap)[0]
+    if len(ok) == 0:
+        raise SweepSaturated(
+            f"first sweep offset already holds ~{int(est_cum[0])} "
+            f"pairs (> max_sweep_fetch {eff_cap})")
+    o_band = int(ok.max())
+    e_total = int(bound[o_band])
+    if not hbm_feasible(n_pad, e_total, resident):
+        return None
+    return dict(scale=np.asarray(scale, np.float64), offsets=s_range,
+                slope=int(slope), line=line, n_act=o_band + 1,
+                e_total=e_total)
+
+
 def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
                       score_idx=0, betweenness_sample=100, seed=42,
                       n_grid=40, max_sweep_fetch=40_000_000, slope=2,
-                      no_local=False, timings_out=None, est_pairs=None):
+                      no_local=False, timings_out=None, est_pairs=None,
+                      prefill=None):
     """Global + local 1-D boundary refinement over the device buffer.
 
     Mirrors models/refine.refine_fit (constrained): 40-point global
@@ -2895,6 +3148,25 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         cap_budget = cap_dev - cap_dev // 50 if cap_dev else 0
         xm0_l, ym0_l, t_all = _line_d0_params(s_range, slope, *line)
 
+        # bootstrap prefill: pass 1 already filled the boundary-band
+        # edge list (run_pass1(plan_sweep_band(...))) and returned the
+        # EXACT cumulative counts for the full grid — both the counts
+        # pass and the fill pass are already paid for. The spec must
+        # match this call's geometry exactly (it was planned from the
+        # same fit); a mismatch silently ignores the prefill.
+        pre_edges = None
+        pre_nact = 0
+        if prefill is not None and dev_possible:
+            p_edges, p_cum, p_spec = prefill
+            if (int(p_spec["slope"]) == int(slope)
+                    and len(p_spec["offsets"]) == len(s_range)
+                    and np.allclose(p_spec["offsets"], s_range)
+                    and np.allclose(p_spec["line"], line)
+                    and np.allclose(p_spec["scale"], np.asarray(scale))):
+                pre_edges = p_edges
+                pre_nact = int(p_spec["n_act"])
+                pre_cum = np.asarray(p_cum, np.int64)
+
         # cumulative in-boundary pair counts per offset: a uniform
         # model-subsample ESTIMATE suffices to pick the scoreable range
         # (the fill pass returns exact counts for free; its idx < n_act
@@ -2902,25 +3174,10 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         # estimate) — skipping the dedicated counts pass saves a full
         # distance recompute (~2 min at 65k)
         est_cum = est_margin = None
-        if dev_possible and est_pairs is not None and len(est_pairs) >= 10000:
-            Xs = np.asarray(est_pairs, np.float64) / np.asarray(scale)
-            xe, ye = Xs[:, 0], Xs[:, 1]
-            if slope == 2:
-                if xm0_l * ym0_l == 0:
-                    d0e = np.sqrt(xe * xe + ye * ye)
-                else:
-                    d0e = ye * xm0_l + xe * ym0_l - xm0_l * ym0_l
-            elif slope == 0:
-                d0e = xe - xm0_l
-            else:
-                d0e = ye - ym0_l
-            m_e = len(d0e)
-            frac = np.searchsorted(np.sort(d0e), t_all,
-                                   side="right") / m_e
-            est_cum = frac * cd.n_pairs
-            est_margin = (6.0 * cd.n_pairs
-                          * np.sqrt(np.maximum(frac, 1e-12) / m_e)
-                          + 0.02 * est_cum + 1e5)
+        if (pre_edges is None and dev_possible and est_pairs is not None
+                and len(est_pairs) >= 10000):
+            est_cum, est_margin = _estimate_sweep_cum(
+                est_pairs, scale, slope, xm0_l, ym0_l, t_all, cd.n_pairs)
 
         # exact-counts pass, shared by the three callers below (initial
         # no-estimate path, host-engine pre-fetch, overflow fallback);
@@ -2950,7 +3207,11 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
             return out
 
         cum = None
-        if est_cum is None:
+        if pre_edges is not None:
+            cum = pre_cum
+            if cum[-1] == cd.n_pairs:
+                raise SweepSaturated("Boundary range includes all points")
+        elif est_cum is None:
             cum = run_exact_counts()
 
         def pick_o_star(bound):
@@ -2983,12 +3244,19 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         else:
             eff_cap = max_sweep_fetch
         o_star = pick_o_star(eff_cap)
+        if pre_edges is not None:
+            # cap the scored range to the prefilled band: wider offsets
+            # the exact counts would admit are never optimal (they score
+            # worst-case 1) — if the argmin lands at the band edge the
+            # widen loop below refills exactly, as without a bootstrap
+            o_star = min(o_star, pre_nact - 1)
         use_sparse_dev = (
             dev_possible
-            and hbm_feasible(
-                n_pad,
-                int((cum if cum is not None
-                     else est_cum + est_margin)[o_star]), resident))
+            and (pre_edges is not None  # already resident: proven to fit
+                 or hbm_feasible(
+                     n_pad,
+                     int((cum if cum is not None
+                          else est_cum + est_margin)[o_star]), resident)))
         if dev_possible and not use_sparse_dev and eff_cap > max_sweep_fetch:
             # device cap chosen but the buffer doesn't actually fit:
             # fall back to the host path's own cap coherently
@@ -3001,13 +3269,33 @@ def refine_fit_device(cd, scale, mean0, mean1, max_move=0.9, min_move=1e-9,
         edges = None
         while True:  # o_star strictly widens, so <= n_grid iterations
             t_ph = time.perf_counter()
-            if use_sparse_dev:
+            if use_sparse_dev and pre_edges is not None \
+                    and o_star < pre_nact:
+                # bootstrap prefill covers the scored range: no fill
+                # work at all this iteration
+                edges = pre_edges
+                if o_star < n_grid - 1:
+                    sys.stderr.write(
+                        f"refine: offsets {o_star + 1}..{n_grid - 1} "
+                        f"hold {cum[o_star + 1]}..{cum[-1]} pairs "
+                        f"(> cap {eff_cap}); scored as 1\n")
+                t_sc = time.perf_counter()
+                global_s = np.ones(n_grid)
+                global_s[:o_star + 1], _ = sweep_scores_sparse_device(
+                    edges, t_all[:o_star + 1])
+                sys.stderr.write(
+                    f"refine: bootstrap prefill {edges.count} pairs "
+                    f"(fill paid in pass 1), device score "
+                    f"{time.perf_counter() - t_sc:.1f}s\n")
+            elif use_sparse_dev:
                 e_total = int((cum if cum is not None
                                else est_cum + est_margin)[o_star])
                 # drop the previous iteration's edge buffers BEFORE the
                 # refill so two full sets are never resident at once
                 # (hbm_feasible budgets one)
                 edges = None
+                pre_edges = None
+                prefill = None  # last ref to the bootstrap band buffers
                 try:
                     edges, cum_exact = sweep_fill_device(
                         cd, scale, s_range, slope, *line,
@@ -3734,6 +4022,7 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
     if sharded is None:
         sharded = (not streaming and n_dev > 1 and half % n_dev == 0)
     out["streaming"] = bool(streaming)
+    bootstrap = False
     t0 = time.perf_counter()
     if streaming:
         from .parallel.mesh import get_mesh
@@ -3749,18 +4038,33 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
         c_stream = divide_down(min(chunk, c_stream), rows_loc)
         if mesh is not None:
             log(f"dists: streaming sharded over {n_dev} devices\n")
+        # two-round bootstrap (single-device score_idx 0): model fit
+        # from directly-computed subsample distances FIRST, then ONE
+        # streaming pass computes dists + kNN + maxima AND fills the
+        # refine boundary band — the refine fill's full distance
+        # recompute (206 s of the round-4 255 s refine at 65k) never
+        # happens
+        bootstrap = (mesh is None and score_idx == 0
+                     and os.environ.get("POPPUNK_TPU_BOOTSTRAP",
+                                        "1") != "0")
         cd = StreamingCondensed(pop.planes, pop.lengths, pop.freqs, klist,
                                 sketchsize64, bbits,
                                 chunk=c_stream, knn=knn,
                                 use_pallas=use_pallas,
-                                subsample=(subsample, seed), mesh=mesh,
-                                shard_planes="auto")
+                                subsample=(None if bootstrap
+                                           else (subsample, seed)),
+                                mesh=mesh,
+                                shard_planes="auto", defer=bootstrap)
         if cd._col:
             log("dists: column-sharded planes (replicated residency "
                 "would crowd per-device HBM)\n")
         log("dists: streaming (no O(n^2) tensor; buffer would be "
             f"{4.0 * n * n / 2**30:.1f} GiB)\n")
-        np.asarray(cd.knn_dist[-1, -1])
+        if bootstrap:
+            log("dists: deferred — two-round bootstrap (fit on direct "
+                "subsample dists, refine fill fused into pass 1)\n")
+        else:
+            np.asarray(cd.knn_dist[-1, -1])
     elif sharded:
         cd = fill_condensed_sharded(pop.planes, pop.lengths, pop.freqs,
                                     klist, sketchsize64, bbits,
@@ -3775,22 +4079,55 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                                    knn=knn, use_pallas=use_pallas)
     if cd.buf is not None:
         np.asarray(cd.buf[-1, -1, -1])
-    timings["dists+knn"] = time.perf_counter() - t0
-    out["pairs_per_s"] = out["n_pairs"] / timings["dists+knn"]
-    log(f"dists+knn: {out['n_pairs']} pairs in {timings['dists+knn']:.1f}s "
-        f"= {out['pairs_per_s'] / 1e6:.1f} Mpairs/s (+ kNN k={knn} fused)\n")
+    if not bootstrap:
+        timings["dists+knn"] = time.perf_counter() - t0
+        out["pairs_per_s"] = out["n_pairs"] / timings["dists+knn"]
+        log(f"dists+knn: {out['n_pairs']} pairs in "
+            f"{timings['dists+knn']:.1f}s "
+            f"= {out['pairs_per_s'] / 1e6:.1f} Mpairs/s "
+            f"(+ kNN k={knn} fused)\n")
 
     t0 = time.perf_counter()
-    sub = cd.subsample_pairs(subsample, seed=seed)
+    if bootstrap:
+        sub = cd.subsample_pairs(subsample, seed=seed, block=32768)
+    else:
+        sub = cd.subsample_pairs(subsample, seed=seed)
     model = BGMMFit("", max_samples=subsample)
     model.fit(sub, max_components=2)
     timings["bgmm"] = time.perf_counter() - t0
     log(f"bgmm: fit on {sub.shape[0]} subsampled pairs in "
         f"{timings['bgmm']:.1f}s\n")
 
-    t0 = time.perf_counter()
     mean0 = model.means[model.within_label]
     mean1 = model.means[model.between_label]
+    if bootstrap:
+        # plan the fill band from the subsample fit (host arithmetic;
+        # saturation shrinks max_move BEFORE any device pass runs), then
+        # run the single fused pass
+        while True:
+            try:
+                fill_spec = plan_sweep_band(
+                    cd, model.scale, mean0, mean1, max_move=max_move,
+                    max_sweep_fetch=max_sweep_fetch, est_pairs=sub)
+                break
+            except SweepSaturated as e:
+                if max_move / 4 < 1e-3:
+                    raise
+                max_move /= 4
+                log(f"refine: band saturated ({str(e)[:120]}), "
+                    f"replanning max_move={max_move}\n")
+        t0 = time.perf_counter()
+        cd.run_pass1(fill_spec)
+        np.asarray(cd.knn_dist[-1, -1])
+        timings["dists+knn"] = time.perf_counter() - t0
+        out["pairs_per_s"] = out["n_pairs"] / timings["dists+knn"]
+        log(f"dists+knn: {out['n_pairs']} pairs in "
+            f"{timings['dists+knn']:.1f}s "
+            f"= {out['pairs_per_s'] / 1e6:.1f} Mpairs/s "
+            f"(+ kNN k={knn} and "
+            f"{'band fill' if fill_spec else 'no fill'} fused)\n")
+
+    t0 = time.perf_counter()
     # the synthetic between-blob has no outliers, so a generous max_move
     # can put every pair inside the widest boundary (the reference-faithful
     # guard in refine_fit_device raises); back off until the sweep bites
@@ -3801,7 +4138,8 @@ def run_scale_pipeline(n=20480, klist=(13, 16, 19, 22, 25, 28),
                 cd, model.scale, mean0, mean1, max_move=max_move,
                 score_idx=score_idx, seed=seed,
                 max_sweep_fetch=max_sweep_fetch,
-                timings_out=refine_phases, est_pairs=sub)
+                timings_out=refine_phases, est_pairs=sub,
+                prefill=(cd.pop_prefill() if bootstrap else None))
             break
         except SweepSaturated as e:
             # only the sweep-geometry errors are retryable; XLA runtime

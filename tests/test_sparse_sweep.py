@@ -516,3 +516,154 @@ class TestMeshShardedSweep:
             want, _ = connected_components(G)
             assert k == int(mask.sum())
             np.testing.assert_array_equal(labels, want)
+
+
+class TestBootstrap:
+    """The two-round bootstrap: model fit on directly-computed subsample
+    distances, then ONE streaming pass fusing dists + kNN + maxima with
+    the refine boundary-band edge fill (scale._stream_stats_fill_range /
+    StreamingCondensed.run_pass1). Pinned to the separate-pass path."""
+
+    ARGS = (2, 0.1, 0.1, 0.7, 0.7)
+
+    def _spec(self, scale, offsets, e_total, n_act=None):
+        return dict(scale=np.asarray(scale, np.float64),
+                    offsets=np.asarray(offsets), slope=self.ARGS[0],
+                    line=self.ARGS[1:], n_act=n_act or len(offsets),
+                    e_total=int(e_total))
+
+    def test_fused_pass_matches_separate(self, pop, sc):
+        from poppunk_tpu.scale import (StreamingCondensed, _line_d0_params,
+                                       sweep_fill_device)
+
+        scale = sc.max_scale()
+        offsets = np.linspace(0.0, 0.5, 20)
+        hi, hj, hidx, hd0 = sweep_first_offsets(sc, scale, offsets,
+                                                *self.ARGS)
+        want_edges, want_cum = sweep_fill_device(
+            sc, scale, offsets, *self.ARGS, n_act=len(offsets),
+            e_total=len(hi))
+
+        boot = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=8, knn=5,
+                                  defer=True)
+        # stats fields don't exist until pass 1 runs
+        assert not hasattr(boot, "knn_col")
+        boot.run_pass1(self._spec(scale, offsets, len(hi)))
+        # stats: identical to the non-deferred pass
+        np.testing.assert_array_equal(boot.knn_col, sc.knn_col)
+        np.testing.assert_array_equal(boot.knn_dist, sc.knn_dist)
+        np.testing.assert_array_equal(boot.max_scale(), sc.max_scale())
+        # fill: same edge set, d0 values, and exact full-grid counts
+        pf = boot.pop_prefill()
+        assert pf is not None and boot.pop_prefill() is None
+        edges, cum, spec = pf
+        assert edges.count == want_edges.count == len(hi)
+        np.testing.assert_array_equal(cum, want_cum)
+        fi, fj = edges.fetch_prefix(edges.count)
+        assert (sorted(zip(fi.tolist(), fj.tolist()))
+                == sorted(zip(hi.tolist(), hj.tolist())))
+        _, _, t = _line_d0_params(offsets, *self.ARGS)
+        np.testing.assert_array_equal(edges.counts_at(t),
+                                      [(hd0 <= tv).sum() for tv in t])
+
+    def test_band_narrower_than_grid(self, pop, sc):
+        """n_act < n_grid stores only band pairs but counts the FULL
+        grid exactly."""
+        from poppunk_tpu.scale import (StreamingCondensed,
+                                       sweep_fill_device)
+
+        scale = sc.max_scale()
+        offsets = np.linspace(0.0, 0.5, 20)
+        hi, hj, hidx, hd0 = sweep_first_offsets(sc, scale, offsets,
+                                                *self.ARGS)
+        n_act = 7
+        in_band = int((hidx < n_act).sum())
+        _, want_cum = sweep_fill_device(
+            sc, scale, offsets, *self.ARGS, n_act=len(offsets),
+            e_total=len(hi))
+        boot = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=8, knn=5,
+                                  defer=True)
+        boot.run_pass1(self._spec(scale, offsets, in_band, n_act=n_act))
+        edges, cum, spec = boot.pop_prefill()
+        assert edges.count == in_band
+        np.testing.assert_array_equal(cum, want_cum)  # full grid, exact
+        fi, fj = edges.fetch_prefix(edges.count)
+        mask = hidx < n_act
+        assert (sorted(zip(fi.tolist(), fj.tolist()))
+                == sorted(zip(hi[mask].tolist(), hj[mask].tolist())))
+
+    def test_overflow_keeps_stats_discards_prefill(self, pop, sc,
+                                                   monkeypatch):
+        from poppunk_tpu.scale import StreamingCondensed
+        import poppunk_tpu.ops.sparse_sweep as ss
+
+        scale = sc.max_scale()
+        offsets = np.linspace(0.0, 0.5, 20)
+        boot = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=8, knn=5,
+                                  defer=True)
+        monkeypatch.setattr(ss, "_bucket", lambda k, lo=0: 8)
+        boot.run_pass1(self._spec(scale, offsets, 8))
+        assert boot.pop_prefill() is None  # truncated fill discarded
+        np.testing.assert_array_equal(boot.knn_col, sc.knn_col)
+        np.testing.assert_array_equal(boot.max_scale(), sc.max_scale())
+
+    def test_refine_with_prefill_matches_standard(self, pop, sc,
+                                                  monkeypatch):
+        from poppunk_tpu.ops.distances import condensed_self_block
+        from poppunk_tpu.scale import (StreamingCondensed, plan_sweep_band,
+                                       refine_fit_device)
+        import poppunk_tpu.scale as scale_mod
+
+        host = condensed_self_block(
+            np.asarray(pop.planes_gm), np.asarray(pop.lengths),
+            np.asarray(pop.freqs), KLIST, SS64, BBITS)
+        scale = host.max(axis=0)
+        Xs = host / scale
+        mean0 = Xs[Xs[:, 0] < 0.3].mean(axis=0)
+        mean1 = Xs[Xs[:, 0] >= 0.3].mean(axis=0)
+        monkeypatch.setattr(scale_mod, "MATMUL_SWEEP_MAX_N", 0)
+        kw = dict(max_move=0.05, score_idx=0, seed=4)
+        rng = np.random.default_rng(0)
+        sub = Xs[rng.integers(0, len(Xs), 20000)] * scale
+
+        spec = plan_sweep_band(sc, scale, mean0, mean1,
+                               max_move=kw["max_move"], est_pairs=sub)
+        assert spec is not None
+        boot = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=8, knn=5,
+                                  defer=True)
+        boot.run_pass1(spec)
+        want = refine_fit_device(sc, scale, mean0, mean1, **kw)
+        timings = {}
+        got = refine_fit_device(boot, scale, mean0, mean1,
+                                timings_out=timings,
+                                prefill=boot.pop_prefill(), **kw)
+        assert got[3][0] == "edges"
+        np.testing.assert_allclose(got[:3], want[:3], rtol=1e-5,
+                                   atol=1e-7)
+        # no fill or counts pass ran in the prefilled refine
+        assert timings.get("counts", 0.0) == 0.0
+        assert timings.get("fill", 0.0) < 0.5
+
+    def test_pipeline_bootstrap_equals_standard(self, monkeypatch):
+        from poppunk_tpu.scale import run_scale_pipeline
+        import poppunk_tpu.parallel.mesh as mesh_mod
+
+        # force the single-device streaming tier (the conftest exposes 8
+        # virtual devices, which would shard and disable the bootstrap)
+        monkeypatch.setattr(mesh_mod, "get_mesh", lambda *a, **k: None)
+        kw = dict(n=256, streaming=True, chunk=32, use_pallas=False,
+                  log=lambda m: None)
+        monkeypatch.setenv("POPPUNK_TPU_BOOTSTRAP", "0")
+        std = run_scale_pipeline(**kw)
+        monkeypatch.setenv("POPPUNK_TPU_BOOTSTRAP", "1")
+        boot = run_scale_pipeline(**kw)
+        assert boot["ari"] == std["ari"] == 1.0
+        assert boot["n_clusters"] == std["n_clusters"]
+        assert boot["n_edges"] == std["n_edges"]
+        # the bootstrap pipeline must not have paid a separate fill
+        assert boot["refine_phase_s"].get("fill", 0.0) < 0.5
+        assert boot["refine_phase_s"].get("counts", 0.0) == 0.0
