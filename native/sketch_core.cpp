@@ -411,13 +411,57 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
                          uint64_t *signs) {
   if (hashes.empty()) return;
   if (exact) {
-    std::sort(hashes.begin(), hashes.end());
-    size_t i = 0;
-    while (i < hashes.size()) {
-      size_t run = i + 1;
-      while (run < hashes.size() && hashes[run] == hashes[i]) ++run;
-      if (run - i >= (size_t)min_count) bin_one(hashes[i], bindiv, signs);
-      i = run;
+    // Candidate-verified exact filter — bit-identical results to the
+    // previous sort-the-whole-vector exact counter (and to reader.py
+    // filter_read_kmers exact=True, the pinned oracle): a hash can only
+    // change its bin's final minimum if its sign beats the bin's
+    // current committed minimum, and since signs[] is non-increasing
+    // over the stream, any eventual winner qualifies at its FIRST
+    // occurrence — so counting only candidates still sees every
+    // occurrence of every winner, and committing at count >= min_count
+    // reproduces the exact filter's kept set restricted to hashes that
+    // can matter. Cost: one signs[] lookup per hash (80 KB,
+    // cache-resident) plus an open-addressing count map touched only on
+    // candidate occurrences — instead of the sort (or count-min's 4
+    // DRAM-latency row touches) over all ~20M hashes per (genome, k)
+    // that capped reads at ~0.8 genomes/s pooled.
+    if (min_count <= 1) {
+      for (uint64_t h : hashes) bin_one(h, bindiv, signs);
+      return;
+    }
+    size_t cap = 1 << 12;
+    std::vector<uint64_t> keys(cap, 0);
+    std::vector<uint32_t> cnt(cap, 0);
+    size_t used = 0, mask = cap - 1;
+    auto grow = [&]() {
+      size_t ncap = cap * 2, nmask = ncap - 1;
+      std::vector<uint64_t> nk(ncap, 0);
+      std::vector<uint32_t> nc(ncap, 0);
+      for (size_t s = 0; s < cap; ++s) {
+        if (!cnt[s]) continue;
+        size_t p = (size_t)mix64(keys[s]) & nmask;
+        while (nc[p]) p = (p + 1) & nmask;
+        nk[p] = keys[s];
+        nc[p] = cnt[s];
+      }
+      keys.swap(nk);
+      cnt.swap(nc);
+      cap = ncap;
+      mask = nmask;
+    };
+    for (uint64_t h : hashes) {
+      uint64_t sign = mod_mersenne61(h);
+      uint64_t bin = bindiv.div(sign);
+      if (sign >= signs[bin]) continue;  // can never win: skip forever
+      if ((used + 1) * 4 > cap * 3) grow();
+      size_t p = (size_t)mix64(h) & mask;
+      while (cnt[p] && keys[p] != h) p = (p + 1) & mask;
+      if (!cnt[p]) {
+        keys[p] = h;
+        ++used;
+      }
+      if (++cnt[p] >= (uint32_t)min_count && sign < signs[bin])
+        signs[bin] = sign;
     }
     return;
   }

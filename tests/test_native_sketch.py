@@ -167,3 +167,32 @@ def test_simd_threshold_and_lane_boundaries():
         if n > 100:
             codes[n // 2] = 4  # invalid in the middle of a lane
         _compare(codes)
+
+
+@pytest.mark.parametrize("min_count", [2, 5])
+def test_read_filter_exact_large_candidate_set(min_count):
+    """Stress the candidate-verified exact filter (the open-addressing
+    count map must grow several times: ~50k distinct k-mers, mixed
+    multiplicities) against the numpy exact path — bit identity."""
+    rng = np.random.default_rng(41)
+    sep = np.array([4], np.uint8)
+    frequent = rng.integers(0, 4, 50_000).astype(np.uint8)
+    parts = []
+    for _ in range(max(2, min_count)):
+        parts.extend([frequent, sep])
+    # unique noise reads (multiplicity 1: must all be dropped)
+    for _ in range(20):
+        parts.extend([rng.integers(0, 4, 2_000).astype(np.uint8), sep])
+    # a mid-band: multiplicity exactly min_count - 1 (dropped)
+    mid = rng.integers(0, 4, 5_000).astype(np.uint8)
+    for _ in range(min_count - 1):
+        parts.extend([mid, sep])
+    codes = np.concatenate(parts)
+    params = SketchParams(klist=(15, 19), sketchsize64=16, bbits=8,
+                          min_count=min_count, exact_counter=True)
+    got, got_dense = sketch_codes_native(codes, params, reads=True)
+    want, want_dense = sketch_codes(codes, params, reads=True,
+                                    use_native=False)
+    assert got_dense == want_dense
+    for k in want:
+        assert np.array_equal(got[k], want[k]), f"k={k}"
