@@ -297,21 +297,31 @@ def main(arg_list=None):
     planes, lengths, freqs = pack_planes(sketches, klist, plane_major=True,
                                          pad_to=n_pad)
     subsample = min(args.model_subsample, n_pairs)
+    # two-round bootstrap (single-device, score_idx 0, constrained):
+    # fit the start model on directly-computed subsample distances
+    # first, then fuse the refine boundary-band edge fill into the
+    # single streaming pass — the refine fill's full distance recompute
+    # never happens (see scale.plan_sweep_band)
+    bootstrap = (mesh is None and args.score_idx == 0
+                 and not args.unconstrained
+                 and os.environ.get("POPPUNK_TPU_BOOTSTRAP", "1") != "0")
     cd = StreamingCondensed(
         planes, lengths, freqs, klist, sketches[0].sketchsize64,
         sketches[0].bbits, chunk=chunk, knn=knn,
         dist_col=1 if args.use_accessory else 0,
-        subsample=(subsample, args.seed), mesh=mesh, n_real=n_real,
-        shard_planes="auto")
+        subsample=(None if bootstrap else (subsample, args.seed)),
+        mesh=mesh, n_real=n_real,
+        shard_planes="auto", defer=bootstrap)
     if cd._col:
         sys.stderr.write("Column-sharded planes over the mesh "
                          "(replicated residency would crowd HBM)\n")
-    np.asarray(cd.knn_dist[-1, -1])  # sync
-    dt = time.perf_counter() - t0
-    sys.stderr.write(
-        f"Distances: {n_pairs} pairs in {dt:.1f}s "
-        f"({n_pairs / max(dt, 1e-9) / 1e6:.1f} Mpairs/s; kNN k={knn} "
-        f"fused; no O(n^2) tensor)\n")
+    if not bootstrap:
+        np.asarray(cd.knn_dist[-1, -1])  # sync
+        dt = time.perf_counter() - t0
+        sys.stderr.write(
+            f"Distances: {n_pairs} pairs in {dt:.1f}s "
+            f"({n_pairs / max(dt, 1e-9) / 1e6:.1f} Mpairs/s; kNN k={knn} "
+            f"fused; no O(n^2) tensor)\n")
 
     # name-order pickle so downstream tools resolve indices; the condensed
     # .npy is deliberately absent (reference assign stopped requiring it
@@ -345,6 +355,28 @@ def main(arg_list=None):
             f"BGMM start model on {sub.shape[0]} subsampled pairs in "
             f"{time.perf_counter() - t0:.1f}s\n")
 
+    if bootstrap:
+        from ..scale import SweepSaturated, plan_sweep_band
+
+        try:
+            fill_spec = plan_sweep_band(
+                cd, start.scale, mean0, mean1, max_move=args.pos_shift,
+                min_move=args.neg_shift,
+                max_sweep_fetch=args.max_sweep_fetch, est_pairs=sub)
+        except SweepSaturated:
+            # refine below will surface the same geometry error with
+            # exact counts; run the plain pass so it can
+            fill_spec = None
+        t0 = time.perf_counter()
+        cd.run_pass1(fill_spec)
+        np.asarray(cd.knn_dist[-1, -1])  # sync
+        dt = time.perf_counter() - t0
+        sys.stderr.write(
+            f"Distances: {n_pairs} pairs in {dt:.1f}s "
+            f"({n_pairs / max(dt, 1e-9) / 1e6:.1f} Mpairs/s; kNN k={knn}"
+            f"{' and refine band fill' if fill_spec else ''} fused; "
+            f"no O(n^2) tensor)\n")
+
     t0 = time.perf_counter()
     if args.unconstrained:
         from ..scale import refine_fit_device_2d
@@ -361,7 +393,7 @@ def main(arg_list=None):
             min_move=args.neg_shift, score_idx=args.score_idx,
             betweenness_sample=args.betweenness_sample, seed=args.seed,
             max_sweep_fetch=args.max_sweep_fetch, no_local=args.no_local,
-            est_pairs=sub)
+            est_pairs=sub, prefill=cd.pop_prefill())
     sys.stderr.write(
         f"Refined boundary: core {opt_x * start.scale[0]:.6f}, "
         f"accessory {opt_y * start.scale[1]:.6f} "

@@ -410,3 +410,18 @@ class TestScaleCLI:
                                                  distances=False)
         assert self_mode and rlist == qlist == sorted(population.names)
         assert X is None
+
+    def test_bootstrap_cli_equals_standard(self, db, tmp_path,
+                                           monkeypatch):
+        """--single-device routes through the two-round bootstrap
+        (deferred pass 1 with the refine band fill fused); clusters must
+        equal the POPPUNK_TPU_BOOTSTRAP=0 run exactly."""
+        outs = {}
+        for mode in ("0", "1"):
+            monkeypatch.setenv("POPPUNK_TPU_BOOTSTRAP", mode)
+            out = str(tmp_path / f"boot{mode}")
+            scale_main(["--ref-db", db, "--output", out, "--no-plot",
+                        "--single-device", "--seed", "42"])
+            base = os.path.join(out, os.path.basename(out))
+            outs[mode] = read_clusters(base + "_clusters.csv")
+        assert outs["0"] == outs["1"]
