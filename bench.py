@@ -1522,8 +1522,31 @@ def bench_fill_profile(n=20480):
                 BBITS, int(pad_bits), 2, use_pallas, None)
         return int(acc_d)
 
+    # the fused stats+fill kernel (the bootstrap pass-1 body): measures
+    # whether fusing the two epilogues onto one enumeration costs more
+    # than the sum of its parts (VMEM/register pressure in the scan)
+    from poppunk_tpu.scale import _stream_stats_fill_range
+
+    def run_fused():
+        bi = jnp.full(e_alloc, n, jnp.int32)
+        bj = jnp.full(e_alloc, n, jnp.int32)
+        bd = jnp.full(e_alloc, jnp.inf, jnp.float32)
+        acc_d = jnp.int32(0)
+        ki = jnp.zeros((n, 5), jnp.int32)
+        kd = jnp.zeros((n, 5), jnp.float32)
+        cmax = jnp.full((2,), -jnp.inf, jnp.float32)
+        for s in range(0, steps * c, 4 * c):
+            ki, kd, cmax, bi, bj, bd, acc_d, _ = _stream_stats_fill_range(
+                pop.planes, pop.lengths, pop.freqs, ki, kd, cmax,
+                bi, bj, bd, acc_d, jnp.int32(s), jnp.int32(n_act),
+                scale_dev, t_dev, jnp.float32(xm0), jnp.float32(ym0),
+                c, 4, KLIST, SS64, BBITS, int(pad_bits), 5, 0,
+                use_pallas, 2, None)
+        return int(acc_d)
+
     for name, fn in (("sweep-sort", run_sort),
-                     ("sweep-direct", run_direct)):
+                     ("sweep-direct", run_direct),
+                     ("stats+fill-fused", run_fused)):
         k_warm = fn()  # compile + warm
         t0 = time.time()
         k2 = fn()

@@ -500,18 +500,21 @@ def _stream_stats_fill_range(planes, lengths, freqs, ki, kd, cmax, bi, bj,
         cum = cum + jax.vmap(
             lambda tv: (d0 <= tv).sum(dtype=jnp.int32))(t)
         active = d0 <= t_band
-        dest = acc + jnp.cumsum(active.astype(jnp.int32)) - 1
-        dest = jnp.where(active, dest, cap)  # out-of-range -> dropped
         m = d0.shape[0]
         pos = jnp.arange(m, dtype=jnp.int32)
+        dest = acc + jnp.cumsum(active.astype(jnp.int32)) - 1
+        # dropped lanes get cap + lane: ALL destinations are genuinely
+        # unique, so unique_indices=True is honest and XLA skips the
+        # duplicate-resolution pass in the scatter lowering
+        dest = jnp.where(active, dest, cap + pos)
         r = pos // (n - 1) + s
         q = pos % (n - 1)
         first = q < n - 1 - r
         gi = jnp.where(first, r, n - 1 - r)
         gj = jnp.where(first, q + r + 1, q + 1)
-        bi = bi.at[dest].set(gi, mode="drop")
-        bj = bj.at[dest].set(gj, mode="drop")
-        bd = bd.at[dest].set(d0, mode="drop")
+        bi = bi.at[dest].set(gi, mode="drop", unique_indices=True)
+        bj = bj.at[dest].set(gj, mode="drop", unique_indices=True)
+        bd = bd.at[dest].set(d0, mode="drop", unique_indices=True)
         acc = acc + active.sum(dtype=jnp.int32)
         return (ki_buf, kd_buf, cm, bi, bj, bd, acc, cum), None
 
@@ -2677,17 +2680,19 @@ def _stream_fill_group(bi, bj, bd, acc, planes, lengths, freqs, s0, n_act,
             lambda tv: (d0 <= tv).sum(dtype=jnp.int32))(t)
         active = d0 <= t_band
         dest = acc + jnp.cumsum(active.astype(jnp.int32)) - 1
-        dest = jnp.where(active, dest, cap)  # out-of-range -> dropped
         m = d0.shape[0]
         pos = jnp.arange(m, dtype=jnp.int32)
+        # dropped lanes get cap + lane: all destinations unique (see
+        # _stream_stats_fill_range)
+        dest = jnp.where(active, dest, cap + pos)
         r = pos // (n - 1) + s
         q = pos % (n - 1)
         first = q < n - 1 - r
         gi = jnp.where(first, r, n - 1 - r)
         gj = jnp.where(first, q + r + 1, q + 1)
-        bi = bi.at[dest].set(gi, mode="drop")
-        bj = bj.at[dest].set(gj, mode="drop")
-        bd = bd.at[dest].set(d0, mode="drop")
+        bi = bi.at[dest].set(gi, mode="drop", unique_indices=True)
+        bj = bj.at[dest].set(gj, mode="drop", unique_indices=True)
+        bd = bd.at[dest].set(d0, mode="drop", unique_indices=True)
         acc = acc + active.sum(dtype=jnp.int32)
         return (bi, bj, bd, acc, cum), None
 
