@@ -622,13 +622,17 @@ def bench_serving_prod(nq=2048, nr=20480, iters=3, n_strains=64):
     })
 
 
-def _gen_sketch_bench_inputs(n_fasta=16, n_fastq=3, glen=2_000_000,
+def _gen_sketch_bench_inputs(n_fasta=16, n_fastq=8, glen=2_000_000,
                              coverage=10, read_len=150):
     """Synthetic FASTA assemblies (~2 Mbp, realistic bacterial size,
     docs/sketching.rst:73-81 geometry) and FASTQ read sets for the
-    sketching benchmark. Cached in /tmp across runs."""
+    sketching benchmark. Cached in /tmp across runs.
+
+    n_fastq must comfortably exceed the core count: a 3-read-set
+    fixture under-filled the 4-process pool and the pooled genomes/s
+    number measured pool latency, not throughput."""
     d = "/tmp/poppunk_sketch_bench"
-    marker = os.path.join(d, ".done_v1")
+    marker = os.path.join(d, ".done_v2")
     fastas = [os.path.join(d, f"asm{i}.fa") for i in range(n_fasta)]
     fastqs = [os.path.join(d, f"reads{i}.fastq") for i in range(n_fastq)]
     if not os.path.isfile(marker):
