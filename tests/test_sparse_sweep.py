@@ -667,3 +667,41 @@ class TestBootstrap:
         # the bootstrap pipeline must not have paid a separate fill
         assert boot["refine_phase_s"].get("fill", 0.0) < 0.5
         assert boot["refine_phase_s"].get("counts", 0.0) == 0.0
+
+    def test_prefill_spec_mismatch_ignored(self, pop, sc, monkeypatch):
+        """A prefill whose geometry differs from the refine call (e.g.
+        replanned max_move) must be silently ignored, not misused."""
+        from poppunk_tpu.ops.distances import condensed_self_block
+        from poppunk_tpu.scale import (StreamingCondensed, plan_sweep_band,
+                                       refine_fit_device)
+        import poppunk_tpu.scale as scale_mod
+
+        host = condensed_self_block(
+            np.asarray(pop.planes_gm), np.asarray(pop.lengths),
+            np.asarray(pop.freqs), KLIST, SS64, BBITS)
+        scale = host.max(axis=0)
+        Xs = host / scale
+        mean0 = Xs[Xs[:, 0] < 0.3].mean(axis=0)
+        mean1 = Xs[Xs[:, 0] >= 0.3].mean(axis=0)
+        monkeypatch.setattr(scale_mod, "MATMUL_SWEEP_MAX_N", 0)
+        rng = np.random.default_rng(0)
+        sub = Xs[rng.integers(0, len(Xs), 20000)] * scale
+
+        spec = plan_sweep_band(sc, scale, mean0, mean1, max_move=0.1,
+                               est_pairs=sub)
+        boot = StreamingCondensed(pop.planes, pop.lengths, pop.freqs,
+                                  KLIST, SS64, BBITS, chunk=8, knn=5,
+                                  defer=True)
+        boot.run_pass1(spec)
+        kw = dict(max_move=0.05, score_idx=0, seed=4)  # != planned 0.1
+        want = refine_fit_device(sc, scale, mean0, mean1,
+                                 est_pairs=sub, **kw)
+        timings = {}
+        got = refine_fit_device(boot, scale, mean0, mean1,
+                                est_pairs=sub, timings_out=timings,
+                                prefill=boot.pop_prefill(), **kw)
+        np.testing.assert_allclose(got[:3], want[:3], rtol=1e-5,
+                                   atol=1e-7)
+        # the mismatched prefill must NOT have been consumed: a real
+        # fill ran instead
+        assert timings.get("fill", 0.0) > 0.0
