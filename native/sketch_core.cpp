@@ -334,15 +334,23 @@ void scan_and_bin_simd(const InterleavedSeq &cx, int64_t n, int k,
 // canonical hash of every valid window to `out` — lane-major order, a
 // permutation of the scalar position order; all consumers are
 // multiset-blind (count-min and exact filtering are order-independent).
+// [t0, t1) restricts to a per-lane step range (t1 < 0 = to the end):
+// the exact read path streams cache-sized chunks through the candidate
+// filter instead of materialising the whole per-(genome, k) hash
+// vector (~2 GB of DRAM write+read per 10x-coverage genome).
 void scan_and_collect_simd(const InterleavedSeq &cx, int64_t n, int k,
-                           bool use_rc, std::vector<uint64_t> &out) {
+                           bool use_rc, std::vector<uint64_t> &out,
+                           int64_t t0 = 0, int64_t t1 = -1) {
   if (n < k) return;
   int64_t n_win = n - k + 1;  // call sites route n_win < 64 to scalar
   int64_t seg = cx.seg;
+  int64_t t_end = std::min(seg, n_win);  // loop covers [0, t_end)
+  if (t1 < 0 || t1 > t_end) t1 = t_end;
+  if (t0 >= t1) return;
   const uint8_t *il = cx.il.data();
   const int32_t *irun = cx.irun.data();
   size_t base = out.size();
-  out.resize(base + (size_t)n_win + 8);
+  out.resize(base + (size_t)(t1 - t0) * 8 + 8);
   uint64_t *dst = out.data() + base;
   alignas(64) uint64_t tf[8] = {0}, tfk[8] = {0}, tr[8] = {0},
                        trk[8] = {0};
@@ -359,7 +367,7 @@ void scan_and_collect_simd(const InterleavedSeq &cx, int64_t n, int k,
   for (int l = 0; l < 8; ++l) {
     uint64_t fh = 0, rh = 0;
     for (int i = 0; i < k; ++i) {
-      uint8_t c = il[(size_t)i * 8 + l];
+      uint8_t c = il[(size_t)(t0 + i) * 8 + l];
       fh ^= rol64(SEED[c], k - 1 - i);
       rh ^= rol64(SEED[COMP[c]], i);
     }
@@ -367,7 +375,7 @@ void scan_and_collect_simd(const InterleavedSeq &cx, int64_t n, int k,
     rh0[l] = rh;
   }
   __m512i fh = _mm512_load_si512(fh0), rh = _mm512_load_si512(rh0);
-  for (int64_t t = 0;; ++t) {
+  for (int64_t t = t0;; ++t) {
     __m512i h = use_rc ? _mm512_min_epu64(fh, rh) : fh;
     __m256i rv = _mm256_loadu_si256((const __m256i *)&irun[(size_t)t * 8]);
     __mmask8 valid = _mm256_cmpge_epi32_mask(rv, vk);
@@ -375,7 +383,7 @@ void scan_and_collect_simd(const InterleavedSeq &cx, int64_t n, int k,
       _mm512_mask_compressstoreu_epi64(dst, valid, h);
       dst += __builtin_popcount((unsigned)valid);
     }
-    if (t + 1 >= seg || t + 1 >= n_win) break;
+    if (t + 1 >= t1) break;
     __m512i outb = _mm512_cvtepu8_epi64(
         _mm_loadl_epi64((const __m128i *)&il[(size_t)t * 8]));
     __m512i inb = _mm512_cvtepu8_epi64(
@@ -403,53 +411,60 @@ constexpr int CM_WIDTH_BITS = 22;
 constexpr int CM_HASHES = 4;
 constexpr uint64_t CM_MASK = (1ULL << CM_WIDTH_BITS) - 1;
 
-// Filter read k-mer hashes by multiplicity then bin the survivors —
-// multiset-identical to reader.py filter_read_kmers (both filter modes
-// keep or drop whole unique hashes, and min-per-bin is order-blind).
-void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
-                         bool exact, const FastDiv &bindiv,
-                         uint64_t *signs) {
-  if (hashes.empty()) return;
-  if (exact) {
-    // Candidate-verified exact filter — bit-identical results to the
-    // previous sort-the-whole-vector exact counter (and to reader.py
-    // filter_read_kmers exact=True, the pinned oracle): a hash can only
-    // change its bin's final minimum if its sign beats the bin's
-    // current committed minimum, and since signs[] is non-increasing
-    // over the stream, any eventual winner qualifies at its FIRST
-    // occurrence — so counting only candidates still sees every
-    // occurrence of every winner, and committing at count >= min_count
-    // reproduces the exact filter's kept set restricted to hashes that
-    // can matter. Cost: one signs[] lookup per hash (80 KB,
-    // cache-resident) plus an open-addressing count map touched only on
-    // candidate occurrences — instead of the sort (or count-min's 4
-    // DRAM-latency row touches) over all ~20M hashes per (genome, k)
-    // that capped reads at ~0.8 genomes/s pooled.
+// Candidate-verified exact filter — bit-identical results to a
+// sort-the-whole-vector exact counter (and to reader.py
+// filter_read_kmers exact=True, the pinned oracle): a hash can only
+// change its bin's final minimum if its sign beats the bin's current
+// committed minimum, and since signs[] is non-increasing over the
+// stream, any eventual winner qualifies at its FIRST occurrence — so
+// counting only candidates still sees every occurrence of every
+// winner, and committing at count >= min_count reproduces the exact
+// filter's kept set restricted to hashes that can matter. Cost: one
+// signs[] lookup per hash (80 KB, cache-resident) plus an
+// open-addressing count map touched only on candidate occurrences —
+// instead of the sort (or count-min's 4 DRAM-latency row touches) over
+// all ~20M hashes per (genome, k) that capped reads at ~0.8 genomes/s
+// pooled. Stateful (add() streams chunks): decisions are order-robust,
+// so chunked and whole-vector runs are bit-identical.
+struct CandidateExactFilter {
+  int min_count;
+  const FastDiv &bindiv;
+  uint64_t *signs;
+  std::vector<uint64_t> keys;
+  std::vector<uint32_t> cnt;
+  size_t used = 0, cap, mask;
+
+  CandidateExactFilter(int mc, const FastDiv &bd, uint64_t *sg)
+      : min_count(mc), bindiv(bd), signs(sg), cap(1 << 12) {
+    keys.assign(cap, 0);
+    cnt.assign(cap, 0);
+    mask = cap - 1;
+  }
+
+  void grow() {
+    size_t ncap = cap * 2, nmask = ncap - 1;
+    std::vector<uint64_t> nk(ncap, 0);
+    std::vector<uint32_t> nc(ncap, 0);
+    for (size_t s = 0; s < cap; ++s) {
+      if (!cnt[s]) continue;
+      size_t p = (size_t)mix64(keys[s]) & nmask;
+      while (nc[p]) p = (p + 1) & nmask;
+      nk[p] = keys[s];
+      nc[p] = cnt[s];
+    }
+    keys.swap(nk);
+    cnt.swap(nc);
+    cap = ncap;
+    mask = nmask;
+  }
+
+  void add(const uint64_t *hashes, size_t m) {
     if (min_count <= 1) {
-      for (uint64_t h : hashes) bin_one(h, bindiv, signs);
+      for (size_t i = 0; i < m; ++i) bin_one(hashes[i], bindiv, signs);
       return;
     }
-    size_t cap = 1 << 12;
-    std::vector<uint64_t> keys(cap, 0);
-    std::vector<uint32_t> cnt(cap, 0);
-    size_t used = 0, mask = cap - 1;
-    auto grow = [&]() {
-      size_t ncap = cap * 2, nmask = ncap - 1;
-      std::vector<uint64_t> nk(ncap, 0);
-      std::vector<uint32_t> nc(ncap, 0);
-      for (size_t s = 0; s < cap; ++s) {
-        if (!cnt[s]) continue;
-        size_t p = (size_t)mix64(keys[s]) & nmask;
-        while (nc[p]) p = (p + 1) & nmask;
-        nk[p] = keys[s];
-        nc[p] = cnt[s];
-      }
-      keys.swap(nk);
-      cnt.swap(nc);
-      cap = ncap;
-      mask = nmask;
-    };
-    for (uint64_t h : hashes) {
+    for (size_t i = 0; i < m; ++i) {
+      uint64_t h = hashes[i];
       uint64_t sign = mod_mersenne61(h);
       uint64_t bin = bindiv.div(sign);
       if (sign >= signs[bin]) continue;  // can never win: skip forever
@@ -463,6 +478,19 @@ void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
       if (++cnt[p] >= (uint32_t)min_count && sign < signs[bin])
         signs[bin] = sign;
     }
+  }
+};
+
+// Filter read k-mer hashes by multiplicity then bin the survivors —
+// multiset-identical to reader.py filter_read_kmers (both filter modes
+// keep or drop whole unique hashes, and min-per-bin is order-blind).
+void bin_filtered_hashes(std::vector<uint64_t> &hashes, int min_count,
+                         bool exact, const FastDiv &bindiv,
+                         uint64_t *signs) {
+  if (hashes.empty()) return;
+  if (exact) {
+    CandidateExactFilter f(min_count, bindiv, signs);
+    f.add(hashes.data(), hashes.size());
     return;
   }
   // Saturating packed counters (reader.py countmin_cap twin): the
@@ -627,7 +655,54 @@ int sketch_sequence_c(const uint8_t *codes, int64_t n, const int32_t *klist,
 #pragma omp parallel for schedule(dynamic) num_threads(n_threads)
   for (int ki = 0; ki < n_k; ++ki) {
     std::vector<uint64_t> signs(nbins, EMPTY_BIN);
-    if (min_count > 1) {
+    if (min_count > 1 && exact_filter != 0) {
+      // exact mode STREAMS cache-sized scan chunks through the
+      // candidate filter (order-robust, so chunked == whole-vector,
+      // pinned by the bit-identity tests) — the whole-vector collect
+      // wrote + re-read ~2 GB of DRAM per 10x-coverage genome
+      CandidateExactFilter filt(min_count, bindiv, signs.data());
+      std::vector<uint64_t> buf;
+      const int64_t CHUNK = 1 << 15;  // x8 lanes x8 B ~ 2 MB per chunk
+      auto filter_whole = [&](const uint8_t *seq, int64_t pn) {
+        buf.clear();
+        collect_hashes_for_k(seq, pn, klist[ki], use_rc != 0, buf);
+        filt.add(buf.data(), buf.size());
+      };
+#ifdef SKETCH_SIMD
+      auto stream_ctx = [&](const InterleavedSeq &cx, int64_t pn) {
+        int64_t t_end = std::min(cx.seg, pn - klist[ki] + 1);
+        for (int64_t t0 = 0; t0 < t_end; t0 += CHUNK) {
+          buf.clear();
+          scan_and_collect_simd(cx, pn, klist[ki], use_rc != 0, buf,
+                                t0, std::min(t0 + CHUNK, t_end));
+          filt.add(buf.data(), buf.size());
+        }
+      };
+#endif
+      if (codon_phased) {
+        for (int ph = 0; ph < 3; ++ph) {
+          int64_t pn = (int64_t)phases[ph].size();
+#ifdef SKETCH_SIMD
+          if (!simd_cx.empty() && simd_cx[ph].seg > 0
+              && pn - klist[ki] + 1 >= 64) {
+            stream_ctx(simd_cx[ph], pn);
+            continue;
+          }
+#endif
+          filter_whole(phases[ph].data(), pn);
+        }
+      } else {
+#ifdef SKETCH_SIMD
+        if (!simd_cx.empty() && n - klist[ki] + 1 >= 64) {
+          stream_ctx(simd_cx[0], n);
+        } else {
+          filter_whole(codes, n);
+        }
+#else
+        filter_whole(codes, n);
+#endif
+      }
+    } else if (min_count > 1) {
       std::vector<uint64_t> hashes;
       if (codon_phased) {
         std::vector<uint64_t> ph_hashes;
