@@ -1378,7 +1378,7 @@ def bench_brandes_ab(n_comp=100, m=1000, deg=40, n_sources=100,
         sys.stderr.write(f"{label[:-2]}: one dispatch, {n_comp} comps x "
                          f"{n_sources} sources in {results[label]:.3f}s\n")
 
-    print(json.dumps({
+    _emit({
         "metric": f"brandes A/B {n_comp} comps x {m} vertices deg {deg} "
                   f"x {n_sources} sources (per-offset betweenness unit)",
         "value": round(results["device_f32_s"], 3),
@@ -1386,7 +1386,7 @@ def bench_brandes_ab(n_comp=100, m=1000, deg=40, n_sources=100,
         "vs_baseline": round(results["native_s"]
                              / results["device_f32_s"], 2),
         "detail": {k: round(v, 3) for k, v in results.items()},
-    }))
+    })
 
 
 def bench_fill_profile(n=20480):
